@@ -1,0 +1,244 @@
+"""Levenshtein distance (uniform + weighted).
+
+Public surface mirrors the reference module
+``/root/reference/src/distance/levenshtein.rs``: the 8 score functions,
+``Args`` + ``WeightTable`` builders, and a ``BatchComparator`` — extended
+TPU-natively with batch APIs (``distance_many`` and
+``BatchComparator.distances``) that run the Pallas/XLA kernels over padded
+length buckets.
+
+Semantics:
+* ``maximum`` follows ``levenshtein.rs:263-277`` (weighted formula; uniform
+  reduces to ``max(len1, len2)``).
+* weight special cases (``levenshtein.rs:1244-1279``): ins==del==0 -> 0;
+  uniform*factor; sub >= ins+del -> indel*factor; both are algebraic
+  identities of the generalized Wagner-Fischer recurrence, so the device
+  path computes them with the matching fast kernel.
+* cutoff/hint semantics per ``rapidfuzz_tpu.common``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .. import common as _c
+from .. import oracle as _oracle
+from ..ops import dispatch as _dispatch
+from ..ops import levenshtein as _ops
+from ..utils import codec as _codec
+
+__all__ = [
+    "WeightTable", "Args", "distance", "similarity", "normalized_distance",
+    "normalized_similarity", "distance_with_args", "similarity_with_args",
+    "normalized_distance_with_args", "normalized_similarity_with_args",
+    "BatchComparator", "distance_many", "maximum",
+]
+
+
+@dataclass(frozen=True)
+class WeightTable:
+    """Edit-operation costs (``levenshtein.rs:129-148``)."""
+    insertion_cost: int = 1
+    deletion_cost: int = 1
+    substitution_cost: int = 1
+
+    @property
+    def uniform(self) -> bool:
+        return (self.insertion_cost == self.deletion_cost ==
+                self.substitution_cost == 1)
+
+
+_UNIFORM = WeightTable()
+
+
+class Args(_c.ArgsBase):
+    __slots__ = ("weights_",)
+
+    def __init__(self):
+        super().__init__()
+        self.weights_ = _UNIFORM
+
+    def weights(self, w: WeightTable):
+        new = self._copy()
+        new.weights_ = w
+        return new
+
+
+def maximum(len1: int, len2: int, weights: WeightTable = _UNIFORM) -> int:
+    """Maximum possible distance (``levenshtein.rs:263-277``)."""
+    ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
+                      weights.substitution_cost)
+    max_dist = len1 * dele + len2 * ins
+    if len1 >= len2:
+        return min(max_dist, len2 * sub + (len1 - len2) * dele)
+    return min(max_dist, len1 * sub + (len2 - len1) * ins)
+
+
+# ------------------------------------------------------------- scalar core
+
+def _raw_distance(u1: np.ndarray, u2: np.ndarray, weights: WeightTable) -> int:
+    """True weighted distance of two encoded arrays (host oracle path)."""
+    ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
+                      weights.substitution_cost)
+    if ins == dele:
+        if ins == 0:
+            return 0
+        if ins == sub:
+            return ins * _oracle.levenshtein_uniform(u1, u2)
+        if sub >= ins + dele:
+            return ins * (_oracle.indel(u1, u2) if ins != 0 else 0)
+    return _oracle.levenshtein_weighted(u1, u2, ins, dele, sub)
+
+
+def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
+    """(raw_distance, maximum) for a scalar pair."""
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    dist = _raw_distance(u1, u2, weights)
+    return dist, maximum(u1.size, u2.size, weights)
+
+
+# ------------------------------------------------------------- public scalar
+
+def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
+             score_cutoff: Optional[int] = None,
+             score_hint: Optional[int] = None) -> Optional[int]:
+    dist, _ = _scalar(s1, s2, weights)
+    return _c.apply_distance_cutoff(dist, score_cutoff)
+
+
+def similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
+               score_cutoff: Optional[int] = None,
+               score_hint: Optional[int] = None) -> Optional[int]:
+    dist, mx = _scalar(s1, s2, weights)
+    return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
+
+
+def normalized_distance(s1, s2, *, weights: WeightTable = _UNIFORM,
+                        score_cutoff: Optional[float] = None,
+                        score_hint: Optional[float] = None) -> Optional[float]:
+    dist, mx = _scalar(s1, s2, weights)
+    return _c.apply_distance_cutoff(_c.norm_dist_from_dist(dist, mx),
+                                    score_cutoff)
+
+
+def normalized_similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
+                          score_cutoff: Optional[float] = None,
+                          score_hint: Optional[float] = None) -> Optional[float]:
+    dist, mx = _scalar(s1, s2, weights)
+    return _c.apply_similarity_cutoff(1.0 - _c.norm_dist_from_dist(dist, mx),
+                                      score_cutoff)
+
+
+def distance_with_args(s1, s2, args: Args):
+    return distance(s1, s2, weights=args.weights_, score_cutoff=args.cutoff,
+                    score_hint=args.hint)
+
+
+def similarity_with_args(s1, s2, args: Args):
+    return similarity(s1, s2, weights=args.weights_, score_cutoff=args.cutoff,
+                      score_hint=args.hint)
+
+
+def normalized_distance_with_args(s1, s2, args: Args):
+    return normalized_distance(s1, s2, weights=args.weights_,
+                               score_cutoff=args.cutoff, score_hint=args.hint)
+
+
+def normalized_similarity_with_args(s1, s2, args: Args):
+    return normalized_similarity(s1, s2, weights=args.weights_,
+                                 score_cutoff=args.cutoff, score_hint=args.hint)
+
+
+# -------------------------------------------------------------- batch (TPU)
+
+def _raw_distance_batch(c1, l1, c2, l2, weights: WeightTable) -> np.ndarray:
+    """Device batched raw distances for padded encoded batches."""
+    ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
+                      weights.substitution_cost)
+    if ins == dele:
+        if ins == 0:
+            return np.zeros(np.broadcast_shapes(l1.shape, l2.shape), np.int64)
+        if ins == sub:
+            d = _dispatch.run_pairs(_ops.uniform_distance, c1, l1, c2, l2)
+            return d.astype(np.int64) * ins
+        if sub >= ins + dele:
+            from ..ops import lcs as _lcs_ops
+            sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
+            return (l1.astype(np.int64) + l2.astype(np.int64)
+                    - 2 * sim.astype(np.int64)) * ins
+    d = _dispatch.run_pairs(_ops.weighted_distance, c1, l1, c2, l2,
+                            ins=ins, dele=dele, sub=sub)
+    return d.astype(np.int64)
+
+
+def distance_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
+                  score_cutoff: Optional[int] = None) -> _dispatch.BatchResult:
+    """Elementwise distances for two aligned batches (device path)."""
+    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
+    dist = _raw_distance_batch(c1, l1, c2, l2, weights)
+    return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
+
+
+# ---------------------------------------------------------- BatchComparator
+
+class BatchComparator:
+    """One-vs-many comparator (``levenshtein.rs:1625-1818``).
+
+    The reference caches the query's PM bitvector table; the TPU equivalent
+    keeps the encoded query (device kernels derive PM columns on the fly via
+    compare+pack, which is faster than per-char gathers on TPU) and reuses
+    the compiled one-vs-many program across calls.
+    """
+
+    def __init__(self, s1, weights: WeightTable = _UNIFORM):
+        self._u1 = _codec.encode_one(s1)
+        self._weights = weights
+
+    # scalar parity API
+    def distance(self, s2, **kw):
+        return distance(self._u1, s2, weights=self._weights, **kw)
+
+    def similarity(self, s2, **kw):
+        return similarity(self._u1, s2, weights=self._weights, **kw)
+
+    def normalized_distance(self, s2, **kw):
+        return normalized_distance(self._u1, s2, weights=self._weights, **kw)
+
+    def normalized_similarity(self, s2, **kw):
+        return normalized_similarity(self._u1, s2, weights=self._weights, **kw)
+
+    def distance_with_args(self, s2, args: Args):
+        return distance(self._u1, s2, weights=args.weights_,
+                        score_cutoff=args.cutoff, score_hint=args.hint)
+
+    def similarity_with_args(self, s2, args: Args):
+        return similarity(self._u1, s2, weights=args.weights_,
+                          score_cutoff=args.cutoff, score_hint=args.hint)
+
+    def normalized_distance_with_args(self, s2, args: Args):
+        return normalized_distance(self._u1, s2, weights=args.weights_,
+                                   score_cutoff=args.cutoff,
+                                   score_hint=args.hint)
+
+    def normalized_similarity_with_args(self, s2, args: Args):
+        return normalized_similarity(self._u1, s2, weights=args.weights_,
+                                     score_cutoff=args.cutoff,
+                                     score_hint=args.hint)
+
+    # TPU-native batch API
+    def distances(self, corpus, *, score_cutoff=None) -> _dispatch.BatchResult:
+        c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
+        dist = _raw_distance_batch(c1, l1, c2, l2, self._weights)
+        return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
+
+    def normalized_similarities(self, corpus, *, score_cutoff=None
+                                ) -> _dispatch.BatchResult:
+        c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
+        dist = _raw_distance_batch(c1, l1, c2, l2, self._weights)
+        mx = np.array([maximum(int(l1[0]), int(n), self._weights)
+                       for n in l2], np.int64)
+        nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+        return _dispatch.BatchResult(*_c.mask_similarity(1.0 - nd, score_cutoff))

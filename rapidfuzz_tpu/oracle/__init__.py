@@ -1,0 +1,157 @@
+"""C++ scalar oracle: build-on-first-use ctypes bindings.
+
+The shared library is compiled from ``native/oracle.cpp`` on first import
+and cached next to the package.  It serves two roles:
+
+1. conformance oracle for the device kernels (tests),
+2. host fast path for tiny one-shot API calls, where a device round trip
+   (~100us) would dwarf the compute (the reference's one-shot calls are
+   ~1us; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(os.path.dirname(_HERE))
+_SRC = os.path.join(_ROOT, "native", "oracle.cpp")
+_SO = os.path.join(_HERE, "_librf_oracle.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        out = getattr(e, "stderr", b"") or b""
+        raise RuntimeError(f"oracle build failed: {out.decode()[:2000]}") from e
+    os.replace(_SO + ".tmp", _SO)
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            i64 = ctypes.c_int64
+            p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            dbl = ctypes.c_double
+
+            lib.rf_levenshtein_uniform.restype = i64
+            lib.rf_levenshtein_uniform.argtypes = [p64, i64, p64, i64]
+            lib.rf_levenshtein_weighted.restype = i64
+            lib.rf_levenshtein_weighted.argtypes = [p64, i64, p64, i64, i64, i64, i64]
+            lib.rf_lcs_seq.restype = i64
+            lib.rf_lcs_seq.argtypes = [p64, i64, p64, i64]
+            lib.rf_indel.restype = i64
+            lib.rf_indel.argtypes = [p64, i64, p64, i64]
+            lib.rf_osa.restype = i64
+            lib.rf_osa.argtypes = [p64, i64, p64, i64]
+            lib.rf_damerau.restype = i64
+            lib.rf_damerau.argtypes = [p64, i64, p64, i64]
+            lib.rf_hamming.restype = i64
+            lib.rf_hamming.argtypes = [p64, i64, p64, i64]
+            lib.rf_prefix_sim.restype = i64
+            lib.rf_prefix_sim.argtypes = [p64, i64, p64, i64]
+            lib.rf_postfix_sim.restype = i64
+            lib.rf_postfix_sim.argtypes = [p64, i64, p64, i64]
+            lib.rf_jaro.restype = dbl
+            lib.rf_jaro.argtypes = [p64, i64, p64, i64]
+            lib.rf_jaro_winkler.restype = dbl
+            lib.rf_jaro_winkler.argtypes = [p64, i64, p64, i64, dbl]
+            lib.rf_levenshtein_uniform_1vN.restype = None
+            lib.rf_levenshtein_uniform_1vN.argtypes = [p64, i64, p64, p64, i64, p64]
+            lib.rf_indel_1vN.restype = None
+            lib.rf_indel_1vN.argtypes = [p64, i64, p64, p64, i64, p64]
+            _lib = lib
+    return _lib
+
+
+def _arr(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.int64))
+
+
+def levenshtein_uniform(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_levenshtein_uniform(a, a.size, b, b.size))
+
+
+def levenshtein_weighted(a, b, ins: int, dele: int, sub: int) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_levenshtein_weighted(a, a.size, b, b.size, ins, dele, sub))
+
+
+def lcs_seq(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_lcs_seq(a, a.size, b, b.size))
+
+
+def indel(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_indel(a, a.size, b, b.size))
+
+
+def osa(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_osa(a, a.size, b, b.size))
+
+
+def damerau(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_damerau(a, a.size, b, b.size))
+
+
+def hamming(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_hamming(a, a.size, b, b.size))
+
+
+def prefix_sim(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_prefix_sim(a, a.size, b, b.size))
+
+
+def postfix_sim(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_postfix_sim(a, a.size, b, b.size))
+
+
+def jaro(a, b) -> float:
+    a, b = _arr(a), _arr(b)
+    return float(_load().rf_jaro(a, a.size, b, b.size))
+
+
+def jaro_winkler(a, b, prefix_weight: float = 0.1) -> float:
+    a, b = _arr(a), _arr(b)
+    return float(_load().rf_jaro_winkler(a, a.size, b, b.size, prefix_weight))
+
+
+def levenshtein_uniform_1vN(q, flat, offsets) -> np.ndarray:
+    q, flat, offsets = _arr(q), _arr(flat), _arr(offsets)
+    n = offsets.size - 1
+    out = np.empty(n, np.int64)
+    _load().rf_levenshtein_uniform_1vN(q, q.size, flat, offsets, n, out)
+    return out
+
+
+def indel_1vN(q, flat, offsets) -> np.ndarray:
+    q, flat, offsets = _arr(q), _arr(flat), _arr(offsets)
+    n = offsets.size - 1
+    out = np.empty(n, np.int64)
+    _load().rf_indel_1vN(q, q.size, flat, offsets, n, out)
+    return out

@@ -1,0 +1,133 @@
+"""Host-side string/sequence encoding for the TPU kernels.
+
+The reference library is generic over ``Iterator<Item: HashableChar>``
+(``/root/reference/src/lib.rs:146-148``): inputs may be ``.chars()``,
+``.bytes()``, integer slices, or user types, and only *equality* of elements
+matters for every metric.  The TPU-native equivalent canonicalises every
+input into a padded ``int32`` array:
+
+* ``str``      -> unicode codepoints (max 0x10FFFF < 2**31, exact)
+* ``bytes``    -> byte values 0..255
+* int sequence -> values used directly when they fit ``int32``; otherwise the
+  batch is remapped through a dense shared vocabulary (equality-preserving,
+  mirroring the role of the reference's overflow hashmaps in
+  ``src/details/pattern_match_vector.rs:104-154``).
+
+Padding uses ``PAD = -1`` which never equals a real element, so padded
+positions can never produce a character match (SURVEY.md hard part #5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from typing import Iterable, Sequence
+
+PAD = np.int32(-1)
+
+#: Length buckets used to bound the number of compiled kernel variants.
+#: Multiples of 32 (the lane word size); doubles after 512.
+_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 1024, 2048, 4096, 8192,
+            16384, 32768, 65536, 131072)
+
+
+def bucket_len(n: int) -> int:
+    """Smallest bucket >= n (>= 32 so W >= 1)."""
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    # beyond the table: round up to a multiple of 32768
+    return int(-(-n // 32768) * 32768)
+
+
+def encode_one(s) -> np.ndarray:
+    """Encode a single string/bytes/sequence to an int-valued numpy array.
+
+    Returns int64 so that arbitrary integer inputs survive; callers narrow to
+    int32 (possibly via vocab remap) when building device batches.
+    """
+    if isinstance(s, str):
+        if not s:
+            return np.empty(0, np.int64)
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if isinstance(s, (bytes, bytearray)):
+        return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.int64)
+    if isinstance(s, np.ndarray):
+        if s.dtype == np.uint64:
+            # uint64 values above int64 range: go through object ints exactly
+            if s.size and s.max() > np.iinfo(np.int64).max:
+                raise OverflowError(
+                    "uint64 elements above int64 range need vocab encoding; "
+                    "pass via encode_batch")
+            return s.astype(np.int64)
+        return s.astype(np.int64)
+    seq = list(s)
+    return np.array(seq, dtype=np.int64) if seq else np.empty(0, np.int64)
+
+
+def _needs_remap(arrs: Sequence[np.ndarray]) -> bool:
+    hi = np.iinfo(np.int32).max
+    for a in arrs:
+        # negative values collide with PAD; remap them too
+        if a.size and (a.min() < 0 or a.max() > hi):
+            return True
+    return False
+
+
+def remap_to_vocab(arrs: Sequence[np.ndarray]) -> list[np.ndarray]:
+    """Dense equality-preserving remap of a group of int64 arrays to int32 ids."""
+    if not arrs:
+        return []
+    flat = np.concatenate([a for a in arrs]) if any(a.size for a in arrs) else np.empty(0, np.int64)
+    vocab = np.unique(flat)
+    out = []
+    for a in arrs:
+        ids = np.searchsorted(vocab, a).astype(np.int32) if a.size else np.empty(0, np.int32)
+        out.append(ids)
+    return out
+
+
+def pad_batch(arrs: Sequence[np.ndarray], bucket: int | None = None
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a group of int arrays into ``(chars[B, L], lens[B])`` int32.
+
+    Elements outside int32 (or negative) are remapped through a shared
+    vocabulary first, preserving equality within the batch.
+    """
+    arrs = [np.asarray(a, np.int64) for a in arrs]
+    if _needs_remap(arrs):
+        arrs32 = remap_to_vocab(arrs)
+    else:
+        arrs32 = [a.astype(np.int32) for a in arrs]
+    lens = np.array([a.size for a in arrs32], np.int32)
+    maxlen = int(lens.max()) if len(lens) else 0
+    L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
+    if maxlen > L:
+        raise ValueError(f"bucket {L} too small for max length {maxlen}")
+    out = np.full((len(arrs32), L), PAD, np.int32)
+    for i, a in enumerate(arrs32):
+        out[i, : a.size] = a
+    return out, lens
+
+
+def encode_batch(seqs: Iterable, bucket: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Encode+pad a batch of strings/sequences -> (chars[B, L], lens[B])."""
+    arrs = [encode_one(s) for s in seqs]
+    return pad_batch(arrs, bucket)
+
+
+def encode_pair_batch(seqs1: Iterable, seqs2: Iterable,
+                      bucket1: int | None = None, bucket2: int | None = None):
+    """Encode two aligned groups with a *shared* vocabulary when remapping.
+
+    Cross-group equality must be preserved (queries vs candidates), so the
+    vocab is built over the union.
+    """
+    a1 = [encode_one(s) for s in seqs1]
+    a2 = [encode_one(s) for s in seqs2]
+    if _needs_remap(a1 + a2):
+        remapped = remap_to_vocab(a1 + a2)
+        a1, a2 = remapped[: len(a1)], remapped[len(a1):]
+    c1, l1 = pad_batch(a1, bucket1)
+    c2, l2 = pad_batch(a2, bucket2)
+    return c1, l1, c2, l2
