@@ -1,0 +1,135 @@
+"""Hamming distance (``/root/reference/src/distance/hamming.rs``).
+
+``maximum = max(len1, len2)``; without ``pad=True`` unequal lengths raise
+``DifferentLengthArgsError`` (the Python rendering of
+``Error::DifferentLengthArgs``, ``hamming.rs:121-136``); with padding the
+overhang counts one mismatch per element (``hamming.rs:138-161``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import common as _c
+from .. import oracle as _oracle
+from ..ops import dispatch as _dispatch
+from ..ops import simple as _ops
+from ..utils import codec as _codec
+
+
+class DifferentLengthArgsError(ValueError):
+    """Raised when lengths differ and padding is disabled."""
+
+    def __init__(self):
+        super().__init__("Differing length arguments provided")
+
+
+class Args(_c.ArgsBase):
+    __slots__ = ("pad_",)
+
+    def __init__(self):
+        super().__init__()
+        self.pad_ = False
+
+    def pad(self, value: bool):
+        new = self._copy()
+        new.pad_ = value
+        return new
+
+
+def maximum(len1, len2):
+    return np.maximum(len1, len2) if isinstance(len1, np.ndarray) \
+        else max(len1, len2)
+
+
+def _scalar(s1, s2, pad):
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    if not pad and u1.size != u2.size:
+        raise DifferentLengthArgsError()
+    return _oracle.hamming(u1, u2), maximum(u1.size, u2.size)
+
+
+def distance(s1, s2, *, pad=False, score_cutoff=None, score_hint=None):
+    dist, _ = _scalar(s1, s2, pad)
+    return _c.apply_distance_cutoff(dist, score_cutoff)
+
+
+def similarity(s1, s2, *, pad=False, score_cutoff=None, score_hint=None):
+    dist, mx = _scalar(s1, s2, pad)
+    return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
+
+
+def normalized_distance(s1, s2, *, pad=False, score_cutoff=None,
+                        score_hint=None):
+    dist, mx = _scalar(s1, s2, pad)
+    return _c.apply_distance_cutoff(_c.norm_dist_from_dist(dist, mx),
+                                    score_cutoff)
+
+
+def normalized_similarity(s1, s2, *, pad=False, score_cutoff=None,
+                          score_hint=None):
+    dist, mx = _scalar(s1, s2, pad)
+    return _c.apply_similarity_cutoff(1.0 - _c.norm_dist_from_dist(dist, mx),
+                                      score_cutoff)
+
+
+def distance_with_args(s1, s2, args: Args):
+    return distance(s1, s2, pad=args.pad_, score_cutoff=args.cutoff)
+
+
+def similarity_with_args(s1, s2, args: Args):
+    return similarity(s1, s2, pad=args.pad_, score_cutoff=args.cutoff)
+
+
+def normalized_distance_with_args(s1, s2, args: Args):
+    return normalized_distance(s1, s2, pad=args.pad_, score_cutoff=args.cutoff)
+
+
+def normalized_similarity_with_args(s1, s2, args: Args):
+    return normalized_similarity(s1, s2, pad=args.pad_,
+                                 score_cutoff=args.cutoff)
+
+
+def distance_many(s1s, s2s, *, pad=False, score_cutoff=None
+                  ) -> _dispatch.BatchResult:
+    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
+    if not pad:
+        B = max(len(l1), len(l2))
+        if np.any(np.broadcast_to(l1, (B,)) != np.broadcast_to(l2, (B,))):
+            raise DifferentLengthArgsError()
+    dist = _dispatch.run_pairs(_ops.hamming_distance, c1, l1, c2, l2)
+    return _dispatch.BatchResult(*_c.mask_distance(dist.astype(np.int64),
+                                                   score_cutoff))
+
+
+class BatchComparator:
+    def __init__(self, s1):
+        self._u1 = _codec.encode_one(s1)
+
+    def distance(self, s2, **kw):
+        return distance(self._u1, s2, **kw)
+
+    def similarity(self, s2, **kw):
+        return similarity(self._u1, s2, **kw)
+
+    def normalized_distance(self, s2, **kw):
+        return normalized_distance(self._u1, s2, **kw)
+
+    def normalized_similarity(self, s2, **kw):
+        return normalized_similarity(self._u1, s2, **kw)
+
+    def distance_with_args(self, s2, args: Args):
+        return distance_with_args(self._u1, s2, args)
+
+    def similarity_with_args(self, s2, args: Args):
+        return similarity_with_args(self._u1, s2, args)
+
+    def normalized_distance_with_args(self, s2, args: Args):
+        return normalized_distance_with_args(self._u1, s2, args)
+
+    def normalized_similarity_with_args(self, s2, args: Args):
+        return normalized_similarity_with_args(self._u1, s2, args)
+
+    def distances(self, corpus, *, pad=False, score_cutoff=None):
+        return distance_many([self._u1], corpus, pad=pad,
+                             score_cutoff=score_cutoff)

@@ -1,0 +1,35 @@
+"""Indel distance (``/root/reference/src/distance/indel.rs``).
+
+Pure reduction over LCS: ``maximum = len1 + len2``;
+``distance = maximum - 2 * lcs_similarity`` (``indel.rs:62-104``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import oracle as _oracle
+from ..ops import dispatch as _dispatch
+from ..ops import lcs as _ops
+from . import _int_metric
+
+
+def _maximum(l1, l2):
+    return l1 + l2
+
+
+def _raw_distance(u1, u2):
+    return _oracle.indel(u1, u2)
+
+
+def _batch_distance(c1, l1, c2, l2):
+    sim = _dispatch.run_pairs(_ops.lcs_similarity, c1, l1, c2, l2)
+    B = max(len(l1), len(l2))
+    tot = (np.broadcast_to(l1, (B,)).astype(np.int64)
+           + np.broadcast_to(l2, (B,)).astype(np.int64))
+    return tot - 2 * sim.astype(np.int64)
+
+
+METRIC = _int_metric.IntMetric("indel", _maximum, _raw_distance,
+                               _batch_distance)
+_int_metric.build_module(METRIC, globals())

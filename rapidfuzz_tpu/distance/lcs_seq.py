@@ -1,0 +1,39 @@
+"""Longest common subsequence (``/root/reference/src/distance/lcs_seq.rs``).
+
+``maximum = max(len1, len2)`` (``lcs_seq.rs:549-551``); the primitive is the
+similarity (LCS length), distance derives as ``maximum - similarity``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import oracle as _oracle
+from ..ops import dispatch as _dispatch
+from ..ops import lcs as _ops
+from . import _int_metric
+
+
+def _maximum(l1, l2):
+    return np.maximum(l1, l2) if isinstance(l1, np.ndarray) else max(l1, l2)
+
+
+def _raw_distance(u1, u2):
+    return max(u1.size, u2.size) - _oracle.lcs_seq(u1, u2)
+
+
+def _batch_distance(c1, l1, c2, l2):
+    sim = _dispatch.run_pairs(_ops.lcs_similarity, c1, l1, c2, l2)
+    B = max(len(l1), len(l2))
+    mx = np.maximum(np.broadcast_to(l1, (B,)), np.broadcast_to(l2, (B,)))
+    return mx.astype(np.int64) - sim.astype(np.int64)
+
+
+METRIC = _int_metric.IntMetric("lcs_seq", _maximum, _raw_distance,
+                               _batch_distance)
+_int_metric.build_module(METRIC, globals())
+
+
+def similarity_batch_raw(c1, l1, c2, l2):
+    """Raw LCS lengths for pre-encoded batches (used by indel/fuzz)."""
+    return _dispatch.run_pairs(_ops.lcs_similarity, c1, l1, c2, l2)

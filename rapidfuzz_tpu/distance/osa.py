@@ -1,0 +1,31 @@
+"""Optimal string alignment distance
+(``/root/reference/src/distance/osa.rs``): Levenshtein + adjacent
+transpositions, each substring edited at most once.
+``maximum = max(len1, len2)`` (``osa.rs:232-234``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import oracle as _oracle
+from ..ops import dispatch as _dispatch
+from ..ops import osa as _ops
+from . import _int_metric
+
+
+def _maximum(l1, l2):
+    return np.maximum(l1, l2) if isinstance(l1, np.ndarray) else max(l1, l2)
+
+
+def _raw_distance(u1, u2):
+    return _oracle.osa(u1, u2)
+
+
+def _batch_distance(c1, l1, c2, l2):
+    return _dispatch.run_pairs(_ops.osa_distance, c1, l1, c2, l2)
+
+
+METRIC = _int_metric.IntMetric("osa", _maximum, _raw_distance,
+                               _batch_distance)
+_int_metric.build_module(METRIC, globals())

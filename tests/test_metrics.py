@@ -1,0 +1,286 @@
+"""Conformance tests for the full metric family.
+
+Golden cases ported from the reference unit tests (SURVEY.md §4), plus
+randomized device-vs-oracle sweeps per metric, run on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from rapidfuzz_tpu import fuzz, oracle
+from rapidfuzz_tpu.distance import (damerau_levenshtein, hamming, indel,
+                                    jaro, jaro_winkler, lcs_seq, osa,
+                                    postfix, prefix)
+from data_jaro_golden import NAMES, SCORES
+
+
+def enc(s):
+    if not s:
+        return np.empty(0, np.int64)
+    return np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+
+
+def rand_pairs(rng, n=120, lens=(0, 1, 2, 3, 5, 8, 16, 31, 32, 33, 63, 64,
+                                 65, 100, 127, 128, 129), ks=(2, 4, 26)):
+    out = []
+    for _ in range(n):
+        l1, l2 = rng.choice(lens), rng.choice(lens)
+        k = int(rng.choice(ks))
+        out.append(("".join(chr(97 + c) for c in rng.integers(0, k, l1)),
+                    "".join(chr(97 + c) for c in rng.integers(0, k, l2))))
+    return out
+
+
+def check_batch_vs_oracle(module, oracle_fn, pairs, to_dist=None):
+    got = module.distance_many([p[0] for p in pairs],
+                               [p[1] for p in pairs]).values
+    for (s1, s2), g in zip(pairs, got):
+        raw = oracle_fn(enc(s1), enc(s2))
+        exp = to_dist(raw, len(s1), len(s2)) if to_dist else raw
+        assert g == exp, (module.METRIC.name, s1, s2, g, exp)
+        # symmetry through the scalar path
+        assert module.distance(s1, s2) == exp
+        assert module.distance(s2, s1) == exp
+
+
+# ----------------------------------------------------------------- indel
+
+def test_indel_golden():
+    assert indel.distance("aaaa", "aaaa") == 0
+    assert indel.similarity("aaaa", "aaaa") == 8
+    assert indel.distance("aaaa", "bbbb") == 8
+    assert indel.similarity("aaaa", "bbbb") == 0
+    assert indel.distance("South Korea", "North Korea") == 4
+    assert indel.distance("South Korea", "North Korea", score_cutoff=3) is None
+    assert indel.distance("aabc", "cccd") == 6
+    assert indel.distance("lewenstein", "levenshtein") == 3
+    assert indel.distance("lewenstein", "levenshtein", score_cutoff=2) is None
+    assert indel.normalized_similarity("001", "220") == pytest.approx(1 / 3, abs=1e-4)
+    assert indel.distance("Иванко", "Петрунко") == 8
+    assert indel.distance("ab", "ac") == 2
+
+
+def test_indel_banded_golden():
+    s1 = "ddccbccc"
+    s2 = ("a" * 153 + "cca" + "cccacca" + "a" * 8 + "d" + "a" * 8)
+    # use the literal long fixture from indel.rs:282-289
+    s2 = ("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaacca"
+          "cccaccaaaaaaaadaaaaaaaaccccaccccccaaaaaaaccccaaacccaccccadddaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaccccccccacccaaaaaacccaaaaaacc"
+          "cacccaaaaaacccdccccccaccccccccccccccccccccccccccccccccccccccccccccccccccccccc"
+          "ccccccddddddaaaaaaaaaaaaaaaaaaaaaaaaaacacccaaaaaacccddddaaaaaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaccccaaaaaaaaaaccccccaadddaaaaaaaaaaaaaaaaaaaaaacaaaaaa")
+    assert indel.distance(s1, s2) == 508
+    r = indel.distance_many([s1], [s2]).values
+    assert r[0] == 508
+
+
+def test_indel_random(rng):
+    check_batch_vs_oracle(indel, oracle.indel, rand_pairs(rng))
+
+
+# --------------------------------------------------------------- lcs_seq
+
+def test_lcs_golden():
+    assert lcs_seq.distance("a", "a") == 0
+    assert lcs_seq.distance("aaaa", "aaaa") == 0
+    assert lcs_seq.similarity("aaaa", "aaaa") == 4
+    assert lcs_seq.distance("aaaa", "bbbb") == 4
+    assert lcs_seq.distance("lewenstein", "levenshtein") == 2
+    assert lcs_seq.similarity("lewenstein", "levenshtein") == 9
+
+
+def test_lcs_random(rng):
+    check_batch_vs_oracle(
+        lcs_seq, oracle.lcs_seq, rand_pairs(rng),
+        to_dist=lambda sim, l1, l2: max(l1, l2) - sim)
+
+
+# ------------------------------------------------------------------- osa
+
+def test_osa_golden():
+    assert osa.distance("", "") == 0
+    assert osa.distance("aaaa", "") == 4
+    assert osa.distance("aaaa", "", score_cutoff=1) is None
+    assert osa.distance("CA", "ABC") == 3
+    assert osa.distance("CA", "AC") == 1
+    filler = "a" * 64
+    s1 = "a" + filler + "CA" + filler + "a"
+    s2 = "b" + filler + "AC" + filler + "b"
+    assert osa.distance(s1, s2) == 3
+    r = osa.distance_many([s1, "CA"], [s2, "AC"]).values
+    assert list(r) == [3, 1]
+    assert osa.distance("Иванко", "Петрунко") == 5
+
+
+def test_osa_random(rng):
+    check_batch_vs_oracle(osa, oracle.osa, rand_pairs(rng))
+
+
+# --------------------------------------------------------------- damerau
+
+def test_damerau_golden():
+    assert damerau_levenshtein.distance("", "") == 0
+    assert damerau_levenshtein.distance("aaaa", "aaaa") == 0
+    assert damerau_levenshtein.distance("aaaa", "aaa") == 1
+    assert damerau_levenshtein.distance("abaa", "baaa") == 1
+    assert damerau_levenshtein.distance("aaaa", "bbbb") == 4
+    assert damerau_levenshtein.distance("CA", "ABC") == 2  # true damerau < osa!
+    assert damerau_levenshtein.distance("Иванко", "Петрунко") == 5
+    assert damerau_levenshtein.distance("ИвaнкoIvan", "Петрунко") == 10
+
+
+def test_damerau_random(rng):
+    check_batch_vs_oracle(damerau_levenshtein, oracle.damerau,
+                          rand_pairs(rng, n=80, lens=(0, 1, 2, 3, 5, 8, 16,
+                                                      31, 32, 33, 63, 64)))
+
+
+# --------------------------------------------------------------- hamming
+
+def test_hamming_golden():
+    assert hamming.distance("", "") == 0
+    assert hamming.distance("hamming", "hamming") == 0
+    assert hamming.distance("hamming", "humming") == 1
+    assert hamming.distance([1, 2, 4], [1, 2, 3]) == 1
+    assert hamming.distance("hamming", "hammers") == 3
+    assert hamming.distance("hammers", "hamming", pad=True) == 3
+    assert hamming.distance("hammers", "hamming", pad=True, score_cutoff=3) == 3
+    assert hamming.distance("hammers", "hamming", pad=True, score_cutoff=2) is None
+    assert hamming.distance("hamming", "h香mmüng") == 2
+    with pytest.raises(hamming.DifferentLengthArgsError):
+        hamming.distance("ham", "hamming")
+    assert hamming.distance("ham", "hamming", pad=True) == 4
+    assert hamming.distance("ham", "hamming", pad=True, score_cutoff=3) is None
+    assert hamming.distance("Friedrich Nietzs", "Jean-Paul Sartre") == 14
+    r = hamming.distance_many(["asdf"], ["asxf"]).values
+    assert r[0] == 1
+
+
+def test_hamming_random(rng):
+    pairs = rand_pairs(rng)
+    got = hamming.distance_many([p[0] for p in pairs],
+                                [p[1] for p in pairs], pad=True).values
+    for (s1, s2), g in zip(pairs, got):
+        assert g == oracle.hamming(enc(s1), enc(s2))
+
+
+# ------------------------------------------------------- prefix / postfix
+
+def test_prefix_postfix():
+    assert prefix.similarity("abcd", "abce") == 3
+    assert prefix.distance("abcd", "abce") == 1
+    assert postfix.similarity("abcd", "xbcd") == 3
+    assert postfix.distance("abcd", "xbcd") == 1
+    pairs = [("abc", "abc"), ("", ""), ("a", "b"), ("xyz", "xyab"),
+             ("aab", "aab"), ("qqa", "ppa")]
+    rp = prefix.distance_many([p[0] for p in pairs], [p[1] for p in pairs]).values
+    rs = postfix.distance_many([p[0] for p in pairs], [p[1] for p in pairs]).values
+    for (s1, s2), gp, gs in zip(pairs, rp, rs):
+        assert gp == max(len(s1), len(s2)) - oracle.prefix_sim(enc(s1), enc(s2))
+        assert gs == max(len(s1), len(s2)) - oracle.postfix_sim(enc(s1), enc(s2))
+
+
+# ------------------------------------------------------------------ jaro
+
+def test_jaro_golden_matrix():
+    n = len(NAMES)
+    qs, cs, exp = [], [], []
+    for i, a in enumerate(NAMES):
+        for j, b in enumerate(NAMES):
+            qs.append(a)
+            cs.append(b)
+            exp.append(SCORES[i * n + j])
+    got = jaro.similarity_many(qs, cs).values
+    for a, b, e, g in zip(qs, cs, exp, got):
+        assert g == pytest.approx(e, abs=1e-4), (a, b, e, g)
+        # scalar oracle must agree too
+        assert jaro.similarity(a, b) == pytest.approx(e, abs=1e-4)
+        assert jaro.similarity(b, a) == pytest.approx(g, abs=1e-9)
+
+
+def test_jaro_cutoff_semantics():
+    assert jaro.similarity("james", "robert") == pytest.approx(0.455556, abs=1e-4)
+    assert jaro.similarity("james", "robert", score_cutoff=0.5) is None
+    assert jaro.distance("james", "robert") == pytest.approx(1 - 0.455556, abs=1e-4)
+    assert jaro.distance("Иванко", "Петрунко") == pytest.approx(0.375, abs=1e-4)
+
+
+def test_jaro_device_vs_oracle_random(rng):
+    pairs = rand_pairs(rng, n=150, lens=(0, 1, 2, 3, 4, 5, 8, 16, 31, 32,
+                                         33, 63, 64, 65, 100))
+    got = jaro.similarity_many([p[0] for p in pairs],
+                               [p[1] for p in pairs]).values
+    for (s1, s2), g in zip(pairs, got):
+        exp = oracle.jaro(enc(s1), enc(s2))
+        assert g == exp, (s1, s2, g, exp)  # bit-exact f64
+
+
+# ---------------------------------------------------------- jaro_winkler
+
+def test_jaro_winkler_golden():
+    # derived from the jaro golden matrix + winkler boost semantics
+    n = len(NAMES)
+    qs, cs, exp = [], [], []
+    for i, a in enumerate(NAMES):
+        for j, b in enumerate(NAMES):
+            s = SCORES[i * n + j]
+            p = 0
+            for x, y in list(zip(a, b))[:4]:
+                if x != y:
+                    break
+                p += 1
+            e = s + p * 0.1 * (1.0 - s) if s > 0.7 else s
+            qs.append(a)
+            cs.append(b)
+            exp.append(e)
+    got = jaro_winkler.similarity_many(qs, cs).values
+    for a, b, e, g in zip(qs, cs, exp, got):
+        assert g == pytest.approx(e, abs=1e-4), (a, b, e, g)
+        assert jaro_winkler.similarity(a, b) == pytest.approx(e, abs=1e-4)
+
+
+def test_jaro_winkler_device_vs_oracle(rng):
+    pairs = rand_pairs(rng, n=100, lens=(0, 1, 2, 3, 4, 5, 8, 16, 33, 64))
+    got = jaro_winkler.similarity_many([p[0] for p in pairs],
+                                       [p[1] for p in pairs]).values
+    for (s1, s2), g in zip(pairs, got):
+        assert g == oracle.jaro_winkler(enc(s1), enc(s2), 0.1), (s1, s2)
+    # custom prefix weight
+    assert jaro_winkler.similarity("charles", "charlie", prefix_weight=0.2) \
+        == oracle.jaro_winkler(enc("charles"), enc("charlie"), 0.2)
+
+
+# ------------------------------------------------------------------ fuzz
+
+def test_fuzz_ratio():
+    assert fuzz.ratio("this is a test", "this is a test!") \
+        == pytest.approx(0.9655, abs=1e-4)
+    bc = fuzz.RatioBatchComparator("this is a test")
+    assert bc.similarity("this is a test!") == pytest.approx(0.9655, abs=1e-4)
+    r = bc.similarities(["this is a test!", "this is a test", "x"]).values
+    assert r[0] == pytest.approx(0.9655, abs=1e-4)
+    assert r[1] == pytest.approx(1.0)
+    # cutoff boundary behaviour (fuzz.rs issues 206/210)
+    s = fuzz.ratio("south korea", "north korea")
+    assert s == pytest.approx(9 / 11)
+    assert fuzz.ratio("south korea", "north korea",
+                      score_cutoff=s + 1e-9) is None
+    assert fuzz.ratio("south korea", "north korea",
+                      score_cutoff=s - 1e-9) == pytest.approx(s)
+
+
+# ---------------------------------------------------- batch comparators
+
+def test_batch_comparators_match_scalar():
+    corpus = ["abcd", "abce", "", "xbcd", "dcba", "abcdabcd"]
+    for mod in (indel, lcs_seq, osa, damerau_levenshtein, prefix, postfix):
+        bc = mod.BatchComparator("abcd")
+        got = bc.distances(corpus).values
+        for s, g in zip(corpus, got):
+            assert g == mod.distance("abcd", s), (mod, s)
+    bj = jaro.BatchComparator("abcd")
+    got = bj.similarities(corpus).values
+    for s, g in zip(corpus, got):
+        assert g == jaro.similarity("abcd", s)
