@@ -174,12 +174,42 @@ def _raw_distance_batch(c1, l1, c2, l2, weights: WeightTable) -> np.ndarray:
     return d.astype(np.int64)
 
 
+def _batch_raw(s1s, s2s, weights: WeightTable):
+    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
+    dist = _raw_distance_batch(c1, l1, c2, l2, weights)
+    B = max(len(l1), len(l2))
+    l1b = np.broadcast_to(l1, (B,)).astype(np.int64)
+    l2b = np.broadcast_to(l2, (B,)).astype(np.int64)
+    mx = np.array([maximum(int(x), int(y), weights)
+                   for x, y in zip(l1b, l2b)], np.int64)
+    return dist, mx
+
+
 def distance_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
                   score_cutoff: Optional[int] = None) -> _dispatch.BatchResult:
     """Elementwise distances for two aligned batches (device path)."""
-    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
-    dist = _raw_distance_batch(c1, l1, c2, l2, weights)
+    dist, _ = _batch_raw(s1s, s2s, weights)
     return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
+
+
+def similarity_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
+                    score_cutoff=None) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, weights)
+    return _dispatch.BatchResult(*_c.mask_similarity(mx - dist, score_cutoff))
+
+
+def normalized_distance_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
+                             score_cutoff=None) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, weights)
+    nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+    return _dispatch.BatchResult(*_c.mask_distance(nd, score_cutoff))
+
+
+def normalized_similarity_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
+                               score_cutoff=None) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, weights)
+    ns = 1.0 - np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+    return _dispatch.BatchResult(*_c.mask_similarity(ns, score_cutoff))
 
 
 # ---------------------------------------------------------- BatchComparator

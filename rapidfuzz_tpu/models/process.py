@@ -1,0 +1,98 @@
+"""process-style drivers: extract / extract_one / cdist.
+
+All scorers are the metric modules themselves (``scorer=levenshtein`` or a
+string name); scores follow the scorer's ``normalized_similarity`` unless
+``score_kind`` selects another of the four kinds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from .. import common as _c
+from ..distance import (damerau_levenshtein, hamming, indel, jaro,
+                        jaro_winkler, lcs_seq, levenshtein, osa, postfix,
+                        prefix)
+from ..ops import dispatch as _dispatch
+from ..utils import codec as _codec
+
+_SCORERS = {
+    "levenshtein": levenshtein,
+    "indel": indel,
+    "lcs_seq": lcs_seq,
+    "osa": osa,
+    "damerau_levenshtein": damerau_levenshtein,
+    "hamming": hamming,
+    "jaro": jaro,
+    "jaro_winkler": jaro_winkler,
+    "prefix": prefix,
+    "postfix": postfix,
+}
+
+
+def _resolve(scorer):
+    if isinstance(scorer, str):
+        return _SCORERS[scorer]
+    return scorer
+
+
+def _pairwise_scores(scorer, queries: Sequence, choices: Sequence,
+                     score_kind: str) -> np.ndarray:
+    """Score matrix [len(queries), len(choices)] via broadcastable batches."""
+    mod = _resolve(scorer)
+    nq, nc = len(queries), len(choices)
+    out = np.empty((nq, nc), np.float64)
+    many = {
+        "normalized_similarity": getattr(mod, "normalized_similarity_many",
+                                         None),
+        "normalized_distance": getattr(mod, "normalized_distance_many", None),
+        "similarity": getattr(mod, "similarity_many", None),
+        "distance": getattr(mod, "distance_many", None),
+    }[score_kind]
+    if many is None:
+        raise ValueError(f"{mod} does not support {score_kind}")
+    for qi, q in enumerate(queries):
+        out[qi] = many([q], choices).values
+    return out
+
+
+def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
+          score_kind: str = "normalized_similarity",
+          score_cutoff: Optional[float] = None):
+    """Many-vs-many score matrix (+ validity mask under a cutoff)."""
+    scores = _pairwise_scores(scorer, list(queries), list(choices),
+                              score_kind)
+    if score_cutoff is None:
+        valid = np.ones_like(scores, bool)
+    elif score_kind.endswith("distance"):
+        valid = scores <= score_cutoff
+    else:
+        valid = scores >= score_cutoff
+    return _dispatch.BatchResult(scores, valid)
+
+
+def extract(query, choices: Sequence, *, scorer="levenshtein",
+            score_kind: str = "normalized_similarity", limit: int = 5,
+            score_cutoff: Optional[float] = None):
+    """Best ``limit`` choices as (choice, score, index), best first."""
+    choices = list(choices)
+    scores = _pairwise_scores(scorer, [query], choices, score_kind)[0]
+    descending = not score_kind.endswith("distance")
+    order = np.argsort(-scores if descending else scores, kind="stable")
+    out = []
+    for idx in order[:limit] if limit else order:
+        s = scores[idx]
+        if score_cutoff is not None:
+            if descending and s < score_cutoff:
+                continue
+            if not descending and s > score_cutoff:
+                continue
+        out.append((choices[idx], float(s), int(idx)))
+    return out
+
+
+def extract_one(query, choices: Sequence, **kw):
+    res = extract(query, choices, limit=1, **kw)
+    return res[0] if res else None

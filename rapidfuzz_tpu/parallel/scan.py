@@ -1,0 +1,122 @@
+"""Sharded one-vs-many / many-vs-many corpus scans.
+
+TPU-native equivalent of running a ``BatchComparator`` over a large corpus
+(``/root/reference/src/distance/levenshtein.rs:1625-1657`` amortizes the
+query PM table; here the corpus is sharded over the ``data`` mesh axis, the
+query is replicated, and the compiled scan + optional top-k merge is reused
+across calls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import levenshtein as _lev_ops
+from ..ops import lcs as _lcs_ops
+from ..ops import osa as _osa_ops
+from ..ops import damerau as _dam_ops
+from ..utils import codec as _codec
+from .topk import topk_merge
+
+_KERNELS: dict[str, Callable] = {
+    "levenshtein": _lev_ops.uniform_distance,
+    "indel": None,   # derived from lcs below
+    "lcs_seq": _lcs_ops.lcs_similarity,
+    "osa": _osa_ops.osa_distance,
+    "damerau_levenshtein": _dam_ops.damerau_distance,
+}
+
+
+def _distance_fn(metric: str):
+    if metric == "indel":
+        def f(a, la, b, lb):
+            sim = _lcs_ops.lcs_similarity(a, la, b, lb)
+            B = sim.shape[0]
+            tot = (jnp.broadcast_to(la, (B,)) + jnp.broadcast_to(lb, (B,)))
+            return tot.astype(jnp.int32) - 2 * sim
+        return f
+    if metric == "lcs_seq":
+        def f(a, la, b, lb):
+            sim = _lcs_ops.lcs_similarity(a, la, b, lb)
+            B = sim.shape[0]
+            mx = jnp.maximum(jnp.broadcast_to(la, (B,)),
+                             jnp.broadcast_to(lb, (B,)))
+            return mx.astype(jnp.int32) - sim
+        return f
+    fn = _KERNELS[metric]
+    if fn is None:
+        raise ValueError(metric)
+    return fn
+
+
+def sharded_distances(metric: str, mesh: Mesh, query, corpus_chars,
+                      corpus_lens):
+    """Distances of one query against a sharded corpus -> global array."""
+    fn = _distance_fn(metric)
+    shard = NamedSharding(mesh, P("data", None))
+    shard1 = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    c = jax.device_put(corpus_chars, shard)
+    lc = jax.device_put(corpus_lens, shard1)
+    q = jax.device_put(query[0], repl)
+    lq = jax.device_put(query[1], repl)
+
+    jfn = jax.jit(fn, out_shardings=shard1)
+    return jfn(q, lq, c, lc)
+
+
+class CorpusScanner:
+    """Precompiled one-vs-many scan over a device-resident sharded corpus.
+
+    The corpus is encoded once (padded int32 + lengths), placed sharded over
+    the mesh's ``data`` axis, and every query scan reuses the compiled
+    program — the BatchComparator pattern scaled out.
+    """
+
+    def __init__(self, corpus, metric: str = "levenshtein",
+                 mesh: Mesh | None = None, bucket: int | None = None):
+        if mesh is None:
+            devs = jax.devices()
+            mesh = Mesh(devs, ("data",))
+        self.mesh = mesh
+        self.metric = metric
+        chars, lens = _codec.encode_batch(corpus, bucket)
+        n = len(lens)
+        ndev = len(mesh.devices.flat)
+        padded = -(-n // ndev) * ndev
+        if padded != n:
+            chars = np.concatenate(
+                [chars, np.full((padded - n, chars.shape[1]), _codec.PAD,
+                                np.int32)])
+            # padded rows: length 0 — masked out of top-k by +inf distance
+            lens = np.concatenate([lens, np.zeros(padded - n, np.int32)])
+        self.n = n
+        shard = NamedSharding(mesh, P("data", None))
+        shard1 = NamedSharding(mesh, P("data"))
+        self.chars = jax.device_put(chars, shard)
+        self.lens = jax.device_put(lens, shard1)
+        self._fn = jax.jit(_distance_fn(metric), out_shardings=shard1)
+
+    def distances(self, query) -> np.ndarray:
+        q = _codec.encode_one(query)
+        qc, ql = _codec.pad_batch([q])
+        out = self._fn(qc, ql, self.chars, self.lens)
+        return np.asarray(out)[: self.n]
+
+    def topk(self, query, k: int):
+        """(distances[k], corpus_indices[k]) of the k nearest strings."""
+        q = _codec.encode_one(query)
+        qc, ql = _codec.pad_batch([q])
+        dist = self._fn(qc, ql, self.chars, self.lens)
+        # mask the alignment-padding rows
+        idx = jnp.arange(dist.shape[0], dtype=jnp.int32)
+        masked = jnp.where(idx < self.n, dist.astype(jnp.float32), jnp.inf)
+        vals, ids = topk_merge(masked, idx, k, self.mesh, largest=False)
+        return np.asarray(vals).astype(np.int64), np.asarray(ids)

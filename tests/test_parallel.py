@@ -1,0 +1,78 @@
+"""Sharded scan / top-k / process-layer tests on the virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rapidfuzz_tpu.parallel import CorpusScanner, data_mesh, topk_merge
+from rapidfuzz_tpu.distance import levenshtein as lev
+from rapidfuzz_tpu.models import cdist, extract, extract_one
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh(8, platform="cpu")
+
+
+def test_mesh(mesh):
+    assert mesh.shape == {"data": 8}
+
+
+def test_topk_merge(mesh):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scores = np.arange(64, dtype=np.float32)
+    np.random.default_rng(0).shuffle(scores)
+    idx = np.arange(64, dtype=np.int32)
+    s = jax.device_put(scores, NamedSharding(mesh, P("data")))
+    i = jax.device_put(idx, NamedSharding(mesh, P("data")))
+    vals, ids = topk_merge(s, i, 5, mesh, largest=True)
+    np.testing.assert_array_equal(np.asarray(vals), [63, 62, 61, 60, 59])
+    assert all(scores[j] == v for j, v in zip(np.asarray(ids),
+                                              np.asarray(vals)))
+
+
+def test_corpus_scanner(mesh):
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape",
+              "pineapple", "app", "", "apple"] * 3
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh, bucket=32)
+    d = sc.distances("apple")
+    for s, g in zip(corpus, d):
+        assert g == lev.distance("apple", s)
+    vals, ids = sc.topk("apple", k=4)
+    assert vals[0] == 0 and corpus[ids[0]] == "apple"
+    assert sorted(vals) == list(vals)
+
+
+def test_corpus_scanner_metrics(mesh):
+    corpus = ["abcd", "abdc", "xxxx", "ab"]
+    for metric, expected in [
+        ("levenshtein", [0, 2, 4, 2]),
+        ("osa", [0, 1, 4, 2]),
+        ("damerau_levenshtein", [0, 1, 4, 2]),
+        ("indel", [0, 2, 8, 2]),
+    ]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=mesh, bucket=32)
+        np.testing.assert_array_equal(sc.distances("abcd"), expected)
+
+
+def test_extract():
+    choices = ["kitten", "sitting", "mitten", "bitten", "xyz"]
+    res = extract("kitten", choices, limit=3)
+    assert res[0][0] == "kitten" and res[0][1] == pytest.approx(1.0)
+    assert res[1][0] in ("mitten", "bitten")
+    one = extract_one("kitten", choices)
+    assert one[0] == "kitten"
+    none = extract_one("kitten", ["xyz"], score_cutoff=0.9)
+    assert none is None
+
+
+def test_cdist():
+    qs = ["abc", "xyz"]
+    cs = ["abc", "abd", "zzz"]
+    r = cdist(qs, cs, scorer="levenshtein", score_kind="distance")
+    np.testing.assert_array_equal(r.values, [[0, 1, 3], [3, 3, 2]])
+    r2 = cdist(qs, cs, scorer="jaro")
+    assert r2.values[0, 0] == 1.0
