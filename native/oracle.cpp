@@ -73,6 +73,59 @@ int64_t rf_levenshtein_uniform(const int64_t* a, int64_t n1_,
     return row[n1];
 }
 
+// Banded Levenshtein DP: exact distance if it is <= band, else > band.
+// Ukkonen band |i-j| <= band around the diagonal.
+static int64_t lev_banded(const int64_t* a, size_t n1, const int64_t* b,
+                          size_t n2, int64_t band) {
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }
+    if ((int64_t)(n2 - n1) > band) return band + 1;
+    int64_t INF = band + 1;
+    // row over j in [i-band, i+band]
+    size_t width = (size_t)(2 * band + 1);
+    vector<int64_t> prev(width + 2, INF), cur(width + 2, INF);
+    // prev[k] = D[i][j] where j = i - band + (k-1)
+    for (size_t k = 1; k <= width; k++) {
+        int64_t j = (int64_t)0 - band + (int64_t)(k - 1);
+        if (j >= 0 && j <= (int64_t)n2) prev[k] = j;
+    }
+    for (size_t i = 1; i <= n1; i++) {
+        for (size_t k = 0; k < width + 2; k++) cur[k] = INF;
+        int64_t jlo = (int64_t)i - band, jhi = (int64_t)i + band;
+        for (int64_t j = std::max<int64_t>(jlo, 0);
+             j <= std::min<int64_t>(jhi, (int64_t)n2); j++) {
+            size_t k = (size_t)(j - jlo + 1);
+            if (j == 0) { cur[k] = (int64_t)i; continue; }
+            int64_t cost = (a[i - 1] == b[j - 1]) ? 0 : 1;
+            // D[i-1][j-1] -> prev[k]; D[i-1][j] -> prev[k+1]; D[i][j-1] -> cur[k-1]
+            int64_t v = prev[k] + cost;
+            if (prev[k + 1] < INF) v = min(v, prev[k + 1] + 1);
+            if (cur[k - 1] < INF) v = min(v, cur[k - 1] + 1);
+            cur[k] = min(v, INF);
+        }
+        std::swap(prev, cur);
+    }
+    int64_t j = (int64_t)n2, jlo = (int64_t)n1 - band;
+    if (j < jlo || j > (int64_t)n1 + band) return INF;
+    return prev[(size_t)(j - jlo + 1)];
+}
+
+// Exact uniform Levenshtein with band doubling (fast for long strings).
+int64_t rf_levenshtein_uniform_banded(const int64_t* a, int64_t n1_,
+                                      const int64_t* b, int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    int64_t band = max<int64_t>(64, (int64_t)(n1 > n2 ? n1 - n2 : n2 - n1));
+    int64_t lim = (int64_t)max(n1, n2);
+    while (true) {
+        int64_t d = lev_banded(a, n1, b, n2, band);
+        if (d <= band || band >= lim) return d;
+        band *= 2;
+        if (band > lim) band = lim;
+    }
+}
+
 // Weighted Levenshtein: delete a-element = del, insert b-element = ins,
 // substitute = sub (generalized_wagner_fischer, levenshtein.rs:212-259).
 int64_t rf_levenshtein_weighted(const int64_t* a, int64_t n1_,

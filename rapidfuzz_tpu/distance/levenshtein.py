@@ -87,6 +87,11 @@ def _raw_distance(u1: np.ndarray, u2: np.ndarray, weights: WeightTable) -> int:
         if ins == 0:
             return 0
         if ins == sub:
+            # band-doubling path for long inputs (the reference reaches the
+            # same asymptotics via its Ukkonen-banded block kernel +
+            # score-hint ladder, levenshtein.rs:1176-1220)
+            if u1.size * u2.size > 1_000_000:
+                return ins * _oracle.levenshtein_uniform_banded(u1, u2)
             return ins * _oracle.levenshtein_uniform(u1, u2)
         if sub >= ins + dele:
             return ins * (_oracle.indel(u1, u2) if ins != 0 else 0)

@@ -1,0 +1,104 @@
+"""Pallas TPU kernel: one-vs-many LCS length (Hyyrö bit-parallel).
+
+Same tiling/table design as :mod:`lev_kernel` (1024 candidates per grid
+cell, dynamic-gather PM tables); the recurrence is the reference's
+``lcs_unroll`` inner loop (``/root/reference/src/distance/lcs_seq.rs:
+225-235``): per word ``u = s & pm; s = (s + u + carry) | (s - u)`` with the
+add carry chained across u32 words (``carrying_add``,
+``intrinsics.rs:25-29``).  Result = popcount of zero bits; high bits above
+the pattern length stay 1 so no mask is needed.
+
+Serves indel (``dist = la + lb - 2*lcs``) and fuzz.ratio scans.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lev_kernel import LANE, SUB, build_pm_tables
+
+
+def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
+            ntab: int):
+    lb = lb_ref[:, :]
+    ones = jnp.full((SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+
+    def body(j, state):
+        s = list(state)
+        c = cand_ref[j]
+        active = j < lb
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        carry = jnp.zeros((SUB, LANE), jnp.uint32)
+        new_s = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pmw = jnp.where(chi, t1, t0)
+            else:
+                pmw = t0
+            sw = s[w]
+            u = sw & pmw
+            x1 = sw + u
+            c1 = (x1 < sw).astype(jnp.uint32)
+            x2 = x1 + carry
+            c2 = (x2 < x1).astype(jnp.uint32)
+            carry = c1 | c2
+            new_s.append(jnp.where(active, x2 | (sw - u), sw))
+        return tuple(new_s)
+
+    state = (ones,) * W
+    state = lax.fori_loop(0, LB, body, state)
+    sim = jnp.zeros((SUB, LANE), jnp.int32)
+    for w in range(W):
+        sim = sim + lax.population_count(~state[w]).astype(jnp.int32)
+    out_ref[:, :] = sim
+
+
+@functools.partial(jax.jit, static_argnames=("LB", "W", "ntab", "interpret"))
+def _run(tabs, cand3, lb2, *, LB, W, ntab, interpret=False):
+    nblocks = cand3.shape[1] // SUB
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((W * ntab, SUB, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, SUB, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        interpret=interpret,
+    )(tabs, cand3, lb2)
+
+
+def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
+                interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many LCS lengths -> [B/128, 128] i32."""
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        return jnp.zeros(lb2.shape, jnp.int32)
+    LB = int(cand3.shape[0])
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    tabs = build_pm_tables(q, mode)
+    return _run(jnp.asarray(tabs), cand3, lb2, LB=LB, W=W, ntab=ntab,
+                interpret=interpret)

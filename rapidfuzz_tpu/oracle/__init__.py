@@ -54,6 +54,8 @@ def _load():
 
             lib.rf_levenshtein_uniform.restype = i64
             lib.rf_levenshtein_uniform.argtypes = [p64, i64, p64, i64]
+            lib.rf_levenshtein_uniform_banded.restype = i64
+            lib.rf_levenshtein_uniform_banded.argtypes = [p64, i64, p64, i64]
             lib.rf_levenshtein_weighted.restype = i64
             lib.rf_levenshtein_weighted.argtypes = [p64, i64, p64, i64, i64, i64, i64]
             lib.rf_lcs_seq.restype = i64
@@ -89,6 +91,12 @@ def _arr(a) -> np.ndarray:
 def levenshtein_uniform(a, b) -> int:
     a, b = _arr(a), _arr(b)
     return int(_load().rf_levenshtein_uniform(a, a.size, b, b.size))
+
+
+def levenshtein_uniform_banded(a, b) -> int:
+    """Exact uniform Levenshtein via Ukkonen band doubling (long strings)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_levenshtein_uniform_banded(a, a.size, b, b.size))
 
 
 def levenshtein_weighted(a, b, ins: int, dele: int, sub: int) -> int:
