@@ -4,14 +4,16 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the BASELINE.json target of 1e9 pairs/s/chip
 (the reference publishes no absolute numbers — SURVEY.md §6).
 
-Runs on whatever jax.devices()[0] is (the axon TPU in the driver's
-environment). Also reports the one-vs-many scan bandwidth in bytes/s as a
-secondary field.
+One-vs-many scan with the Pallas Myers/Hyyrö kernel: 64-char query against
+a device-resident 1M-candidate corpus (the BatchComparator pattern,
+``levenshtein.rs:1625-1657``, scaled to the chip).  Also reports the indel
+scan rate and corpus bytes/s as secondary fields.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,46 +21,52 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from rapidfuzz_tpu.ops.levenshtein import uniform_distance
-    from rapidfuzz_tpu.utils import codec
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.ops.pallas import lcs_kernel as ck
+    from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
+    from rapidfuzz_tpu.ops.pallas import tpu_backend
+
+    interpret = not tpu_backend()
 
     rng = np.random.default_rng(42)
     LEN = 64
-    B = int(__import__("os").environ.get("BENCH_B", 16384))
+    B = int(os.environ.get("BENCH_B", 1048576 if not interpret else 4096))
 
     query = rng.integers(97, 123, LEN, dtype=np.int32)
     corpus = rng.integers(97, 123, (B, LEN), dtype=np.int32)
-    qc, ql = codec.pad_batch([query], bucket=LEN)
-    cc = corpus
-    cl = np.full(B, LEN, np.int32)
+    lens = np.full(B, LEN, np.int32)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(corpus), jnp.asarray(lens),
+                                   LB=LEN)
+    jax.block_until_ready(cand3)
+    mode = lk.pick_mode(query, int(corpus.max()))
 
-    dev = jax.devices()[0]
-    qc, ql, cc, cl = (jax.device_put(x, dev) for x in (qc, ql, cc, cl))
-
-    fn = jax.jit(uniform_distance)
-    out = fn(qc, ql, cc, cl)
-    out.block_until_ready()  # compile + warm
-
-    # correctness spot check against the host oracle
-    from rapidfuzz_tpu import oracle
-    got = np.asarray(out)
-    for i in range(4):
+    out = lk.lev_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
+    jax.block_until_ready(out)
+    flat = np.asarray(out).reshape(-1)
+    for i in range(0, B, max(B // 5, 1)):
         exp = oracle.levenshtein_uniform(query.astype(np.int64),
                                          corpus[i].astype(np.int64))
-        assert got[i] == exp, (i, got[i], exp)
+        assert flat[i] == exp, (i, flat[i], exp)
 
-    # steady-state timing
-    iters = 5
-    fn(qc, ql, cc, cl).block_until_ready()
+    iters = 20 if not interpret else 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(qc, ql, cc, cl)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        out = lk.lev_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_s = B / dt
 
-    pairs_per_s = B * iters / dt
-    bytes_per_s = pairs_per_s * LEN
+    # secondary: indel/LCS scan rate (fuzz.ratio path)
+    outc = ck.lcs_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
+    jax.block_until_ready(outc)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outc = ck.lcs_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
+    jax.block_until_ready(outc)
+    dtc = (time.perf_counter() - t0) / iters
+
     target = 1e9
     print(json.dumps({
         "metric": "levenshtein_pairs_per_sec_per_chip_len64",
@@ -66,10 +74,11 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": pairs_per_s / target,
         "extra": {
-            "bytes_per_s_one_vs_many": bytes_per_s,
+            "indel_pairs_per_s": B / dtc,
+            "bytes_per_s_one_vs_many": pairs_per_s * LEN,
             "batch": B,
             "iters": iters,
-            "seconds": dt,
+            "ms_per_scan": dt * 1e3,
             "device": str(jax.devices()[0]),
         },
     }))

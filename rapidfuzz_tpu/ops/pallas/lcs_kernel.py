@@ -1,14 +1,17 @@
 """Pallas TPU kernel: one-vs-many LCS length (Hyyrö bit-parallel).
 
-Same tiling/table design as :mod:`lev_kernel` (1024 candidates per grid
-cell, dynamic-gather PM tables); the recurrence is the reference's
-``lcs_unroll`` inner loop (``/root/reference/src/distance/lcs_seq.rs:
-225-235``): per word ``u = s & pm; s = (s + u + carry) | (s - u)`` with the
-add carry chained across u32 words (``carrying_add``,
-``intrinsics.rs:25-29``).  Result = popcount of zero bits; high bits above
-the pattern length stay 1 so no mask is needed.
+Same tiling/table design as :mod:`lev_kernel` (4096 candidates per grid
+cell, dynamic-gather PM tables, 16x unrolled text loop); the recurrence is
+the reference's ``lcs_unroll`` inner loop
+(``/root/reference/src/distance/lcs_seq.rs:225-235``): per word
+``u = s & pm; s = (s + u + carry) | (s - u)`` with the add carry chained
+across u32 words (``carrying_add``, ``intrinsics.rs:25-29``).  Result =
+popcount of zero bits; bits above the pattern length stay 1 so no mask is
+needed, which also makes the kernel independent of the query length
+(compilations keyed on (W, LB, ntab) only).
 
-Serves indel (``dist = la + lb - 2*lcs``) and fuzz.ratio scans.
+Serves lcs_seq, indel (``dist = la + lb - 2*lcs``) and fuzz.ratio scans —
+roughly half the per-step op count of the Levenshtein kernel.
 """
 
 from __future__ import annotations
@@ -22,16 +25,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lev_kernel import LANE, SUB, build_pm_tables
+from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll
 
 
 def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
-            ntab: int):
+            ntab: int, unroll: int, sub: int):
     lb = lb_ref[:, :]
-    ones = jnp.full((SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+    ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
 
-    def body(j, state):
-        s = list(state)
+    def one_char(j, s):
         c = cand_ref[j]
         active = j < lb
         if ntab == 2:
@@ -40,7 +42,7 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
         else:
             clo = c
             chi = None
-        carry = jnp.zeros((SUB, LANE), jnp.uint32)
+        carry = jnp.zeros((sub, LANE), jnp.uint32)
         new_s = []
         for w in range(W):
             t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
@@ -56,33 +58,43 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
             x2 = x1 + carry
             c2 = (x2 < x1).astype(jnp.uint32)
             carry = c1 | c2
+            # must mask: the s-state IS the result accumulator
             new_s.append(jnp.where(active, x2 | (sw - u), sw))
-        return tuple(new_s)
+        return new_s
 
-    state = (ones,) * W
-    state = lax.fori_loop(0, LB, body, state)
-    sim = jnp.zeros((SUB, LANE), jnp.int32)
+    def body(jj, state):
+        s = list(state)
+        for u in range(unroll):
+            s = one_char(jj * unroll + u, s)
+        return tuple(s)
+
+    state = lax.fori_loop(0, LB // unroll, body, (ones,) * W)
+    sim = jnp.zeros((sub, LANE), jnp.int32)
     for w in range(W):
         sim = sim + lax.population_count(~state[w]).astype(jnp.int32)
     out_ref[:, :] = sim
 
 
-@functools.partial(jax.jit, static_argnames=("LB", "W", "ntab", "interpret"))
-def _run(tabs, cand3, lb2, *, LB, W, ntab, interpret=False):
-    nblocks = cand3.shape[1] // SUB
-    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab)
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+         interpret=False):
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
+                             sub=sub)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((W * ntab, SUB, LANE), lambda i: (0, 0, 0),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, SUB, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
         interpret=interpret,
@@ -101,4 +113,4 @@ def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     ntab = 2 if mode == "byte" else 1
     tabs = build_pm_tables(q, mode)
     return _run(jnp.asarray(tabs), cand3, lb2, LB=LB, W=W, ntab=ntab,
-                interpret=interpret)
+                unroll=pick_unroll(LB), interpret=interpret)

@@ -72,16 +72,23 @@ def sharded_distances(metric: str, mesh: Mesh, query, corpus_chars,
     return jfn(q, lq, c, lc)
 
 
+_PALLAS_METRICS = ("levenshtein", "indel", "lcs_seq", "osa")
+
+
 class CorpusScanner:
     """Precompiled one-vs-many scan over a device-resident sharded corpus.
 
     The corpus is encoded once (padded int32 + lengths), placed sharded over
     the mesh's ``data`` axis, and every query scan reuses the compiled
-    program — the BatchComparator pattern scaled out.
+    program — the BatchComparator pattern scaled out.  On TPU, Levenshtein /
+    indel / lcs_seq scans over byte-alphabet corpora run the Pallas kernels
+    (``ops/pallas``); other metrics and CPU meshes use the XLA kernels.
     """
 
     def __init__(self, corpus, metric: str = "levenshtein",
                  mesh: Mesh | None = None, bucket: int | None = None):
+        from ..ops.pallas import tpu_backend
+
         if mesh is None:
             devs = jax.devices()
             mesh = Mesh(devs, ("data",))
@@ -90,7 +97,13 @@ class CorpusScanner:
         chars, lens = _codec.encode_batch(corpus, bucket)
         n = len(lens)
         ndev = len(mesh.devices.flat)
-        padded = -(-n // ndev) * ndev
+
+        self._cmax = int(chars.max()) if chars.size else 0
+        self._pallas = (tpu_backend() and ndev == 1
+                        and metric in _PALLAS_METRICS
+                        and self._cmax < 256)
+        align = 4096 if self._pallas else ndev
+        padded = -(-max(n, 1) // align) * align
         if padded != n:
             chars = np.concatenate(
                 [chars, np.full((padded - n, chars.shape[1]), _codec.PAD,
@@ -100,21 +113,48 @@ class CorpusScanner:
         self.n = n
         shard = NamedSharding(mesh, P("data", None))
         shard1 = NamedSharding(mesh, P("data"))
-        self.chars = jax.device_put(chars, shard)
-        self.lens = jax.device_put(lens, shard1)
-        self._fn = jax.jit(_distance_fn(metric), out_shardings=shard1)
+        if self._pallas:
+            from ..ops.pallas import lev_kernel as _lk
+            self._LB = chars.shape[1]
+            cand3, lb2 = _lk.prepare_corpus(
+                jnp.asarray(chars), jnp.asarray(lens), LB=self._LB)
+            self.cand3 = jax.block_until_ready(cand3)
+            self.lb2 = lb2
+            self.lens = jax.device_put(lens, shard1)
+        else:
+            self.chars = jax.device_put(chars, shard)
+            self.lens = jax.device_put(lens, shard1)
+            self._fn = jax.jit(_distance_fn(metric), out_shardings=shard1)
+
+    def _distances_dev(self, query):
+        q = _codec.encode_one(query)
+        if self._pallas:
+            from ..ops.pallas import lev_kernel as _lk
+            from ..ops.pallas import lcs_kernel as _ck
+            mode = _lk.pick_mode(q, self._cmax)
+            if self.metric == "levenshtein":
+                out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode)
+                return out.reshape(-1)
+            if self.metric == "osa":
+                from ..ops.pallas import osa_kernel as _ok
+                out = _ok.osa_1v_many(q, self.cand3, self.lb2, mode=mode)
+                return out.reshape(-1)
+            sim = _ck.lcs_1v_many(q, self.cand3, self.lb2,
+                                  mode=mode).reshape(-1)
+            la = q.size
+            lb = self.lens.astype(jnp.int32)
+            if self.metric == "indel":
+                return la + lb - 2 * sim
+            return jnp.maximum(la, lb) - sim            # lcs_seq
+        qc, ql = _codec.pad_batch([q])
+        return self._fn(qc, ql, self.chars, self.lens)
 
     def distances(self, query) -> np.ndarray:
-        q = _codec.encode_one(query)
-        qc, ql = _codec.pad_batch([q])
-        out = self._fn(qc, ql, self.chars, self.lens)
-        return np.asarray(out)[: self.n]
+        return np.asarray(self._distances_dev(query))[: self.n]
 
     def topk(self, query, k: int):
         """(distances[k], corpus_indices[k]) of the k nearest strings."""
-        q = _codec.encode_one(query)
-        qc, ql = _codec.pad_batch([q])
-        dist = self._fn(qc, ql, self.chars, self.lens)
+        dist = self._distances_dev(query)
         # mask the alignment-padding rows
         idx = jnp.arange(dist.shape[0], dtype=jnp.int32)
         masked = jnp.where(idx < self.n, dist.astype(jnp.float32), jnp.inf)

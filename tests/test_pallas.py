@@ -1,0 +1,90 @@
+"""Interpret-mode conformance of the Pallas one-vs-many kernels.
+
+The TPU kernels (``rapidfuzz_tpu/ops/pallas``) are exercised on CPU via
+``interpret=True`` against the C++ oracle — same metamorphic idea as the
+reference's route-targeted unit tests (``levenshtein.rs:2069-2137``): pick
+shapes that force each word-count / table-mode configuration.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rapidfuzz_tpu import oracle
+from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
+from rapidfuzz_tpu.ops.pallas import lcs_kernel as ck
+from rapidfuzz_tpu.ops.pallas import osa_kernel as ok
+
+B = 4096  # one grid cell (SUB * LANE)
+
+
+def _mk(rng, n, lo, hi, LB):
+    """Random corpus with ragged lengths in [0, LB]."""
+    lens = rng.integers(0, LB + 1, n).astype(np.int32)
+    lens[0] = 0
+    lens[1] = LB
+    chars = rng.integers(lo, hi, (n, LB)).astype(np.int32)
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1  # PAD
+    return chars, lens
+
+
+def _run_case(qlen, LB, lo, hi, seed=0):
+    rng = np.random.default_rng(seed)
+    query = rng.integers(lo, hi, qlen).astype(np.int32)
+    chars, lens = _mk(rng, B, lo, hi, LB)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    mode = lk.pick_mode(query, int(chars.max()) if chars.size else 0)
+
+    lev = np.asarray(lk.lev_1v_many(query, cand3, lb2, mode=mode,
+                                    interpret=True)).reshape(-1)
+    lcs = np.asarray(ck.lcs_1v_many(query, cand3, lb2, mode=mode,
+                                    interpret=True)).reshape(-1)
+    osa = np.asarray(ok.osa_1v_many(query, cand3, lb2, mode=mode,
+                                    interpret=True)).reshape(-1)
+
+    q64 = query.astype(np.int64)
+    idxs = list(range(0, B, 397)) + [0, 1, B - 1]
+    for i in idxs:
+        cand = chars[i, : lens[i]].astype(np.int64)
+        assert lev[i] == oracle.levenshtein_uniform(q64, cand), i
+        exp_lcs = (qlen + int(lens[i]) - oracle.indel(q64, cand)) // 2
+        assert lcs[i] == exp_lcs, i
+        assert osa[i] == oracle.osa(q64, cand), i
+
+
+def test_w2_byte_mode():
+    """len-64 query (W=2) over bytes >= 128 -> two-table gather path."""
+    _run_case(qlen=64, LB=64, lo=90, hi=256)
+
+
+def test_w2_local_mode():
+    """ASCII corpus -> single-table fast path."""
+    _run_case(qlen=64, LB=64, lo=97, hi=123)
+
+
+def test_w1_short_query():
+    """query <= 32 chars -> single u32 word."""
+    _run_case(qlen=7, LB=64, lo=97, hi=123, seed=1)
+
+
+def test_w3_long_query():
+    """query > 64 chars -> three-word carry chain."""
+    _run_case(qlen=80, LB=96, lo=97, hi=123, seed=2)
+
+
+def test_query_longer_than_candidates():
+    _run_case(qlen=64, LB=32, lo=97, hi=123, seed=3)
+
+
+def test_empty_query():
+    rng = np.random.default_rng(4)
+    chars, lens = _mk(rng, B, 97, 123, 32)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=32)
+    out = np.asarray(lk.lev_1v_many(np.empty(0, np.int32), cand3, lb2,
+                                    mode="local",
+                                    interpret=True)).reshape(-1)
+    np.testing.assert_array_equal(out[: len(lens)], lens)
