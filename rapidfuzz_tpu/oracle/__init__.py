@@ -31,7 +31,10 @@ _lib = None
 def _build() -> str:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = ["g++", "-O2", "-march=native", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC]
+    # -ffp-contract=off: no FMA contraction, so f64 scores match numpy's
+    # strict IEEE evaluation bit-for-bit (ULP conformance target)
+    cmd = ["g++", "-O2", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-o", _SO + ".tmp", _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:

@@ -21,6 +21,8 @@ from ..ops import levenshtein as _lev_ops
 from ..ops import lcs as _lcs_ops
 from ..ops import osa as _osa_ops
 from ..ops import damerau as _dam_ops
+from ..ops import jaro as _jaro_ops
+from ..ops import simple as _simple_ops
 from ..utils import codec as _codec
 from .topk import topk_merge
 
@@ -49,6 +51,19 @@ def _distance_fn(metric: str):
                              jnp.broadcast_to(lb, (B,)))
             return mx.astype(jnp.int32) - sim
         return f
+    if metric in ("prefix", "postfix"):
+        sim_fn = (_simple_ops.prefix_similarity if metric == "prefix"
+                  else _simple_ops.postfix_similarity)
+
+        def f(a, la, b, lb):
+            sim = sim_fn(a, la, b, lb)
+            B = sim.shape[0]
+            mx = jnp.maximum(jnp.broadcast_to(la, (B,)),
+                             jnp.broadcast_to(lb, (B,)))
+            return mx.astype(jnp.int32) - sim
+        return f
+    if metric == "hamming":
+        return _simple_ops.hamming_distance   # padding semantics
     fn = _KERNELS[metric]
     if fn is None:
         raise ValueError(metric)
@@ -73,6 +88,7 @@ def sharded_distances(metric: str, mesh: Mesh, query, corpus_chars,
 
 
 _PALLAS_METRICS = ("levenshtein", "indel", "lcs_seq", "osa")
+_F64_METRICS = ("jaro", "jaro_winkler")
 
 
 class CorpusScanner:
@@ -86,7 +102,8 @@ class CorpusScanner:
     """
 
     def __init__(self, corpus, metric: str = "levenshtein",
-                 mesh: Mesh | None = None, bucket: int | None = None):
+                 mesh: Mesh | None = None, bucket: int | None = None,
+                 prefix_weight: float = 0.1):
         from ..ops.pallas import tpu_backend
 
         if mesh is None:
@@ -94,7 +111,18 @@ class CorpusScanner:
             mesh = Mesh(devs, ("data",))
         self.mesh = mesh
         self.metric = metric
-        chars, lens = _codec.encode_batch(corpus, bucket)
+        self.prefix_weight = prefix_weight
+        arrs = [_codec.encode_one(s) for s in corpus]
+        # corpora whose elements exceed int32 are remapped through a dense
+        # vocabulary; queries must then go through the *same* vocabulary
+        # (pattern_match_vector.rs:104-154 overflow-hashmap equivalent)
+        self._vocab = None
+        if _codec._needs_remap(arrs):
+            flat = (np.concatenate(arrs) if arrs else np.empty(0, np.int64))
+            self._vocab = np.unique(flat)
+            arrs = [np.searchsorted(self._vocab, a).astype(np.int32)
+                    for a in arrs]
+        chars, lens = _codec.pad_batch(arrs, bucket)
         n = len(lens)
         ndev = len(mesh.devices.flat)
 
@@ -121,13 +149,31 @@ class CorpusScanner:
             self.cand3 = jax.block_until_ready(cand3)
             self.lb2 = lb2
             self.lens = jax.device_put(lens, shard1)
+        elif metric in _F64_METRICS:
+            self.chars = jax.device_put(chars, shard)
+            self.lens = jax.device_put(lens, shard1)
+            self._lens_host = lens
+            self._chars4 = chars[:, :4].copy()   # winkler prefix, host side
+            self._fn = jax.jit(_jaro_ops.jaro_components,
+                               out_shardings=(shard1, shard1))
         else:
             self.chars = jax.device_put(chars, shard)
             self.lens = jax.device_put(lens, shard1)
             self._fn = jax.jit(_distance_fn(metric), out_shardings=shard1)
 
-    def _distances_dev(self, query):
+    def _encode_query(self, query):
         q = _codec.encode_one(query)
+        if self._vocab is not None:
+            idx = np.searchsorted(self._vocab, q).clip(0,
+                                                       len(self._vocab) - 1)
+            # chars absent from the corpus vocab map to an id no corpus
+            # element uses, so they can never match
+            miss = self._vocab[idx] != q
+            q = np.where(miss, np.int64(len(self._vocab)), idx)
+        return q
+
+    def _distances_dev(self, query):
+        q = self._encode_query(query)
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck
@@ -147,6 +193,24 @@ class CorpusScanner:
                 return la + lb - 2 * sim
             return jnp.maximum(la, lb) - sim            # lcs_seq
         qc, ql = _codec.pad_batch([q])
+        if self.metric in _F64_METRICS:
+            from ..distance import jaro as _jaro_mod
+            common, trans = self._fn(qc, ql, self.chars, self.lens)
+            common, trans = np.asarray(common), np.asarray(trans)
+            lens = self._lens_host
+            l1 = np.full_like(lens, q.size)
+            sim = _jaro_mod.sim_from_components(common, trans, l1, lens)
+            if self.metric == "jaro_winkler":
+                P = min(4, q.size)
+                if P:
+                    pe = (self._chars4[:, :P] == q[:P]) & \
+                         (np.arange(P) < np.minimum(q.size, lens)[:, None])
+                    prefix = np.cumprod(pe.astype(np.int64), -1).sum(-1)
+                else:
+                    prefix = np.zeros(lens.shape, np.int64)
+                boosted = sim + prefix * self.prefix_weight * (1.0 - sim)
+                sim = np.where(sim > 0.7, boosted, sim)
+            return 1.0 - sim     # distance; host f64, exact
         return self._fn(qc, ql, self.chars, self.lens)
 
     def distances(self, query) -> np.ndarray:
@@ -155,6 +219,13 @@ class CorpusScanner:
     def topk(self, query, k: int):
         """(distances[k], corpus_indices[k]) of the k nearest strings."""
         dist = self._distances_dev(query)
+        if isinstance(dist, np.ndarray):    # host f64 path (jaro family)
+            d = dist[: self.n]
+            k = min(k, d.size)
+            ids = np.argpartition(d, k - 1)[:k] if k < d.size \
+                else np.arange(d.size)
+            ids = ids[np.argsort(d[ids], kind="stable")]
+            return d[ids], ids.astype(np.int32)
         # mask the alignment-padding rows
         idx = jnp.arange(dist.shape[0], dtype=jnp.int32)
         masked = jnp.where(idx < self.n, dist.astype(jnp.float32), jnp.inf)

@@ -53,9 +53,46 @@ def test_corpus_scanner_metrics(mesh):
         ("osa", [0, 1, 4, 2]),
         ("damerau_levenshtein", [0, 1, 4, 2]),
         ("indel", [0, 2, 8, 2]),
+        ("lcs_seq", [0, 1, 4, 2]),
+        ("hamming", [0, 2, 4, 2]),
+        ("prefix", [0, 2, 4, 2]),
+        ("postfix", [0, 4, 4, 4]),
     ]:
         sc = CorpusScanner(corpus, metric=metric, mesh=mesh, bucket=32)
         np.testing.assert_array_equal(sc.distances("abcd"), expected)
+
+
+def test_corpus_scanner_jaro_family(mesh):
+    from rapidfuzz_tpu.distance import jaro, jaro_winkler
+
+    corpus = ["apple", "apples", "maple", "orange", "", "charlie"]
+    for metric, mod, kw in [("jaro", jaro, {}),
+                            ("jaro_winkler", jaro_winkler, {})]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=mesh, bucket=32)
+        d = sc.distances("charles")
+        for s, g in zip(corpus, d):
+            assert g == mod.distance("charles", s), (metric, s)
+        vals, ids = sc.topk("charles", k=2)
+        assert corpus[ids[0]] == "charlie"
+        assert vals[0] == mod.distance("charles", "charlie")
+    # custom prefix weight flows through
+    sc = CorpusScanner(corpus, metric="jaro_winkler", mesh=mesh, bucket=32,
+                       prefix_weight=0.2)
+    d = sc.distances("charles")
+    assert d[5] == jaro_winkler.distance("charles", "charlie",
+                                         prefix_weight=0.2)
+
+
+def test_corpus_scanner_vocab_remap(mesh):
+    """Corpus elements above int32 go through a shared dense vocab; queries
+    must map through the same vocab (SURVEY.md hard part #4)."""
+    big = 1 << 40
+    corpus = [[big, big + 1], [big, big + 1, big + 2], [7, 8]]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh, bucket=32)
+    np.testing.assert_array_equal(sc.distances([big, big + 1]), [0, 1, 2])
+    # query chars absent from the corpus can never match
+    np.testing.assert_array_equal(sc.distances([big + 99, big + 1]),
+                                  [1, 2, 2])
 
 
 def test_extract():
