@@ -32,7 +32,11 @@ class IntMetric:
     # ------------------------------------------------------------- scalar
     def _scalar(self, s1, s2):
         u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
-        return self.raw_distance(u1, u2), self.maximum(u1.size, u2.size)
+        mx = self.maximum(u1.size, u2.size)
+        if _c.scalar_backend() == "device":
+            c1, l1, c2, l2 = _codec.encode_pair_batch([u1], [u2])
+            return int(np.asarray(self.batch_distance(c1, l1, c2, l2))[0]), mx
+        return self.raw_distance(u1, u2), mx
 
     def distance(self, s1, s2, *, score_cutoff=None, score_hint=None):
         dist, _ = self._scalar(s1, s2)

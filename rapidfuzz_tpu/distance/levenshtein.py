@@ -101,7 +101,11 @@ def _raw_distance(u1: np.ndarray, u2: np.ndarray, weights: WeightTable) -> int:
 def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
     """(raw_distance, maximum) for a scalar pair."""
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
-    dist = _raw_distance(u1, u2, weights)
+    if _c.scalar_backend() == "device":
+        c1, l1, c2, l2 = _codec.encode_pair_batch([u1], [u2])
+        dist = int(_raw_distance_batch(c1, l1, c2, l2, weights)[0])
+    else:
+        dist = _raw_distance(u1, u2, weights)
     return dist, maximum(u1.size, u2.size, weights)
 
 

@@ -128,7 +128,7 @@ class CorpusScanner:
 
         self._cmax = int(chars.max()) if chars.size else 0
         self._pallas = (tpu_backend() and ndev == 1
-                        and metric in _PALLAS_METRICS
+                        and metric in _PALLAS_METRICS + _F64_METRICS
                         and self._cmax < 256)
         align = 4096 if self._pallas else ndev
         padded = -(-max(n, 1) // align) * align
@@ -149,6 +149,9 @@ class CorpusScanner:
             self.cand3 = jax.block_until_ready(cand3)
             self.lb2 = lb2
             self.lens = jax.device_put(lens, shard1)
+            if metric in _F64_METRICS:
+                self._lens_host = lens
+                self._chars4 = chars[:, :4].copy()
         elif metric in _F64_METRICS:
             self.chars = jax.device_put(chars, shard)
             self.lens = jax.device_put(lens, shard1)
@@ -172,6 +175,26 @@ class CorpusScanner:
             q = np.where(miss, np.int64(len(self._vocab)), idx)
         return q
 
+    def _jaro_finish(self, common, trans, q):
+        """(common, trans) int components -> f64 distances, host-exact."""
+        from ..distance import jaro as _jaro_mod
+
+        common, trans = np.asarray(common), np.asarray(trans)
+        lens = self._lens_host
+        l1 = np.full_like(lens, q.size)
+        sim = _jaro_mod.sim_from_components(common, trans, l1, lens)
+        if self.metric == "jaro_winkler":
+            P = min(4, q.size)
+            if P:
+                pe = (self._chars4[:, :P] == q[:P]) & \
+                     (np.arange(P) < np.minimum(q.size, lens)[:, None])
+                prefix = np.cumprod(pe.astype(np.int64), -1).sum(-1)
+            else:
+                prefix = np.zeros(lens.shape, np.int64)
+            boosted = sim + prefix * self.prefix_weight * (1.0 - sim)
+            sim = np.where(sim > 0.7, boosted, sim)
+        return 1.0 - sim     # distance; host f64, exact
+
     def _distances_dev(self, query):
         q = self._encode_query(query)
         if self._pallas:
@@ -185,6 +208,13 @@ class CorpusScanner:
                 from ..ops.pallas import osa_kernel as _ok
                 out = _ok.osa_1v_many(q, self.cand3, self.lb2, mode=mode)
                 return out.reshape(-1)
+            if self.metric in _F64_METRICS:
+                from ..ops.pallas import jaro_kernel as _jk
+                common, trans = _jk.jaro_1v_many(q.astype(np.int32),
+                                                 self.cand3, self.lb2,
+                                                 mode=mode)
+                return self._jaro_finish(common.reshape(-1),
+                                         trans.reshape(-1), q)
             sim = _ck.lcs_1v_many(q, self.cand3, self.lb2,
                                   mode=mode).reshape(-1)
             la = q.size
@@ -194,23 +224,8 @@ class CorpusScanner:
             return jnp.maximum(la, lb) - sim            # lcs_seq
         qc, ql = _codec.pad_batch([q])
         if self.metric in _F64_METRICS:
-            from ..distance import jaro as _jaro_mod
             common, trans = self._fn(qc, ql, self.chars, self.lens)
-            common, trans = np.asarray(common), np.asarray(trans)
-            lens = self._lens_host
-            l1 = np.full_like(lens, q.size)
-            sim = _jaro_mod.sim_from_components(common, trans, l1, lens)
-            if self.metric == "jaro_winkler":
-                P = min(4, q.size)
-                if P:
-                    pe = (self._chars4[:, :P] == q[:P]) & \
-                         (np.arange(P) < np.minimum(q.size, lens)[:, None])
-                    prefix = np.cumprod(pe.astype(np.int64), -1).sum(-1)
-                else:
-                    prefix = np.zeros(lens.shape, np.int64)
-                boosted = sim + prefix * self.prefix_weight * (1.0 - sim)
-                sim = np.where(sim > 0.7, boosted, sim)
-            return 1.0 - sim     # distance; host f64, exact
+            return self._jaro_finish(common, trans, q)
         return self._fn(qc, ql, self.chars, self.lens)
 
     def distances(self, query) -> np.ndarray:

@@ -271,6 +271,34 @@ def test_fuzz_ratio():
                       score_cutoff=s - 1e-9) == pytest.approx(s)
 
 
+# ------------------------------------------------- device scalar backend
+
+def test_device_scalar_backend(monkeypatch):
+    """RAPIDFUZZ_TPU_SCALAR_BACKEND=device routes one-shot scalars through
+    the device batch kernels; results must match the oracle path."""
+    from rapidfuzz_tpu.distance import levenshtein
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+
+    cases = [("kitten", "sitting"), ("", "abc"), ("abcd", "abcd"),
+             ("Иванко", "Петрунко")]
+    expected = {}
+    for mod in (indel, osa, damerau_levenshtein, lcs_seq):
+        for a, b in cases:
+            expected[(mod.__name__, a, b)] = mod.distance(a, b)
+    lev_exp = [levenshtein.distance(a, b) for a, b in cases]
+    w_exp = levenshtein.distance("kitten", "sitting",
+                                 weights=WeightTable(1, 1, 2))
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_SCALAR_BACKEND", "device")
+    for mod in (indel, osa, damerau_levenshtein, lcs_seq):
+        for a, b in cases:
+            assert mod.distance(a, b) == expected[(mod.__name__, a, b)]
+    for (a, b), e in zip(cases, lev_exp):
+        assert levenshtein.distance(a, b) == e
+    assert levenshtein.distance("kitten", "sitting",
+                                weights=WeightTable(1, 1, 2)) == w_exp
+
+
 # ---------------------------------------------------- batch comparators
 
 def test_batch_comparators_match_scalar():

@@ -79,6 +79,35 @@ def test_query_longer_than_candidates():
     _run_case(qlen=64, LB=32, lo=97, hi=123, seed=3)
 
 
+def test_jaro_components():
+    """Jaro Pallas kernel vs the scalar oracle, all routes (W=1/2,
+    local/byte tables, asymmetric lengths).  Small tiles (sub=8, B=1024)
+    keep interpret mode fast."""
+    from rapidfuzz_tpu.ops.pallas import jaro_kernel as jk
+    from rapidfuzz_tpu.distance.jaro import sim_from_components
+
+    Bs = 1024
+    for qlen, LB, lo, hi, seed in [(32, 32, 97, 123, 0),
+                                   (40, 32, 90, 256, 1),
+                                   (20, 64, 97, 123, 2),
+                                   (1, 32, 97, 99, 3)]:
+        rng = np.random.default_rng(seed)
+        q = rng.integers(lo, hi, qlen).astype(np.int32)
+        chars, lens = _mk(rng, Bs, lo, hi, LB)
+        cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars),
+                                       jnp.asarray(lens), LB=LB)
+        mode = lk.pick_mode(q, int(chars.max()))
+        common, trans = jk.jaro_1v_many(q, cand3, lb2, mode=mode, sub=8,
+                                        interpret=True)
+        common = np.asarray(common).reshape(-1)[:Bs]
+        trans = np.asarray(trans).reshape(-1)[:Bs]
+        sim = sim_from_components(common, trans, np.full(Bs, qlen), lens)
+        for i in list(range(0, Bs, 13)) + [0, 1, Bs - 1]:
+            exp = oracle.jaro(q.astype(np.int64),
+                              chars[i, : lens[i]].astype(np.int64))
+            assert sim[i] == exp, (qlen, i, lens[i], sim[i], exp)
+
+
 def test_empty_query():
     rng = np.random.default_rng(4)
     chars, lens = _mk(rng, B, 97, 123, 32)
