@@ -58,12 +58,55 @@ def _pairwise_scores(scorer, queries: Sequence, choices: Sequence,
     return out
 
 
+#: Metrics whose many-vs-many path can run through a device-resident
+#: CorpusScanner (one corpus layout + compiled scan amortized over all
+#: queries — the many-vs-many analogue of the BatchComparator cache).
+#: hamming is excluded: the scanner uses padding semantics while the
+#: process API inherits the strict length check.
+_SCANNER_METRICS = frozenset({
+    "levenshtein", "indel", "lcs_seq", "osa", "damerau_levenshtein",
+    "jaro", "jaro_winkler", "prefix", "postfix",
+})
+
+
+def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
+                    score_kind: str) -> np.ndarray:
+    from ..parallel.scan import CorpusScanner
+
+    scanner = CorpusScanner(choices, metric=name)
+    lens2 = np.array([_codec.encode_one(c).size for c in choices], np.int64)
+    out = np.empty((len(queries), len(choices)), np.float64)
+    for qi, q in enumerate(queries):
+        d = np.asarray(scanner.distances(q))
+        if name in ("jaro", "jaro_winkler"):
+            # scanner yields f64 distance = 1 - similarity; maximum = 1.0
+            out[qi] = 1.0 - d if score_kind.endswith("similarity") else d
+            continue
+        l1 = _codec.encode_one(q).size
+        if name == "indel":
+            mx = l1 + lens2
+        else:
+            mx = np.maximum(l1, lens2)
+        if score_kind == "distance":
+            out[qi] = d
+        elif score_kind == "similarity":
+            out[qi] = mx - d
+        else:
+            nd = np.where(mx == 0, 0.0, d / np.maximum(mx, 1))
+            out[qi] = nd if score_kind == "normalized_distance" else 1.0 - nd
+    return out
+
+
 def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
           score_kind: str = "normalized_similarity",
           score_cutoff: Optional[float] = None):
     """Many-vs-many score matrix (+ validity mask under a cutoff)."""
-    scores = _pairwise_scores(scorer, list(queries), list(choices),
-                              score_kind)
+    queries, choices = list(queries), list(choices)
+    if (isinstance(scorer, str) and scorer in _SCANNER_METRICS
+            and len(choices) >= 2):
+        scores = _scanner_scores(scorer, queries, choices, score_kind)
+    else:
+        scores = _pairwise_scores(scorer, queries, choices, score_kind)
     if score_cutoff is None:
         valid = np.ones_like(scores, bool)
     elif score_kind.endswith("distance"):
@@ -78,7 +121,8 @@ def extract(query, choices: Sequence, *, scorer="levenshtein",
             score_cutoff: Optional[float] = None):
     """Best ``limit`` choices as (choice, score, index), best first."""
     choices = list(choices)
-    scores = _pairwise_scores(scorer, [query], choices, score_kind)[0]
+    scores = cdist([query], choices, scorer=scorer,
+                   score_kind=score_kind).values[0]
     descending = not score_kind.endswith("distance")
     order = np.argsort(-scores if descending else scores, kind="stable")
     out = []

@@ -113,3 +113,28 @@ def test_cdist():
     np.testing.assert_array_equal(r.values, [[0, 1, 3], [3, 3, 2]])
     r2 = cdist(qs, cs, scorer="jaro")
     assert r2.values[0, 0] == 1.0
+
+
+def test_cdist_scanner_path_matches_scalar():
+    """The CorpusScanner-backed many-vs-many path must agree with the
+    scalar API for every score kind and metric family."""
+    from rapidfuzz_tpu.distance import (damerau_levenshtein, jaro_winkler,
+                                        levenshtein)
+
+    qs = ["kitten", "abc", ""]
+    cs = ["sitting", "mitten", "abd", "", "kitten"]
+    for sk in ("distance", "similarity", "normalized_distance",
+               "normalized_similarity"):
+        r = cdist(qs, cs, scorer="levenshtein", score_kind=sk)
+        for i, q in enumerate(qs):
+            for j, c in enumerate(cs):
+                assert r.values[i, j] == pytest.approx(
+                    getattr(levenshtein, sk)(q, c), abs=1e-12), (sk, q, c)
+    r = cdist(qs, cs, scorer="jaro_winkler")
+    for i, q in enumerate(qs):
+        for j, c in enumerate(cs):
+            assert r.values[i, j] == jaro_winkler.similarity(q, c)
+    r = cdist(qs, cs, scorer="damerau_levenshtein", score_kind="distance")
+    for i, q in enumerate(qs):
+        for j, c in enumerate(cs):
+            assert r.values[i, j] == damerau_levenshtein.distance(q, c)
