@@ -14,12 +14,41 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    """Run the measurement in a child process with timeout + retry.
+
+    The axon TPU tunnel intermittently wedges on device->host transfers
+    (observed ~minutes-long stalls that never return); a wedged child is
+    killed and the measurement retried in a fresh process, which has been
+    reliable in practice.
+    """
+    if os.environ.get("BENCH_INNER"):
+        return _measure()
+    env = dict(os.environ, BENCH_INNER="1")
+    last = ""
+    for attempt in range(3):
+        try:
+            p = subprocess.run([sys.executable, "-u", __file__], env=env,
+                               capture_output=True, text=True, timeout=480)
+            for line in reversed(p.stdout.splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return
+            last = (p.stdout + p.stderr)[-2000:]
+        except subprocess.TimeoutExpired as e:
+            last = f"timeout (attempt {attempt}): " \
+                   f"{(e.stdout or '')[-500:] if e.stdout else ''}"
+    raise SystemExit(f"bench failed after retries: {last}")
+
+
+def _measure():
     import jax
     import jax.numpy as jnp
 
@@ -58,14 +87,26 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     pairs_per_s = B / dt
 
-    # secondary: indel/LCS scan rate (fuzz.ratio path)
-    outc = ck.lcs_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
-    jax.block_until_ready(outc)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outc = ck.lcs_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
-    jax.block_until_ready(outc)
-    dtc = (time.perf_counter() - t0) / iters
+    # secondary scan rates: indel/LCS (fuzz.ratio path), OSA, Jaro
+    def rate(fn):
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return B / ((time.perf_counter() - t0) / iters)
+
+    from rapidfuzz_tpu.ops.pallas import jaro_kernel as jk
+    from rapidfuzz_tpu.ops.pallas import osa_kernel as ok
+
+    extras = {}
+    if not interpret:   # skip the slow interpreted paths off-TPU
+        extras["indel_pairs_per_s"] = rate(
+            lambda: ck.lcs_1v_many(query, cand3, lb2, mode=mode))
+        extras["osa_pairs_per_s"] = rate(
+            lambda: ok.osa_1v_many(query, cand3, lb2, mode=mode))
+        extras["jaro_pairs_per_s"] = rate(
+            lambda: jk.jaro_1v_many(query, cand3, lb2, mode=mode)[0])
 
     target = 1e9
     print(json.dumps({
@@ -74,7 +115,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": pairs_per_s / target,
         "extra": {
-            "indel_pairs_per_s": B / dtc,
+            **extras,
             "bytes_per_s_one_vs_many": pairs_per_s * LEN,
             "batch": B,
             "iters": iters,

@@ -70,7 +70,7 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
             ntab: int, unroll: int, sub: int):
     la = la_ref[0]
     lb = lb_ref[:, :]
-    last_word = (la - 1) // 32          # dynamic scalar
+    # W == ceil(la/32) per compilation, so the last word is always W-1
     last_bit = ((la - 1) & 31).astype(jnp.uint32)
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
     zeros = jnp.zeros((sub, LANE), jnp.uint32)
@@ -99,13 +99,9 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
             d0 = (((x & vpw) + vpw) ^ vpw) | x | vnw
             hp = vnw | ~(d0 | vpw)
             hn = d0 & vpw
-            d = (((hp >> last_bit) & 1).astype(jnp.int32)
-                 - ((hn >> last_bit) & 1).astype(jnp.int32))
-            if W == 1:
-                delta = d
-            else:
-                delta = jnp.where(last_word == w, d,
-                                  delta if delta is not None else 0)
+            if w == W - 1:
+                delta = (((hp >> last_bit) & 1).astype(jnp.int32)
+                         - ((hn >> last_bit) & 1).astype(jnp.int32))
             hp_out = hp >> 31
             hn_out = hn >> 31
             hp_s = (hp << 1) | hp_c

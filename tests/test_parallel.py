@@ -95,6 +95,17 @@ def test_corpus_scanner_vocab_remap(mesh):
                                   [1, 2, 2])
 
 
+def test_multihost_single_process(mesh):
+    """The multi-host runner degenerates to a single-process sharded scan
+    on the virtual mesh (the real 2-host config shares this code path)."""
+    from rapidfuzz_tpu.parallel.multihost import global_scan_bench
+
+    stats = global_scan_bench(corpus_size=1024, length=16, iters=2)
+    assert stats["hosts"] == 1 and stats["devices"] == 8
+    assert stats["corpus"] == 1024
+    assert stats["pairs_per_s"] > 0
+
+
 def test_extract():
     choices = ["kitten", "sitting", "mitten", "bitten", "xyz"]
     res = extract("kitten", choices, limit=3)
