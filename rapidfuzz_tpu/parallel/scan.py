@@ -103,7 +103,7 @@ class CorpusScanner:
 
     def __init__(self, corpus, metric: str = "levenshtein",
                  mesh: Mesh | None = None, bucket: int | None = None,
-                 prefix_weight: float = 0.1):
+                 prefix_weight: float = 0.1, weights=None):
         from ..ops.pallas import tpu_backend
 
         if mesh is None:
@@ -112,6 +112,25 @@ class CorpusScanner:
         self.mesh = mesh
         self.metric = metric
         self.prefix_weight = prefix_weight
+        # weighted Levenshtein reduces algebraically where possible
+        # (levenshtein.rs:1244-1279); only a general table needs the
+        # Wagner-Fischer kernel
+        self._wscale = 1
+        self._weights = None
+        self._zero = False
+        if weights is not None and metric == "levenshtein" \
+                and not weights.uniform:
+            ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
+                              weights.substitution_cost)
+            if ins == dele == 0:
+                self._zero = True
+            elif ins == dele == sub:
+                self._wscale = ins
+            elif ins == dele and sub >= ins + dele:
+                metric = self.metric = "indel"
+                self._wscale = ins
+            else:
+                self._weights = (ins, dele, sub)
         arrs = [_codec.encode_one(s) for s in corpus]
         # corpora whose elements exceed int32 are remapped through a dense
         # vocabulary; queries must then go through the *same* vocabulary
@@ -162,7 +181,13 @@ class CorpusScanner:
         else:
             self.chars = jax.device_put(chars, shard)
             self.lens = jax.device_put(lens, shard1)
-            self._fn = jax.jit(_distance_fn(metric), out_shardings=shard1)
+            if self._weights is not None:
+                ins, dele, sub = self._weights
+                fn = functools.partial(_lev_ops.weighted_distance,
+                                       ins=ins, dele=dele, sub=sub)
+            else:
+                fn = _distance_fn(metric)
+            self._fn = jax.jit(fn, out_shardings=shard1)
 
     def _encode_query(self, query):
         q = _codec.encode_one(query)
@@ -197,12 +222,25 @@ class CorpusScanner:
 
     def _distances_dev(self, query):
         q = self._encode_query(query)
+        if self._zero:
+            return np.zeros(int(np.prod(self.lb2.shape))
+                            if self._pallas else self.lens.shape[0],
+                            np.int64)
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck
             mode = _lk.pick_mode(q, self._cmax)
             if self.metric == "levenshtein":
+                if self._weights is not None:
+                    from ..ops.pallas import wlev_kernel as _wk
+                    ins, dele, sub = self._weights
+                    out = _wk.wlev_1v_many(q.astype(np.int32), self.cand3,
+                                           self.lb2, ins=ins, dele=dele,
+                                           sub_cost=sub, mode=mode)
+                    return out.reshape(-1)
                 out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode)
+                if self._wscale != 1:
+                    out = out * self._wscale
                 return out.reshape(-1)
             if self.metric == "osa":
                 from ..ops.pallas import osa_kernel as _ok
@@ -220,13 +258,15 @@ class CorpusScanner:
             la = q.size
             lb = self.lens.astype(jnp.int32)
             if self.metric == "indel":
-                return la + lb - 2 * sim
+                d = la + lb - 2 * sim
+                return d * self._wscale if self._wscale != 1 else d
             return jnp.maximum(la, lb) - sim            # lcs_seq
         qc, ql = _codec.pad_batch([q])
         if self.metric in _F64_METRICS:
             common, trans = self._fn(qc, ql, self.chars, self.lens)
             return self._jaro_finish(common, trans, q)
-        return self._fn(qc, ql, self.chars, self.lens)
+        d = self._fn(qc, ql, self.chars, self.lens)
+        return d * self._wscale if self._wscale != 1 else d
 
     def distances(self, query) -> np.ndarray:
         return np.asarray(self._distances_dev(query))[: self.n]

@@ -108,6 +108,32 @@ def test_jaro_components():
             assert sim[i] == exp, (qlen, i, lens[i], sim[i], exp)
 
 
+def test_weighted_levenshtein():
+    """Weighted Wagner-Fischer Pallas kernel vs the oracle (asymmetric
+    weights exercise the ins/del orientation)."""
+    from rapidfuzz_tpu.ops.pallas import wlev_kernel as wk
+
+    Bs = 1024
+    for qlen, LB, lo, hi, wts, seed in [(16, 16, 97, 123, (1, 2, 3), 0),
+                                        (33, 32, 97, 123, (3, 2, 1), 1),
+                                        (10, 32, 90, 256, (2, 2, 5), 2)]:
+        rng = np.random.default_rng(seed)
+        q = rng.integers(lo, hi, qlen).astype(np.int32)
+        chars, lens = _mk(rng, Bs, lo, hi, LB)
+        cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars),
+                                       jnp.asarray(lens), LB=LB)
+        mode = lk.pick_mode(q, int(chars.max()))
+        ins, dele, subc = wts
+        out = np.asarray(wk.wlev_1v_many(
+            q, cand3, lb2, ins=ins, dele=dele, sub_cost=subc, mode=mode,
+            tile_sub=8, interpret=True)).reshape(-1)
+        for i in list(range(0, Bs, 11)) + [0, 1, Bs - 1]:
+            exp = oracle.levenshtein_weighted(
+                q.astype(np.int64), chars[i, : lens[i]].astype(np.int64),
+                ins, dele, subc)
+            assert out[i] == exp, (qlen, wts, i, lens[i], out[i], exp)
+
+
 def test_empty_query():
     rng = np.random.default_rng(4)
     chars, lens = _mk(rng, B, 97, 123, 32)

@@ -95,6 +95,19 @@ def test_corpus_scanner_vocab_remap(mesh):
                                   [1, 2, 2])
 
 
+def test_corpus_scanner_weighted(mesh):
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+
+    corpus = ["sitting", "mitten", "kitten", "", "kittenkitten"]
+    for w in [WeightTable(1, 2, 3), WeightTable(3, 2, 1), WeightTable(1, 1, 2),
+              WeightTable(2, 2, 2), WeightTable(0, 0, 1), WeightTable(2, 2, 5)]:
+        sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh,
+                           bucket=32, weights=w)
+        d = sc.distances("kitten")
+        for s, g in zip(corpus, d):
+            assert g == lev.distance("kitten", s, weights=w), (w, s, g)
+
+
 def test_multihost_single_process(mesh):
     """The multi-host runner degenerates to a single-process sharded scan
     on the virtual mesh (the real 2-host config shares this code path)."""
