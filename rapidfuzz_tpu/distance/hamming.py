@@ -90,16 +90,41 @@ def normalized_similarity_with_args(s1, s2, args: Args):
                                  score_cutoff=args.cutoff)
 
 
+def _batch_raw(s1s, s2s, pad):
+    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
+    B = max(len(l1), len(l2))
+    l1b = np.broadcast_to(l1, (B,)).astype(np.int64)
+    l2b = np.broadcast_to(l2, (B,)).astype(np.int64)
+    if not pad and np.any(l1b != l2b):
+        raise DifferentLengthArgsError()
+    dist = _dispatch.run_pairs(_ops.hamming_distance, c1, l1, c2, l2)
+    return dist.astype(np.int64), np.maximum(l1b, l2b)
+
+
 def distance_many(s1s, s2s, *, pad=False, score_cutoff=None
                   ) -> _dispatch.BatchResult:
-    c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
-    if not pad:
-        B = max(len(l1), len(l2))
-        if np.any(np.broadcast_to(l1, (B,)) != np.broadcast_to(l2, (B,))):
-            raise DifferentLengthArgsError()
-    dist = _dispatch.run_pairs(_ops.hamming_distance, c1, l1, c2, l2)
-    return _dispatch.BatchResult(*_c.mask_distance(dist.astype(np.int64),
-                                                   score_cutoff))
+    dist, _ = _batch_raw(s1s, s2s, pad)
+    return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
+
+
+def similarity_many(s1s, s2s, *, pad=False, score_cutoff=None
+                    ) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, pad)
+    return _dispatch.BatchResult(*_c.mask_similarity(mx - dist, score_cutoff))
+
+
+def normalized_distance_many(s1s, s2s, *, pad=False, score_cutoff=None
+                             ) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, pad)
+    nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+    return _dispatch.BatchResult(*_c.mask_distance(nd, score_cutoff))
+
+
+def normalized_similarity_many(s1s, s2s, *, pad=False, score_cutoff=None
+                               ) -> _dispatch.BatchResult:
+    dist, mx = _batch_raw(s1s, s2s, pad)
+    ns = 1.0 - np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+    return _dispatch.BatchResult(*_c.mask_similarity(ns, score_cutoff))
 
 
 class BatchComparator:

@@ -131,3 +131,6 @@ class BatchComparator:
 
     def similarities(self, corpus, *, score_cutoff=None):
         return similarity_many([self._u1], corpus, score_cutoff=score_cutoff)
+
+    def distances(self, corpus, *, score_cutoff=None):
+        return distance_many([self._u1], corpus, score_cutoff=score_cutoff)

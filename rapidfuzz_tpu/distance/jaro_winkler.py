@@ -149,3 +149,7 @@ class BatchComparator:
     def similarities(self, corpus, *, score_cutoff=None):
         return similarity_many([self._u1], corpus, prefix_weight=self._pw,
                                score_cutoff=score_cutoff)
+
+    def distances(self, corpus, *, score_cutoff=None):
+        return distance_many([self._u1], corpus, prefix_weight=self._pw,
+                             score_cutoff=score_cutoff)

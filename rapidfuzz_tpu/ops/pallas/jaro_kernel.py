@@ -224,7 +224,7 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
 
 
 def jaro_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
-                 sub: int = SUB, interpret: bool = False):
+                 sub: int = SUB, staged=None, interpret: bool = False):
     """One-vs-many Jaro (common, transpositions) -> 2x [B/128, 128] i32.
 
     ``cand3``/``lb2`` from :func:`lev_kernel.prepare_corpus`.  The caller
@@ -239,6 +239,8 @@ def jaro_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     LB = int(cand3.shape[0])
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
-    tabs = build_pm_tables(q, mode, sub)
-    return _run(jnp.array([la], jnp.int32), jnp.asarray(tabs), cand3, lb2,
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32),
+        jnp.asarray(build_pm_tables(q, mode, sub)))
+    return _run(la_arr, tabs, cand3, lb2,
                 LB=LB, W=W, ntab=ntab, sub=sub, interpret=interpret)

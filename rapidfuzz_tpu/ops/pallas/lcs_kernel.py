@@ -102,7 +102,7 @@ def _run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
 
 
 def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
-                interpret: bool = False) -> jnp.ndarray:
+                staged=None, interpret: bool = False) -> jnp.ndarray:
     """One-vs-many LCS lengths -> [B/128, 128] i32."""
     q = np.asarray(query)
     la = int(q.size)
@@ -111,6 +111,7 @@ def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     LB = int(cand3.shape[0])
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
-    tabs = build_pm_tables(q, mode)
-    return _run(jnp.asarray(tabs), cand3, lb2, LB=LB, W=W, ntab=ntab,
+    tabs = (staged[1] if staged is not None
+            else jnp.asarray(build_pm_tables(q, mode)))
+    return _run(tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
                 unroll=pick_unroll(LB), interpret=interpret)

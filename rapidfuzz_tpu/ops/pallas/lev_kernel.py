@@ -176,13 +176,29 @@ def pick_mode(query: np.ndarray, corpus_max: int) -> str:
     return "local" if max(qmax, corpus_max) < LANE else "byte"
 
 
+def stage_query(query: np.ndarray, mode: str, sub: int = SUB):
+    """Pre-upload a query's scalars + PM tables to the device.
+
+    The BatchComparator precompute (``levenshtein.rs:1645-1657``): build
+    once per query, reuse across every scan call.  Returns ``(la, tabs)``
+    device arrays accepted by the ``*_1v_many`` kernels via ``staged=``.
+    """
+    q = np.asarray(query)
+    import jax
+
+    la = jax.device_put(np.array([int(q.size)], np.int32))
+    tabs = jax.device_put(build_pm_tables(q, mode, sub))
+    return la, tabs
+
+
 def lev_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
-                interpret: bool = False) -> jnp.ndarray:
+                staged=None, interpret: bool = False) -> jnp.ndarray:
     """One-vs-many uniform Levenshtein distances -> [B/128, 128] i32.
 
     ``cand3``/``lb2`` from :func:`prepare_corpus`; candidate count must be
     a multiple of 4096 (host pads; padded rows have length 0 and yield
-    ``la`` which callers slice away).
+    ``la`` which callers slice away).  ``staged`` (from
+    :func:`stage_query`) skips the per-call table upload.
     """
     q = np.asarray(query)
     la = int(q.size)
@@ -191,7 +207,8 @@ def lev_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     LB = int(cand3.shape[0])
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
-    tabs = build_pm_tables(q, mode)
-    return _run(jnp.array([la], jnp.int32), jnp.asarray(tabs), cand3, lb2,
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    return _run(la_arr, tabs, cand3, lb2,
                 LB=LB, W=W, ntab=ntab, unroll=pick_unroll(LB),
                 interpret=interpret)

@@ -127,7 +127,7 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
 
 
 def osa_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
-                interpret: bool = False) -> jnp.ndarray:
+                staged=None, interpret: bool = False) -> jnp.ndarray:
     """One-vs-many OSA distances -> [B/128, 128] i32.
 
     ``cand3``/``lb2`` from :func:`lev_kernel.prepare_corpus`.
@@ -139,7 +139,8 @@ def osa_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     LB = int(cand3.shape[0])
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
-    tabs = build_pm_tables(q, mode)
-    return _run(jnp.array([la], jnp.int32), jnp.asarray(tabs), cand3, lb2,
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    return _run(la_arr, tabs, cand3, lb2,
                 LB=LB, W=W, ntab=ntab, unroll=pick_unroll(LB),
                 interpret=interpret)

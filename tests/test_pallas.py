@@ -134,6 +134,22 @@ def test_weighted_levenshtein():
             assert out[i] == exp, (qlen, wts, i, lens[i], out[i], exp)
 
 
+def test_staged_query_equivalence():
+    """stage_query pre-upload must give identical results to per-call
+    table builds."""
+    rng = np.random.default_rng(7)
+    q = rng.integers(97, 123, 40).astype(np.int32)
+    chars, lens = _mk(rng, B, 97, 123, 64)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=64)
+    staged = lk.stage_query(q, "local")
+    a = np.asarray(lk.lev_1v_many(q, cand3, lb2, mode="local",
+                                  interpret=True))
+    b = np.asarray(lk.lev_1v_many(q, cand3, lb2, mode="local",
+                                  staged=staged, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_empty_query():
     rng = np.random.default_rng(4)
     chars, lens = _mk(rng, B, 97, 123, 32)
