@@ -68,7 +68,8 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
             s = one_char(jj * unroll + u, s)
         return tuple(s)
 
-    state = lax.fori_loop(0, LB // unroll, body, (ones,) * W)
+    trips = (jnp.max(lb) + (unroll - 1)) // unroll
+    state = lax.fori_loop(0, trips, body, (ones,) * W)
     sim = jnp.zeros((sub, LANE), jnp.int32)
     for w in range(W):
         sim = sim + lax.population_count(~state[w]).astype(jnp.int32)

@@ -122,7 +122,11 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
 
     dist0 = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
     state = (dist0,) + (ones,) * W + (zeros,) * W
-    state = jax.lax.fori_loop(0, LB // unroll, body, state)
+    # trip count from the tile's longest candidate: with a length-sorted
+    # corpus (CorpusScanner) most tiles stop far before LB; distances are
+    # frozen at j == lb so skipping trailing steps is exact
+    trips = (jnp.max(lb) + (unroll - 1)) // unroll
+    state = jax.lax.fori_loop(0, trips, body, state)
     out_ref[:, :] = state[0]
 
 

@@ -95,7 +95,8 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
 
     dist0 = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
     state = (dist0,) + (ones,) * W + (zeros,) * (3 * W)
-    state = jax.lax.fori_loop(0, LB // unroll, body, state)
+    trips = (jnp.max(lb) + (unroll - 1)) // unroll
+    state = jax.lax.fori_loop(0, trips, body, state)
     out_ref[:, :] = state[0]
 
 

@@ -82,7 +82,7 @@ def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LA: int,
             prev = d
         return tuple(nrow)
 
-    row = jax.lax.fori_loop(0, LB, body, tuple(row))
+    row = jax.lax.fori_loop(0, jnp.max(lb), body, tuple(row))
     # result = D[la]: select the la-th entry (dynamic) via masked min —
     # entries past la are BIG + monotone row, so min over p == la is exact
     out = jnp.full((sub, LANE), BIG, jnp.int32)

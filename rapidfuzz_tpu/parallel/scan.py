@@ -160,8 +160,16 @@ class CorpusScanner:
         self.n = n
         shard = NamedSharding(mesh, P("data", None))
         shard1 = NamedSharding(mesh, P("data"))
+        self._order = None
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
+            # length-sort so each (32,128) kernel tile stops at its own
+            # longest candidate (the kernels' dynamic trip count); padding
+            # rows (length 0) sort to the front and are masked by _valid
+            self._order = np.argsort(lens, kind="stable")
+            self._valid = self._order < n
+            chars = chars[self._order]
+            lens = lens[self._order]
             self._LB = chars.shape[1]
             cand3, lb2 = _lk.prepare_corpus(
                 jnp.asarray(chars), jnp.asarray(lens), LB=self._LB)
@@ -269,11 +277,30 @@ class CorpusScanner:
         return d * self._wscale if self._wscale != 1 else d
 
     def distances(self, query) -> np.ndarray:
-        return np.asarray(self._distances_dev(query))[: self.n]
+        d = np.asarray(self._distances_dev(query))
+        if self._order is not None:
+            out = np.empty(d.shape, d.dtype)
+            out[self._order] = d
+            return out[: self.n]
+        return d[: self.n]
 
     def topk(self, query, k: int):
         """(distances[k], corpus_indices[k]) of the k nearest strings."""
+        if k <= 0:
+            return np.empty(0), np.empty(0, np.int32)
         dist = self._distances_dev(query)
+        if self._order is not None:
+            # sorted space: mask padding rows, host top-k, map ids back
+            d = np.asarray(dist, np.float64)
+            d = np.where(self._valid, d, np.inf)
+            k = min(k, self.n)
+            ids = np.argpartition(d, k - 1)[:k] if k < d.size \
+                else np.arange(d.size)
+            ids = ids[np.argsort(d[ids], kind="stable")]
+            vals = d[ids]
+            if not np.issubdtype(np.asarray(dist).dtype, np.floating):
+                vals = vals.astype(np.int64)
+            return vals, self._order[ids].astype(np.int32)
         if isinstance(dist, np.ndarray):    # host f64 path (jaro family)
             d = dist[: self.n]
             k = min(k, d.size)
