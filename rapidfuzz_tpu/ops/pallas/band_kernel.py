@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: one-vs-many banded Levenshtein under a score cutoff.
+
+The reference's sliding-band variant (``/root/reference/src/distance/
+levenshtein.rs:509-617``): when the diagonal band ``2*cutoff+1`` fits one
+machine word, VP/VN hold only the band (top bits of the word) and slide
+down one pattern position per text char — O(lb) per pair *independent of
+the pattern length* (PM window gathers aside).  On u32 lanes the band
+fits for ``score_cutoff <= 15``.
+
+Two phases over text chars (both folded into one loop with scalar
+selects):
+
+* diagonal phase (first ``la - cutoff`` chars): the band's bottom row
+  moves with the text; ``dist += (D0 & 1<<31) == 0``;
+* horizontal phase (rest): the band has hit the pattern's last row;
+  ``dist`` tracks HP/HN at a per-step-decreasing bit position.
+
+The early ``break_score`` exit (``levenshtein.rs:565-567``) is a CPU
+work-saver; here every candidate computes fully and results above the
+cutoff are masked to ``BIG`` (SURVEY.md hard part #3 — identical accept /
+reject semantics, and accepted values are exact).
+
+The PM window crossing u32 word boundaries uses scalar funnel shifts
+(start position is uniform across lanes), so per step the cost is
+``W`` table gathers + ~25 band ops — for long patterns this kernel is
+~``W``× cheaper than the full-width kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lev_kernel import LANE, SUB, build_pm_tables
+
+BIG = np.int32(1 << 29)
+
+
+def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int,
+            W: int, ntab: int, sub: int):
+    la = scal_ref[0]
+    cutoff = scal_ref[1]
+    lb = lb_ref[:, :]
+
+    ones_t = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+    vp0 = ones_t << (31 - cutoff).astype(jnp.uint32)   # cutoff+1 top bits
+    vn0 = jnp.zeros((sub, LANE), jnp.uint32)
+    dist0 = jnp.broadcast_to(cutoff, (sub, LANE)).astype(jnp.int32)
+    pstart = jnp.maximum(la - cutoff, 0)               # phase-2 start step
+
+    def body(j, state):
+        dist, vp, vn = state
+        c = cand_ref[j]
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+
+        def word(w):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                return jnp.where(chi, t1, t0)
+            return t0
+
+        # PM window of 32 pattern bits starting at `start` (scalar)
+        start = j + cutoff + 1 - 32
+        neg = start < 0
+        sp = jnp.maximum(start, 0)
+        widx = sp // 32
+        wpos = (sp % 32).astype(jnp.uint32)
+        w0 = word(0)
+        pm_lo = w0
+        pm_hi = jnp.zeros_like(w0)
+        for w in range(W):
+            if w > 0:
+                sel = widx == w
+                pm_lo = jnp.where(sel, word(w), pm_lo)
+            if w + 1 < W:
+                pm_hi = jnp.where(widx == w, word(w + 1), pm_hi)
+        pm_j = (pm_lo >> wpos) | jnp.where(
+            wpos == 0, 0, pm_hi << (jnp.uint32(32) - wpos))
+        pm_j = jnp.where(neg, w0 << (-start).astype(jnp.uint32), pm_j)
+
+        x = pm_j
+        d0 = (((x & vp) + vp) ^ vp) | x | vn
+        hp = vn | ~(d0 | vp)
+        hn = d0 & vp
+
+        # distance delta: diagonal vs horizontal phase (scalar select)
+        diag_delta = 1 - ((d0 >> 31) & 1).astype(jnp.int32)
+        hbit = jnp.maximum(30 - (j - pstart), 0).astype(jnp.uint32)
+        hor_delta = (((hp >> hbit) & 1).astype(jnp.int32)
+                     - ((hn >> hbit) & 1).astype(jnp.int32))
+        delta = jnp.where(j < pstart, diag_delta, hor_delta)
+        dist = jnp.where(j < lb, dist + delta, dist)
+
+        nvp = hn | ~((d0 >> 1) | hp)
+        nvn = (d0 >> 1) & hp
+        return dist, nvp, nvn
+
+    trips = jnp.max(lb)
+    dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
+
+    dist = jnp.where(lb == 0, la, dist)
+    dist = jnp.where(jnp.abs(la - lb) > cutoff, BIG, dist)
+    dist = jnp.where(dist > cutoff, BIG, dist)
+    out_ref[:, :] = dist
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "sub", "interpret"))
+def _run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, sub=sub)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        interpret=interpret,
+    )(scal, tabs, cand3, lb2)
+
+
+MAX_CUTOFF = 15   # band 2*cutoff+1 <= 32 (one u32 word)
+
+
+def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
+                       mode: str = "byte", sub: int = SUB,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Banded one-vs-many Levenshtein -> [B/128, 128] i32.
+
+    Results are exact when ``<= cutoff``; candidates above the cutoff
+    yield ``>= BIG`` (the caller's cutoff mask hides them).  Requires
+    ``0 <= cutoff <= MAX_CUTOFF`` and ``cutoff < len(query)`` — the
+    reference likewise only routes band-smaller-than-pattern cases here
+    (``levenshtein.rs:1164-1172``); callers fall back to the full kernel
+    otherwise.
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    if not 0 <= cutoff <= MAX_CUTOFF:
+        raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF}]")
+    if cutoff >= la:
+        raise ValueError("banded kernel requires cutoff < len(query)")
+    LB = int(cand3.shape[0])
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    scal = jnp.array([la, cutoff], jnp.int32)
+    tabs = jnp.asarray(build_pm_tables(q, mode, sub))
+    return _run(scal, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab, sub=sub,
+                interpret=interpret)

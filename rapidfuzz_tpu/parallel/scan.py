@@ -228,7 +228,7 @@ class CorpusScanner:
             sim = np.where(sim > 0.7, boosted, sim)
         return 1.0 - sim     # distance; host f64, exact
 
-    def _distances_dev(self, query):
+    def _distances_dev(self, query, score_cutoff=None):
         q = self._encode_query(query)
         if self._zero:
             return np.zeros(int(np.prod(self.lb2.shape))
@@ -245,6 +245,17 @@ class CorpusScanner:
                     out = _wk.wlev_1v_many(q.astype(np.int32), self.cand3,
                                            self.lb2, ins=ins, dele=dele,
                                            sub_cost=sub, mode=mode)
+                    return out.reshape(-1)
+                from ..ops.pallas import band_kernel as _bk
+                eff_cut = (None if score_cutoff is None or self._wscale != 1
+                           else score_cutoff)
+                if (eff_cut is not None and 0 <= eff_cut <= _bk.MAX_CUTOFF
+                        and eff_cut < q.size):
+                    # banded fast path: exact when <= cutoff, masked after
+                    out = _bk.lev_banded_1v_many(q.astype(np.int32),
+                                                 self.cand3, self.lb2,
+                                                 cutoff=int(eff_cut),
+                                                 mode=mode)
                     return out.reshape(-1)
                 out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode)
                 if self._wscale != 1:
@@ -276,18 +287,47 @@ class CorpusScanner:
         d = self._fn(qc, ql, self.chars, self.lens)
         return d * self._wscale if self._wscale != 1 else d
 
-    def distances(self, query) -> np.ndarray:
-        d = np.asarray(self._distances_dev(query))
+    def distances(self, query, *, score_cutoff=None):
+        """Distances to every corpus string.
+
+        Without ``score_cutoff``: a plain array.  With it: a
+        ``(values, valid)`` :class:`BatchResult` — the batch rendering of
+        the reference's ``Option`` results (``common.rs:33-46``); on TPU a
+        small integer cutoff runs the banded kernel.
+        """
+        from ..ops import dispatch as _dispatch
+        from .. import common as _c
+
+        d = np.asarray(self._distances_dev(query, score_cutoff))
         if self._order is not None:
             out = np.empty(d.shape, d.dtype)
             out[self._order] = d
-            return out[: self.n]
-        return d[: self.n]
+            d = out[: self.n]
+        else:
+            d = d[: self.n]
+        if score_cutoff is None:
+            return d
+        return _dispatch.BatchResult(*_c.mask_distance(d, score_cutoff))
 
-    def topk(self, query, k: int):
-        """(distances[k], corpus_indices[k]) of the k nearest strings."""
+    def topk(self, query, k: int, *, score_cutoff=None):
+        """(distances[k], corpus_indices[k]) of the k nearest strings.
+
+        With ``score_cutoff``, entries above the cutoff are excluded
+        (fewer than ``k`` results may return).
+        """
         if k <= 0:
             return np.empty(0), np.empty(0, np.int32)
+        if score_cutoff is not None:
+            res = self.distances(query, score_cutoff=score_cutoff)
+            vals, valid = res.values, res.valid
+            d = np.where(valid, vals.astype(np.float64), np.inf)
+            k = min(k, int(valid.sum()))
+            if k == 0:
+                return np.empty(0, vals.dtype), np.empty(0, np.int32)
+            ids = np.argpartition(d, k - 1)[:k] if k < d.size \
+                else np.arange(d.size)
+            ids = ids[np.argsort(d[ids], kind="stable")]
+            return vals[ids], ids.astype(np.int32)
         dist = self._distances_dev(query)
         if self._order is not None:
             # sorted space: mask padding rows, host top-k, map ids back

@@ -95,6 +95,51 @@ def test_corpus_scanner_vocab_remap(mesh):
                                   [1, 2, 2])
 
 
+def test_corpus_scanner_cutoff(mesh):
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh, bucket=32)
+    res = sc.distances("apple", score_cutoff=2)
+    assert res.tolist() == [lev.distance("apple", s, score_cutoff=2)
+                            for s in corpus]
+    vals, ids = sc.topk("apple", k=10, score_cutoff=2)
+    assert len(vals) == 4    # apple, apply, ape, maple
+    assert all(v <= 2 for v in vals)
+    assert corpus[ids[0]] == "apple" and vals[0] == 0
+
+
+def test_banded_kernel_interpret():
+    """Banded pallas kernel: exact under cutoff, masked above."""
+    import jax.numpy as jnp
+    from rapidfuzz_tpu.ops.pallas import band_kernel as bk
+    from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
+    from rapidfuzz_tpu import oracle
+
+    rng = np.random.default_rng(0)
+    Bs, LB, qlen, cutoff = 1024, 64, 64, 7
+    q = rng.integers(97, 123, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    chars = rng.integers(97, 123, (Bs, LB)).astype(np.int32)
+    for i in range(0, Bs, 3):       # near-copies under the cutoff
+        chars[i, :qlen] = q
+        for _ in range(int(rng.integers(0, cutoff + 3))):
+            chars[i, rng.integers(0, qlen)] = rng.integers(97, 123)
+        lens[i] = qlen
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    out = np.asarray(bk.lev_banded_1v_many(
+        q, cand3, lb2, cutoff=cutoff, mode="local", sub=8,
+        interpret=True)).reshape(-1)
+    for i in range(0, Bs, 7):
+        exp = oracle.levenshtein_uniform(
+            q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
+        if exp <= cutoff:
+            assert out[i] == exp, (i, out[i], exp)
+        else:
+            assert out[i] > cutoff, (i, out[i], exp)
+
+
 def test_corpus_scanner_weighted(mesh):
     from rapidfuzz_tpu.distance.levenshtein import WeightTable
 
