@@ -271,6 +271,44 @@ def test_fuzz_ratio():
                       score_cutoff=s - 1e-9) == pytest.approx(s)
 
 
+# -------------------------------------------------------- unicode "fuzz"
+
+def test_unicode_fuzz_sweep(rng):
+    """Random wide-codepoint strings through every metric, one-shot vs
+    batch vs oracle — the in-repo stand-in for the reference's libFuzzer
+    targets (``fuzz/fuzz_targets/*.rs``)."""
+    from rapidfuzz_tpu.distance import levenshtein
+
+    planes = [(0x20, 0x7F), (0x400, 0x4FF), (0x4E00, 0x4E80),
+              (0x1F600, 0x1F640)]
+    pairs = []
+    for i in range(60):
+        lo, hi = planes[i % len(planes)]
+        l1, l2 = rng.integers(0, 20), rng.integers(0, 20)
+        s1 = "".join(chr(int(c)) for c in rng.integers(lo, hi, l1))
+        s2 = "".join(chr(int(c)) for c in rng.integers(lo, hi, l2))
+        pairs.append((s1, s2))
+    mods = [(levenshtein, oracle.levenshtein_uniform, None),
+            (indel, oracle.indel, None),
+            (osa, oracle.osa, None),
+            (damerau_levenshtein, oracle.damerau, None),
+            (lcs_seq, oracle.lcs_seq,
+             lambda sim, l1, l2: max(l1, l2) - sim)]
+    for mod, ofn, to_dist in mods:
+        got = mod.distance_many([p[0] for p in pairs],
+                                [p[1] for p in pairs]).values
+        for (s1, s2), g in zip(pairs, got):
+            raw = ofn(enc(s1), enc(s2))
+            exp = to_dist(raw, len(s1), len(s2)) if to_dist else raw
+            assert g == exp, (mod, s1, s2, g, exp)
+            assert mod.distance(s1, s2) == exp
+    for s1, s2 in pairs[:20]:
+        assert jaro.similarity(s1, s2) == oracle.jaro(enc(s1), enc(s2))
+        assert fuzz.ratio(s1, s2) == pytest.approx(
+            1.0 - (oracle.indel(enc(s1), enc(s2))
+                   / max(len(s1) + len(s2), 1)), abs=1e-12)
+
+
 # ------------------------------------------------- device scalar backend
 
 def test_device_scalar_backend(monkeypatch):
