@@ -7,7 +7,7 @@ string name); scores follow the scorer's ``normalized_similarity`` unless
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
