@@ -55,7 +55,9 @@ def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int,
 
     def body(j, state):
         dist, vp, vn = state
-        c = cand_ref[j]
+        row = cand_ref[j // 4]
+        c = ((row >> (8 * (j % 4)).astype(jnp.uint32))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
@@ -127,7 +129,7 @@ def _run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -160,7 +162,7 @@ def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
         raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF}]")
     if cutoff >= la:
         raise ValueError("banded kernel requires cutoff < len(query)")
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     scal = jnp.array([la, cutoff], jnp.int32)

@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lev_kernel import LANE, SUB, build_pm_tables
+from .lev_kernel import LANE, SUB, build_pm_tables, unpack_byte
 
 FULL = np.uint32(0xFFFFFFFF)
 
@@ -88,7 +88,7 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, common_ref, trans_ref, *,
 
     # ---------------------------------------------------------- pass 1: flag
     def flag_char(j, pref, wmask, pflag, tflag):
-        pm = gather_pm(cand_ref[j])
+        pm = gather_pm(unpack_byte(cand_ref[j // 4], j))
 
         # window slides up by one: both ends of [j-bound, j+bound] move
         if j == 0:
@@ -162,7 +162,7 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, common_ref, trans_ref, *,
     def trans_char(j, rem, t):
         act = (tflag[j // 32] >> jnp.uint32(j % 32)) & 1
         actb = act != 0
-        pm = gather_pm(cand_ref[j])
+        pm = gather_pm(unpack_byte(cand_ref[j // 4], j))
         found = None
         low = []
         for w in range(W):
@@ -204,7 +204,7 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -236,7 +236,7 @@ def jaro_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     if la == 0:
         z = jnp.zeros(lb2.shape, jnp.int32)
         return z, z
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     la_arr, tabs = staged if staged is not None else (

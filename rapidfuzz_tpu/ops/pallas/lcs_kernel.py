@@ -25,7 +25,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll
+from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll, unpack_byte
 
 
 def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
@@ -33,8 +33,8 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     lb = lb_ref[:, :]
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
 
-    def one_char(j, s):
-        c = cand_ref[j]
+    def one_char(row, u, j, s):
+        c = unpack_byte(row, u)
         active = j < lb
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
@@ -64,8 +64,11 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
 
     def body(jj, state):
         s = list(state)
+        row = None
         for u in range(unroll):
-            s = one_char(jj * unroll + u, s)
+            if u % 4 == 0:
+                row = cand_ref[jj * (unroll // 4) + u // 4]
+            s = one_char(row, u, jj * unroll + u, s)
         return tuple(s)
 
     trips = (jnp.max(lb) + (unroll - 1)) // unroll
@@ -90,7 +93,7 @@ def _run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
         in_specs=[
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -109,7 +112,7 @@ def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     la = int(q.size)
     if la == 0:
         return jnp.zeros(lb2.shape, jnp.int32)
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     tabs = (staged[1] if staged is not None

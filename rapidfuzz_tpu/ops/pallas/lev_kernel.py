@@ -75,8 +75,8 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
     zeros = jnp.zeros((sub, LANE), jnp.uint32)
 
-    def one_char(j, dist, vp, vn):
-        c = cand_ref[j]
+    def one_char(row, u, j, dist, vp, vn):
+        c = unpack_byte(row, u)
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
@@ -116,8 +116,11 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
         dist, *rest = state
         vp = list(rest[:W])
         vn = list(rest[W:])
+        row = None
         for u in range(unroll):
-            dist, vp, vn = one_char(jj * unroll + u, dist, vp, vn)
+            if u % 4 == 0:
+                row = cand_ref[jj * (unroll // 4) + u // 4]
+            dist, vp, vn = one_char(row, u, jj * unroll + u, dist, vp, vn)
         return (dist, *vp, *vn)
 
     dist0 = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
@@ -145,7 +148,7 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll=UNROLL, sub=SUB,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -159,11 +162,29 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll=UNROLL, sub=SUB,
 
 @functools.partial(jax.jit, static_argnames=("LB",))
 def prepare_corpus(chars: jnp.ndarray, lens: jnp.ndarray, *, LB: int):
-    """[B, LB] i32 -> ([LB, B/128, 128], [B/128, 128]) device layout."""
+    """[B, LB] i32 -> ([LB/4, B/128, 128] u32 byte-packed, [B/128, 128]).
+
+    Candidate chars are bytes (< 256; the Pallas scan path is gated on
+    this), so four text positions pack into each u32 row — the scan's DMA
+    traffic is the bottleneck at full width (measured ~2.8 ms floor for a
+    1M x 64 corpus vs ~3.2 ms total), and packing cuts it 4x.  Char ``j``
+    lives in byte ``j % 4`` of packed row ``j // 4``; padding bytes are 0
+    (never read unmasked: distances freeze at ``j == lb``).
+    """
     B = chars.shape[0]
-    cand3 = jnp.transpose(chars, (1, 0)).reshape(LB, B // LANE, LANE)
+    u8 = jnp.where(chars < 0, 0, chars).astype(jnp.uint32)
+    cand3 = jnp.transpose(u8, (1, 0)).reshape(LB, B // LANE, LANE)
+    packed = (cand3[0::4] | (cand3[1::4] << 8) | (cand3[2::4] << 16)
+              | (cand3[3::4] << 24))
     lb2 = lens.reshape(B // LANE, LANE)
-    return cand3, lb2
+    return packed, lb2
+
+
+def unpack_byte(row, j: int):
+    """Extract text char ``j % 4`` (static) from a packed u32 row tile."""
+    sh = 8 * (j % 4)
+    c = (row >> sh) if sh else row
+    return (c & jnp.uint32(0xFF)).astype(jnp.int32)
 
 
 def pick_unroll(LB: int) -> int:
@@ -208,7 +229,7 @@ def lev_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     la = int(q.size)
     if la == 0:
         return jnp.broadcast_to(lb2, lb2.shape).astype(jnp.int32)
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4        # packed rows hold 4 chars each
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     la_arr, tabs = staged if staged is not None else (

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll
+from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll, unpack_byte
 
 
 def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
@@ -37,8 +37,8 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
     zeros = jnp.zeros((sub, LANE), jnp.uint32)
 
-    def one_char(j, dist, vp, vn, d0p, pmp):
-        c = cand_ref[j]
+    def one_char(row, u, j, dist, vp, vn, d0p, pmp):
+        c = unpack_byte(row, u)
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
@@ -88,9 +88,12 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
         vn = list(rest[W:2 * W])
         d0p = list(rest[2 * W:3 * W])
         pmp = list(rest[3 * W:])
+        row = None
         for u in range(unroll):
-            dist, vp, vn, d0p, pmp = one_char(jj * unroll + u, dist, vp, vn,
-                                              d0p, pmp)
+            if u % 4 == 0:
+                row = cand_ref[jj * (unroll // 4) + u // 4]
+            dist, vp, vn, d0p, pmp = one_char(row, u, jj * unroll + u,
+                                              dist, vp, vn, d0p, pmp)
         return (dist, *vp, *vn, *d0p, *pmp)
 
     dist0 = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
@@ -115,7 +118,7 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -137,7 +140,7 @@ def osa_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     la = int(q.size)
     if la == 0:
         return jnp.broadcast_to(lb2, lb2.shape).astype(jnp.int32)
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     la_arr, tabs = staged if staged is not None else (

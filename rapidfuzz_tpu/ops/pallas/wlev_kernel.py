@@ -51,7 +51,9 @@ def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LA: int,
 
     def body(j, state):
         row = list(state)
-        c = cand_ref[j]
+        prow = cand_ref[j // 4]
+        c = ((prow >> (8 * (j % 4)).astype(jnp.uint32))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
@@ -105,7 +107,7 @@ def _run(scal, tabs, cand3, lb2, *, LA, LB, W, ntab, sub=SUB,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, sub, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -132,7 +134,7 @@ def wlev_1v_many(query: np.ndarray, cand3, lb2, *, ins: int, dele: int,
     if la == 0:
         return (jnp.broadcast_to(lb2, lb2.shape) * np.int32(ins)).astype(
             jnp.int32)
-    LB = int(cand3.shape[0])
+    LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     LA = W * 32
     ntab = 2 if mode == "byte" else 1
