@@ -22,8 +22,11 @@ reject semantics, and accepted values are exact).
 
 The PM window crossing u32 word boundaries uses scalar funnel shifts
 (start position is uniform across lanes), so per step the cost is
-``W`` table gathers + ~25 band ops — for long patterns this kernel is
-~``W``× cheaper than the full-width kernel.
+``W`` table gathers + ~25 band ops + per-step scalar shift setup.
+Measured on v5e the scalar-shift setup makes one banded step cost about
+two full Myers words, so the scan layer only routes here for long
+patterns (W >= ~6), where the full kernel's per-step cost grows with W
+and the band's stays flat.
 """
 
 from __future__ import annotations
@@ -53,11 +56,9 @@ def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int,
     dist0 = jnp.broadcast_to(cutoff, (sub, LANE)).astype(jnp.int32)
     pstart = jnp.maximum(la - cutoff, 0)               # phase-2 start step
 
-    def body(j, state):
+    def one_char(j, row, u, state):
         dist, vp, vn = state
-        row = cand_ref[j // 4]
-        c = ((row >> (8 * (j % 4)).astype(jnp.uint32))
-             & jnp.uint32(0xFF)).astype(jnp.int32)
+        c = ((row >> jnp.uint32(8 * u)) & jnp.uint32(0xFF)).astype(jnp.int32)
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
@@ -108,7 +109,13 @@ def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int,
         nvn = (d0 >> 1) & hp
         return dist, nvp, nvn
 
-    trips = jnp.max(lb)
+    def body(jj, state):
+        row = cand_ref[jj]
+        for u in range(4):
+            state = one_char(jj * 4 + u, row, u, state)
+        return state
+
+    trips = (jnp.max(lb) + 3) // 4
     dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
 
     dist = jnp.where(lb == 0, la, dist)

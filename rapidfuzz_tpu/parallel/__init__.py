@@ -10,3 +10,4 @@ XLA collectives over ICI.
 from .mesh import data_mesh  # noqa: F401
 from .scan import CorpusScanner, sharded_distances  # noqa: F401
 from .topk import topk_merge  # noqa: F401
+from . import multihost  # noqa: F401

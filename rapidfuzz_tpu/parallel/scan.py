@@ -249,8 +249,11 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
+                # the band kernel's per-step scalar shifts cost ~2x a full
+                # Myers word on v5e, so it only wins once the full kernel
+                # carries >= ~6 words (queries > 160 chars)
                 if (eff_cut is not None and 0 <= eff_cut <= _bk.MAX_CUTOFF
-                        and eff_cut < q.size):
+                        and eff_cut < q.size and q.size > 160):
                     # banded fast path: exact when <= cutoff, masked after
                     out = _bk.lev_banded_1v_many(q.astype(np.int32),
                                                  self.cand3, self.lb2,
