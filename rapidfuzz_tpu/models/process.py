@@ -20,6 +20,7 @@ from ..utils import codec as _codec
 
 _SCORERS = {
     "levenshtein": levenshtein,
+    "ratio": indel,      # fuzz.ratio == indel normalized_similarity
     "indel": indel,
     "lcs_seq": lcs_seq,
     "osa": osa,
@@ -102,6 +103,8 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
           score_cutoff: Optional[float] = None):
     """Many-vs-many score matrix (+ validity mask under a cutoff)."""
     queries, choices = list(queries), list(choices)
+    if scorer == "ratio":
+        scorer = "indel"    # fuzz.ratio == indel normalized_similarity
     if (isinstance(scorer, str) and scorer in _SCANNER_METRICS
             and len(choices) >= 2):
         scores = _scanner_scores(scorer, queries, choices, score_kind)
