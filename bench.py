@@ -118,6 +118,14 @@ def _measure():
             lambda: jk.jaro_1v_many(query, cand3, lb2, mode=mode,
                                     staged=staged)[0])[0]
 
+    # roofline counters (SURVEY.md §5 observability): Myers W=2 models at
+    # ~50 VPU tile element-ops per text char per pair
+    vpu_ops_per_s = 9.6e11    # v5e: 8x128 lanes x ~940 MHz, single issue
+    model_ops_per_pair = 50 * LEN
+    extras["model_element_ops_per_pair"] = model_ops_per_pair
+    extras["vpu_roofline_fraction"] = (
+        pairs_per_s * model_ops_per_pair / vpu_ops_per_s)
+
     target = 1e9
     print(json.dumps({
         "metric": "levenshtein_pairs_per_sec_per_chip_len64",

@@ -10,6 +10,7 @@ across calls).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -311,6 +312,58 @@ class CorpusScanner:
         if score_cutoff is None:
             return d
         return _dispatch.BatchResult(*_c.mask_distance(d, score_cutoff))
+
+    def scan_many(self, queries, *, k: int | None = None,
+                  checkpoint_path: str | None = None,
+                  checkpoint_every: int = 256):
+        """Scan a stream of queries; optionally checkpoint + resume.
+
+        Returns ``[nq, n]`` distances (or, with ``k``, a pair of
+        ``[nq, k]`` value/index arrays).  With ``checkpoint_path``,
+        partial results are written every ``checkpoint_every`` queries and
+        an interrupted run resumes from the last checkpoint — the
+        SURVEY.md §5 note: the only state worth persisting is partial scan
+        output; corpus/PM state is cheap to rebuild, exactly like the
+        reference's ``BatchComparator``.
+        """
+        queries = list(queries)
+        nq = len(queries)
+        done = 0
+        if k is None:
+            vals = np.zeros((nq, self.n), np.float64)
+            ids = None
+        else:
+            vals = np.full((nq, k), np.inf)
+            ids = np.full((nq, k), -1, np.int64)
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if int(ck["n"]) == self.n and int(ck["nq"]) == nq \
+                    and (k or 0) == int(ck["k"]):
+                done = int(ck["done"])
+                vals[:done] = ck["vals"][:done]
+                if ids is not None:
+                    ids[:done] = ck["ids"][:done]
+
+        def _save(done):
+            if checkpoint_path is None:
+                return
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(tmp, n=self.n, nq=nq, k=k or 0, done=done, vals=vals,
+                     ids=ids if ids is not None else np.empty(0))
+            os.replace(tmp, checkpoint_path)
+
+        for qi in range(done, nq):
+            if k is None:
+                vals[qi] = self.distances(queries[qi])
+            else:
+                v, i = self.topk(queries[qi], k)
+                vals[qi, : len(v)] = v
+                ids[qi, : len(i)] = i
+            if checkpoint_path is not None \
+                    and (qi + 1) % checkpoint_every == 0:
+                _save(qi + 1)
+        _save(nq)
+        return vals if k is None else (vals, ids)
 
     def topk(self, query, k: int, *, score_cutoff=None):
         """(distances[k], corpus_indices[k]) of the k nearest strings.

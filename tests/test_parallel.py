@@ -153,6 +153,28 @@ def test_corpus_scanner_weighted(mesh):
             assert g == lev.distance("kitten", s, weights=w), (w, s, g)
 
 
+def test_scan_many_checkpoint_resume(mesh, tmp_path):
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape"]
+    queries = ["apple", "grape", "banana", "app", "orange", "pear"]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh, bucket=32)
+    full = sc.scan_many(queries)
+    for qi, q in enumerate(queries):
+        np.testing.assert_array_equal(full[qi], sc.distances(q))
+
+    ck = str(tmp_path / "scan.ck")
+    partial = sc.scan_many(queries, checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_array_equal(partial, full)
+    # resume: the completed checkpoint short-circuits recomputation
+    resumed = sc.scan_many(queries, checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_array_equal(resumed, full)
+
+    # top-k variant
+    vals, ids = sc.scan_many(queries, k=2)
+    v0, i0 = sc.topk(queries[0], 2)
+    np.testing.assert_array_equal(vals[0], v0)
+    np.testing.assert_array_equal(ids[0], i0)
+
+
 def test_multihost_single_process(mesh):
     """The multi-host runner degenerates to a single-process sharded scan
     on the virtual mesh (the real 2-host config shares this code path)."""
