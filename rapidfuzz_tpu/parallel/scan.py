@@ -147,9 +147,11 @@ class CorpusScanner:
         ndev = len(mesh.devices.flat)
 
         self._cmax = int(chars.max()) if chars.size else 0
+        # LB cap: a candidate block is LB/4 * 32 * 128 u32 = LB KB; past
+        # ~1024 the double-buffered blocks overflow VMEM -> XLA path
         self._pallas = (tpu_backend() and ndev == 1
                         and metric in _PALLAS_METRICS + _F64_METRICS
-                        and self._cmax < 256)
+                        and self._cmax < 256 and chars.shape[1] <= 1024)
         align = 4096 if self._pallas else ndev
         padded = -(-max(n, 1) // align) * align
         if padded != n:

@@ -271,6 +271,26 @@ def test_fuzz_ratio():
                       score_cutoff=s - 1e-9) == pytest.approx(s)
 
 
+# ------------------------------------------------------- bytes == chars
+
+def test_bytes_equal_chars():
+    """ASCII inputs must score identically as str, bytes, and int lists
+    (``_test_distance_ascii``, ``levenshtein.rs:1877-1890``)."""
+    from rapidfuzz_tpu.distance import levenshtein
+
+    cases = [("kitten", "sitting"), ("aaaa", "bbbb"), ("", "abc")]
+    for mod in (levenshtein, indel, osa, damerau_levenshtein, hamming):
+        for s1, s2 in cases:
+            if mod is hamming and len(s1) != len(s2):
+                continue
+            d = mod.distance(s1, s2)
+            assert mod.distance(s1.encode(), s2.encode()) == d
+            assert mod.distance([ord(c) for c in s1],
+                                [ord(c) for c in s2]) == d
+    assert jaro.similarity(b"charles", b"charlie") \
+        == jaro.similarity("charles", "charlie")
+
+
 # -------------------------------------------------------- unicode "fuzz"
 
 def test_unicode_fuzz_sweep(rng):

@@ -153,6 +153,18 @@ def test_corpus_scanner_weighted(mesh):
             assert g == lev.distance("kitten", s, weights=w), (w, s, g)
 
 
+def test_corpus_scanner_long_strings(mesh):
+    """Buckets beyond the Pallas VMEM cap fall back to the XLA path."""
+    rng = np.random.default_rng(5)
+    long1 = "".join(chr(97 + c) for c in rng.integers(0, 4, 1500))
+    long2 = long1[:700] + "x" * 5 + long1[705:]
+    corpus = [long1, long2, "short", ""]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh)
+    d = sc.distances(long1)
+    assert d[0] == 0 and d[1] == lev.distance(long1, long2)
+    assert d[2] == lev.distance(long1, "short") and d[3] == 1500
+
+
 def test_scan_many_checkpoint_resume(mesh, tmp_path):
     corpus = ["apple", "apply", "ape", "maple", "orange", "grape"]
     queries = ["apple", "grape", "banana", "app", "orange", "pear"]
