@@ -95,11 +95,12 @@ _F64_METRICS = ("jaro", "jaro_winkler")
 class CorpusScanner:
     """Precompiled one-vs-many scan over a device-resident sharded corpus.
 
-    The corpus is encoded once (padded int32 + lengths), placed sharded over
-    the mesh's ``data`` axis, and every query scan reuses the compiled
-    program — the BatchComparator pattern scaled out.  On TPU, Levenshtein /
-    indel / lcs_seq scans over byte-alphabet corpora run the Pallas kernels
-    (``ops/pallas``); other metrics and CPU meshes use the XLA kernels.
+    The corpus is encoded once (packed + length-sorted on TPU), placed
+    sharded over the mesh's ``data`` axis, and every query scan reuses the
+    compiled program — the BatchComparator pattern scaled out.  On a TPU
+    with a byte-alphabet corpus (chars < 256, bucket <= 1024) the scans run
+    the Pallas kernels (Levenshtein incl. weighted/banded, indel, lcs_seq,
+    OSA, Jaro family); otherwise the XLA kernels over the mesh.
     """
 
     def __init__(self, corpus, metric: str = "levenshtein",
