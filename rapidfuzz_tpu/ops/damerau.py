@@ -26,70 +26,71 @@ BIG = jnp.int32(1 << 28)
 
 
 def damerau_distance(a, la, b, lb):
-    """True unrestricted Damerau-Levenshtein distance -> int32[B]."""
+    """True unrestricted Damerau-Levenshtein distance -> int32[B].
+
+    All row-shaped state is padded to a multiple of 128 lanes (``RW``) so
+    every per-row op, gather, and associative scan stays lane-aligned on
+    TPU — with 65-wide rows each op pays a relayout and the whole scan
+    runs ~100x slower.  Columns are laid out at index ``j`` (1-based DP
+    column ``j`` at lane ``j``); lanes past ``LB`` hold inert values.
+    """
     LA = a.shape[-1]
     LB = b.shape[-1]
+    RW = max(128, -(-(LB + 1) // 128) * 128)             # padded row width
 
-    eq = (a[..., :, None] == b[..., None, :]) & (b[..., None, :] >= 0)
-    # eq[i, j] for i in 0..LA-1 (rows = a), j in 0..LB-1 (cols = b)
-    B = eq.shape[0]
+    B = max(a.shape[0], b.shape[0])
+    a_b = jnp.broadcast_to(a, (B, LA))
+    b_b = jnp.broadcast_to(b, (B, LB))
     la_b = jnp.broadcast_to(la, (B,))
     lb_b = jnp.broadcast_to(lb, (B,))
 
-    j1 = jnp.arange(1, LB + 1, dtype=jnp.int32)          # 1-based cols
-    # D rows are [B, LB+1], D[i][j] for j=0..LB
-    row0 = jnp.broadcast_to(jnp.arange(LB + 1, dtype=jnp.int32),
-                            (B, LB + 1)).astype(jnp.int32)
+    # candidate chars at lane j (1-based); lane 0 and lanes > LB never match
+    bpad = jnp.full((B, RW), jnp.int32(-2), jnp.int32)
+    bpad = lax.dynamic_update_slice(bpad, jnp.where(b_b < 0, -2, b_b),
+                                    (0, 1))
 
-    eq_t = jnp.moveaxis(eq, 1, 0)                        # [LA, B, LB]
+    jj = jnp.arange(RW, dtype=jnp.int32)                 # lane index == j
+    row0 = jnp.broadcast_to(jj, (B, RW)).astype(jnp.int32)
+
     iidx = jnp.arange(1, LA + 1, dtype=jnp.int32)        # 1-based rows
 
     init = (
-        row0,                                            # D_{i-1}
-        jnp.full((B, LB + 1), BIG, jnp.int32),           # D_{i-2} (unused at i=1)
-        jnp.zeros((B, LB), jnp.int32),                   # K: last row matching b[j]
-        jnp.full((B, LB), BIG, jnp.int32),               # FR[j] = D[k-1][j-2]
+        row0,                                            # D_{i-1}[j] at lane j
+        jnp.full((B, RW), BIG, jnp.int32),               # D_{i-2}
+        jnp.zeros((B, RW), jnp.int32),                   # K: last row matching b[j]
+        jnp.full((B, RW), BIG, jnp.int32),               # FR[j] = D[k-1][j-2]
     )
 
-    def step(carry, inp):
+    def step(carry, i):
         dim1, dim2, K, FR = carry
-        eq_i, i = inp                                    # eq_i: [B, LB]
+        ai = lax.dynamic_slice_in_dim(a_b, i - 1, 1, axis=1)   # [B, 1]
+        eq_i = ai == bpad                                # False at lane 0 / pads
         active = (i <= la_b)
 
-        # L[j]: last col < j (1-based) of current row matching a[i]
-        # exclusive cummax of j1 * eq_i along the row
-        match_pos = jnp.where(eq_i, j1, 0)
+        # L[j]: last col < j of this row matching a[i] (exclusive cummax)
+        match_pos = jnp.where(eq_i, jj, 0)
         cmax = lax.associative_scan(jnp.maximum, match_pos, axis=-1)
-        L = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), cmax[:, :-1]], axis=-1)
+        L = jnp.where(jj > 0, _shift_up(cmax), 0)
 
-        diag = dim1[:, :-1]                              # D_{i-1}[j-1]
-        up = dim1[:, 1:]                                 # D_{i-1}[j]
+        diag = _shift_up(dim1)                          # D_{i-1}[j-1]
         cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
-        cand = jnp.minimum(diag + cost, up + 1)
+        cand = jnp.minimum(diag + cost, dim1 + 1)
 
-        # transposition candidates (Zhao's two exclusive cases), only
-        # where chars differ
-        t = jnp.take_along_axis(
-            dim2, jnp.maximum(L - 1, 0), axis=-1)        # D_{i-2}[l-1]
+        # transposition candidates (Zhao's two exclusive cases)
+        t = jnp.take_along_axis(dim2, jnp.maximum(L - 1, 0), axis=-1)
         t = jnp.where(L >= 1, t, BIG)
-        case1 = jnp.where(j1[None, :] - L == 1, FR + (i - K), BIG)
-        case2 = jnp.where((i - K == 1) & (j1[None, :] - L != 1),
-                          t + (j1[None, :] - L), BIG)
+        case1 = jnp.where(jj - L == 1, FR + (i - K), BIG)
+        case2 = jnp.where((i - K == 1) & (jj - L != 1), t + (jj - L), BIG)
         tr = jnp.minimum(case1, case2)
         cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
+        cand = jnp.where(jj == 0, i, cand)               # new[0] = i
 
-        # left-neighbour: new[j] = min(cand[j], new[j-1]+1); new[0] = i
-        head = jnp.full((B, 1), i, jnp.int32)
-        tvec = jnp.concatenate([head, cand], axis=-1)    # [B, LB+1]
-        ramp = jnp.arange(LB + 1, dtype=jnp.int32)
-        new = lax.associative_scan(jnp.minimum, tvec - ramp, axis=-1) + ramp
+        # left-neighbour min-plus prefix: new[j] = min(cand[j], new[j-1]+1)
+        new = lax.associative_scan(jnp.minimum, cand - jj, axis=-1) + jj
 
         # state updates (after the row)
-        dim1_slice = jnp.concatenate(
-            [jnp.full((B, 1), BIG, jnp.int32), dim1[:, :-2]], axis=-1)
-        # dim1_slice[j-1] == D_{i-1}[j-2] for 1-based j (BIG for j==1)
-        FR_new = jnp.where(eq_i, dim1_slice, FR)
+        dim1_m2 = _shift_up(_shift_up(dim1))           # D_{i-1}[j-2]
+        FR_new = jnp.where(eq_i, dim1_m2, FR)
         K_new = jnp.maximum(K, jnp.where(eq_i, i, 0))
 
         sel = active[:, None]
@@ -101,7 +102,12 @@ def damerau_distance(a, la, b, lb):
         )
         return out, None
 
-    (dfinal, _, _, _), _ = lax.scan(step, init, (eq_t, iidx))
-    pos = jnp.arange(LB + 1, dtype=jnp.int32)
-    return jnp.sum(jnp.where(pos == lb_b[:, None], dfinal, 0),
+    (dfinal, _, _, _), _ = lax.scan(step, init, iidx)
+    return jnp.sum(jnp.where(jj == lb_b[:, None], dfinal, 0),
                    axis=-1, dtype=jnp.int32)
+
+
+def _shift_up(x):
+    """Shift lanes up by one (x[j] -> x[j+1]); lane 0 becomes BIG."""
+    r = jnp.roll(x, 1, axis=-1)
+    return r.at[:, 0].set(BIG)
