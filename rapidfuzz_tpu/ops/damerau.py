@@ -67,18 +67,29 @@ def damerau_distance(a, la, b, lb):
         eq_i = ai == bpad                                # False at lane 0 / pads
         active = (i <= la_b)
 
-        # L[j]: last col < j of this row matching a[i] (exclusive cummax)
-        match_pos = jnp.where(eq_i, jj, 0)
-        cmax = lax.associative_scan(jnp.maximum, match_pos, axis=-1)
-        L = jnp.where(jj > 0, _shift_up(cmax), 0)
+        # (L[j], t[j]) = (last col < j of this row matching a[i],
+        #                 D_{i-2}[L-1]) via one last-match propagation scan
+        # — a per-element gather here scalarises on TPU (~10 ns/elem) and
+        # dominated the whole kernel; the select-scan is 7 log-steps of
+        # vector ops instead
+        dim2_up = _shift_up(dim2)                        # D_{i-2}[j-1] at j
+        pos0 = jnp.where(eq_i, jj, 0)
+        val0 = jnp.where(eq_i, dim2_up, BIG)
+
+        def last_match(x, y):
+            xp, xv = x
+            yp, yv = y
+            take = yp > 0
+            return jnp.where(take, yp, xp), jnp.where(take, yv, xv)
+
+        spos, sval = lax.associative_scan(last_match, (pos0, val0), axis=-1)
+        L = jnp.where(jj == 0, 0, jnp.roll(spos, 1, -1))
+        t = jnp.where(jj == 0, BIG, jnp.roll(sval, 1, -1))
+        t = jnp.where(L >= 1, t, BIG)
 
         diag = _shift_up(dim1)                          # D_{i-1}[j-1]
         cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
         cand = jnp.minimum(diag + cost, dim1 + 1)
-
-        # transposition candidates (Zhao's two exclusive cases)
-        t = jnp.take_along_axis(dim2, jnp.maximum(L - 1, 0), axis=-1)
-        t = jnp.where(L >= 1, t, BIG)
         case1 = jnp.where(jj - L == 1, FR + (i - K), BIG)
         case2 = jnp.where((i - K == 1) & (jj - L != 1), t + (jj - L), BIG)
         tr = jnp.minimum(case1, case2)
@@ -110,4 +121,5 @@ def damerau_distance(a, la, b, lb):
 def _shift_up(x):
     """Shift lanes up by one (x[j] -> x[j+1]); lane 0 becomes BIG."""
     r = jnp.roll(x, 1, axis=-1)
-    return r.at[:, 0].set(BIG)
+    lane0 = jnp.arange(x.shape[-1], dtype=jnp.int32) == 0
+    return jnp.where(lane0, BIG, r)
