@@ -150,6 +150,22 @@ def test_staged_query_equivalence():
     np.testing.assert_array_equal(a, b)
 
 
+def test_wide_query_chars_never_match():
+    """Query codepoints above the byte range build no PM entries, so they
+    can never match byte candidates — but their positions still count."""
+    rng = np.random.default_rng(11)
+    q = np.array([0x416, 97, 98, 0x1F600, 99], np.int32)   # Ж a b emoji c
+    chars, lens = _mk(rng, B, 97, 123, 32)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=32)
+    out = np.asarray(lk.lev_1v_many(q, cand3, lb2, mode="byte",
+                                    interpret=True)).reshape(-1)
+    for i in list(range(0, B, 97)) + [0, 1]:
+        exp = oracle.levenshtein_uniform(
+            q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)
+
+
 def test_empty_query():
     rng = np.random.default_rng(4)
     chars, lens = _mk(rng, B, 97, 123, 32)
