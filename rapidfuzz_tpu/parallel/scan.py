@@ -92,6 +92,13 @@ _PALLAS_METRICS = ("levenshtein", "indel", "lcs_seq", "osa")
 _F64_METRICS = ("jaro", "jaro_winkler")
 
 
+def _lcs_run(scal, tabs, cand3, lb2, **statics):
+    """Signature adapter: the LCS kernel takes no scalar operand."""
+    from ..ops.pallas import lcs_kernel as _ck
+
+    return _ck._run(tabs, cand3, lb2, **statics)
+
+
 class CorpusScanner:
     """Precompiled one-vs-many scan over a device-resident sharded corpus.
 
@@ -149,11 +156,17 @@ class CorpusScanner:
 
         self._cmax = int(chars.max()) if chars.size else 0
         # LB cap: a candidate block is LB/4 * 32 * 128 u32 = LB KB; past
-        # ~1024 the double-buffered blocks overflow VMEM -> XLA path
-        self._pallas = (tpu_backend() and ndev == 1
+        # ~1024 the double-buffered blocks overflow VMEM -> XLA path.
+        # RAPIDFUZZ_TPU_FORCE_PALLAS=interpret runs the Pallas path in
+        # interpreter mode off-TPU (tests exercise the mesh composition)
+        force = os.environ.get("RAPIDFUZZ_TPU_FORCE_PALLAS")
+        self._interpret = force == "interpret"
+        self._pallas = ((tpu_backend() or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
                         and self._cmax < 256 and chars.shape[1] <= 1024)
-        align = 4096 if self._pallas else ndev
+        self._ndev = ndev
+        self._smap_cache = {}
+        align = 4096 * ndev if self._pallas else ndev
         padded = -(-max(n, 1) // align) * align
         if padded != n:
             chars = np.concatenate(
@@ -169,14 +182,25 @@ class CorpusScanner:
             from ..ops.pallas import lev_kernel as _lk
             # length-sort so each (32,128) kernel tile stops at its own
             # longest candidate (the kernels' dynamic trip count); padding
-            # rows (length 0) sort to the front and are masked by _valid
-            self._order = np.argsort(lens, kind="stable")
+            # rows (length 0) sort to the front and are masked by _valid.
+            # On a mesh, round-robin the sorted order across shards so
+            # every shard carries a similar length distribution (the
+            # longest shard is the scan's critical path).
+            order = np.argsort(lens, kind="stable")
+            if ndev > 1:
+                order = np.concatenate([order[k::ndev] for k in range(ndev)])
+            self._order = order
             self._valid = self._order < n
             chars = chars[self._order]
             lens = lens[self._order]
             self._LB = chars.shape[1]
             cand3, lb2 = _lk.prepare_corpus(
                 jnp.asarray(chars), jnp.asarray(lens), LB=self._LB)
+            if ndev > 1:
+                cand3 = jax.device_put(
+                    cand3, NamedSharding(mesh, P(None, "data", None)))
+                lb2 = jax.device_put(
+                    lb2, NamedSharding(mesh, P("data", None)))
             self.cand3 = jax.block_until_ready(cand3)
             self.lb2 = lb2
             self.lens = jax.device_put(lens, shard1)
@@ -200,6 +224,30 @@ class CorpusScanner:
             else:
                 fn = _distance_fn(metric)
             self._fn = jax.jit(fn, out_shardings=shard1)
+
+    def _pallas_sharded(self, run_fn, scal, tabs, statics: dict, nouts=1):
+        """Run a Pallas ``_run`` over the mesh-sharded packed corpus.
+
+        Each shard executes the kernel on its local candidate slice
+        (``shard_map`` over the ``data`` axis; query scalars + PM tables
+        replicated) — the Pallas path composes with multi-chip meshes
+        instead of falling back to the XLA kernels.
+        """
+        key = (run_fn, tuple(sorted(statics.items())), nouts)
+        f = self._smap_cache.get(key)
+        if f is None:
+            def local(s, tb, c3, l2):
+                return run_fn(s, tb, c3, l2, **statics)
+
+            ospec = P("data", None)
+            # check_vma off: pallas_call out_shapes carry no vma annotation
+            f = jax.jit(jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(), P(), P(None, "data", None), P("data", None)),
+                out_specs=ospec if nouts == 1 else (ospec, ospec),
+                check_vma=False))
+            self._smap_cache[key] = f
+        return f(scal, tabs, self.cand3, self.lb2)
 
     def _encode_query(self, query):
         q = _codec.encode_one(query)
@@ -242,13 +290,16 @@ class CorpusScanner:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck
             mode = _lk.pick_mode(q, self._cmax)
+            if self._ndev > 1:
+                return self._dist_pallas_mesh(q, mode)
             if self.metric == "levenshtein":
                 if self._weights is not None:
                     from ..ops.pallas import wlev_kernel as _wk
                     ins, dele, sub = self._weights
                     out = _wk.wlev_1v_many(q.astype(np.int32), self.cand3,
                                            self.lb2, ins=ins, dele=dele,
-                                           sub_cost=sub, mode=mode)
+                                           sub_cost=sub, mode=mode,
+                                           interpret=self._interpret)
                     return out.reshape(-1)
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
@@ -262,25 +313,29 @@ class CorpusScanner:
                     out = _bk.lev_banded_1v_many(q.astype(np.int32),
                                                  self.cand3, self.lb2,
                                                  cutoff=int(eff_cut),
-                                                 mode=mode)
+                                                 mode=mode,
+                                                 interpret=self._interpret)
                     return out.reshape(-1)
-                out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode)
+                out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode,
+                                      interpret=self._interpret)
                 if self._wscale != 1:
                     out = out * self._wscale
                 return out.reshape(-1)
             if self.metric == "osa":
                 from ..ops.pallas import osa_kernel as _ok
-                out = _ok.osa_1v_many(q, self.cand3, self.lb2, mode=mode)
+                out = _ok.osa_1v_many(q, self.cand3, self.lb2, mode=mode,
+                                      interpret=self._interpret)
                 return out.reshape(-1)
             if self.metric in _F64_METRICS:
                 from ..ops.pallas import jaro_kernel as _jk
                 common, trans = _jk.jaro_1v_many(q.astype(np.int32),
                                                  self.cand3, self.lb2,
-                                                 mode=mode)
+                                                 mode=mode,
+                                                 interpret=self._interpret)
                 return self._jaro_finish(common.reshape(-1),
                                          trans.reshape(-1), q)
-            sim = _ck.lcs_1v_many(q, self.cand3, self.lb2,
-                                  mode=mode).reshape(-1)
+            sim = _ck.lcs_1v_many(q, self.cand3, self.lb2, mode=mode,
+                                  interpret=self._interpret).reshape(-1)
             la = q.size
             lb = self.lens.astype(jnp.int32)
             if self.metric == "indel":
@@ -293,6 +348,69 @@ class CorpusScanner:
             return self._jaro_finish(common, trans, q)
         d = self._fn(qc, ql, self.chars, self.lens)
         return d * self._wscale if self._wscale != 1 else d
+
+    def _dist_pallas_mesh(self, q, mode):
+        """Pallas scan over a multi-device mesh (per-shard kernels)."""
+        from ..ops.pallas import jaro_kernel as _jk
+        from ..ops.pallas import lev_kernel as _lk
+        from ..ops.pallas import osa_kernel as _ok
+        from ..ops.pallas import wlev_kernel as _wk
+
+        la = int(q.size)
+        q32 = q.astype(np.int32)
+        LB = self._LB
+        W = max(1, -(-max(la, 1) // 32))
+        ntab = 2 if mode == "byte" else 1
+        tabs = jnp.asarray(_lk.build_pm_tables(q32, mode))
+        scal = jnp.array([la], jnp.int32)
+        unroll = _lk.pick_unroll(LB)
+        lens = self.lens.astype(jnp.int32)
+
+        if self.metric == "levenshtein" and self._weights is not None:
+            ins, dele, sub = self._weights
+            scal4 = jnp.array([la, ins, dele, sub], jnp.int32)
+            out = self._pallas_sharded(
+                _wk._run, scal4, tabs,
+                dict(LA=W * 32, LB=LB, W=W, ntab=ntab,
+                     interpret=self._interpret))
+            return out.reshape(-1)
+        if la == 0:
+            if self.metric == "lcs_seq":
+                return lens
+            if self.metric == "indel":
+                return lens * self._wscale
+            if self.metric in _F64_METRICS:
+                return self._jaro_finish(
+                    np.zeros(lens.shape[0], np.int32),
+                    np.zeros(lens.shape[0], np.int32), q)
+            return (lens * self._wscale).astype(jnp.int32)  # lev/osa
+        if self.metric == "levenshtein":
+            out = self._pallas_sharded(
+                _lk._run, scal, tabs,
+                dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
+                     interpret=self._interpret))
+            out = out.reshape(-1)
+            return out * self._wscale if self._wscale != 1 else out
+        if self.metric == "osa":
+            out = self._pallas_sharded(
+                _ok._run, scal, tabs,
+                dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
+                     interpret=self._interpret))
+            return out.reshape(-1)
+        if self.metric in _F64_METRICS:
+            common, trans = self._pallas_sharded(
+                _jk._run, scal, tabs, dict(LB=LB, W=W, ntab=ntab, interpret=self._interpret),
+                nouts=2)
+            return self._jaro_finish(np.asarray(common).reshape(-1),
+                                     np.asarray(trans).reshape(-1), q)
+        sim = self._pallas_sharded(
+            _lcs_run, scal, tabs,
+            dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
+                     interpret=self._interpret)).reshape(-1)
+        if self.metric == "indel":
+            d = la + lens - 2 * sim
+            return d * self._wscale if self._wscale != 1 else d
+        return jnp.maximum(la, lens) - sim               # lcs_seq
 
     def distances(self, query, *, score_cutoff=None):
         """Distances to every corpus string.

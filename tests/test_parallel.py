@@ -187,6 +187,36 @@ def test_scan_many_checkpoint_resume(mesh, tmp_path):
     np.testing.assert_array_equal(ids[0], i0)
 
 
+def test_pallas_mesh_composition(mesh, monkeypatch):
+    """Pallas kernels under shard_map over the 8-device mesh (interpret
+    mode stands in for multi-chip hardware)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(2)
+    corpus = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(l)))
+              for l in rng.integers(1, 30, 64)]
+    corpus += ["kitten", ""]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh, bucket=32)
+    assert sc._pallas and sc._ndev == 8
+    d = sc.distances("kitten")
+    for i in list(range(0, len(corpus), 7)) + [len(corpus) - 2,
+                                               len(corpus) - 1]:
+        assert d[i] == lev.distance("kitten", corpus[i]), (i, corpus[i])
+    vals, ids = sc.topk("kitten", k=2)
+    assert corpus[ids[0]] == "kitten" and vals[0] == 0
+
+    sc2 = CorpusScanner(corpus, metric="indel", mesh=mesh, bucket=32)
+    from rapidfuzz_tpu.distance import indel as indel_mod
+    d2 = sc2.distances("kitten")
+    for i in range(0, len(corpus), 9):
+        assert d2[i] == indel_mod.distance("kitten", corpus[i])
+
+    from rapidfuzz_tpu.distance import jaro as jaro_mod
+    sc3 = CorpusScanner(corpus, metric="jaro", mesh=mesh, bucket=32)
+    d3 = sc3.distances("kitten")
+    for i in range(0, len(corpus), 11):
+        assert d3[i] == jaro_mod.distance("kitten", corpus[i]), (i, corpus[i])
+
+
 def test_multihost_single_process(mesh):
     """The multi-host runner degenerates to a single-process sharded scan
     on the virtual mesh (the real 2-host config shares this code path)."""
