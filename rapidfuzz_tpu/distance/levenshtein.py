@@ -67,14 +67,18 @@ class Args(_c.ArgsBase):
         return new
 
 
-def maximum(len1: int, len2: int, weights: WeightTable = _UNIFORM) -> int:
-    """Maximum possible distance (``levenshtein.rs:263-277``)."""
+def maximum(len1, len2, weights: WeightTable = _UNIFORM):
+    """Maximum possible distance (``levenshtein.rs:263-277``); vectorises
+    over numpy length arrays."""
     ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
                       weights.substitution_cost)
-    max_dist = len1 * dele + len2 * ins
-    if len1 >= len2:
-        return min(max_dist, len2 * sub + (len1 - len2) * dele)
-    return min(max_dist, len1 * sub + (len2 - len1) * ins)
+    l1 = np.asarray(len1, np.int64)
+    l2 = np.asarray(len2, np.int64)
+    max_dist = l1 * dele + l2 * ins
+    alt = np.where(l1 >= l2, l2 * sub + (l1 - l2) * dele,
+                   l1 * sub + (l2 - l1) * ins)
+    out = np.minimum(max_dist, alt)
+    return int(out) if out.ndim == 0 else out
 
 
 # ------------------------------------------------------------- scalar core
@@ -178,6 +182,22 @@ def _raw_distance_batch(c1, l1, c2, l2, weights: WeightTable) -> np.ndarray:
             sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
             return (l1.astype(np.int64) + l2.astype(np.int64)
                     - 2 * sim.astype(np.int64)) * ins
+    # the device Wagner-Fischer kernels carry int32 cells; when the worst
+    # case D[0][LB] = LB*ins (+ headroom) could wrap, compute the batch on
+    # the int64 host oracle instead of silently overflowing
+    bound = (int(c1.shape[-1]) * max(dele, sub, 1)
+             + int(c2.shape[-1]) * max(ins, sub, 1))
+    if bound >= 2 ** 31:
+        B = max(len(l1), len(l2))
+        c1b = np.broadcast_to(c1, (B, c1.shape[-1]))
+        c2b = np.broadcast_to(c2, (B, c2.shape[-1]))
+        l1b = np.broadcast_to(l1, (B,))
+        l2b = np.broadcast_to(l2, (B,))
+        return np.array([
+            _oracle.levenshtein_weighted(
+                c1b[i, : l1b[i]].astype(np.int64),
+                c2b[i, : l2b[i]].astype(np.int64), ins, dele, sub)
+            for i in range(B)], np.int64)
     d = _dispatch.run_pairs(_ops.weighted_distance, c1, l1, c2, l2,
                             ins=ins, dele=dele, sub=sub)
     return d.astype(np.int64)
@@ -189,9 +209,7 @@ def _batch_raw(s1s, s2s, weights: WeightTable):
     B = max(len(l1), len(l2))
     l1b = np.broadcast_to(l1, (B,)).astype(np.int64)
     l2b = np.broadcast_to(l2, (B,)).astype(np.int64)
-    mx = np.array([maximum(int(x), int(y), weights)
-                   for x, y in zip(l1b, l2b)], np.int64)
-    return dist, mx
+    return dist, maximum(l1b, l2b, weights)
 
 
 def distance_many(s1s, s2s, *, weights: WeightTable = _UNIFORM,
@@ -277,7 +295,6 @@ class BatchComparator:
                                 ) -> _dispatch.BatchResult:
         c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
         dist = _raw_distance_batch(c1, l1, c2, l2, self._weights)
-        mx = np.array([maximum(int(l1[0]), int(n), self._weights)
-                       for n in l2], np.int64)
+        mx = maximum(np.int64(l1[0]), l2.astype(np.int64), self._weights)
         nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
         return _dispatch.BatchResult(*_c.mask_similarity(1.0 - nd, score_cutoff))

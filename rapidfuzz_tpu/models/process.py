@@ -75,7 +75,7 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
     from ..parallel.scan import CorpusScanner
 
     scanner = CorpusScanner(choices, metric=name)
-    lens2 = np.array([_codec.encode_one(c).size for c in choices], np.int64)
+    lens2 = scanner.lengths.astype(np.int64)
     out = np.empty((len(queries), len(choices)), np.float64)
     for qi, q in enumerate(queries):
         d = np.asarray(scanner.distances(q))

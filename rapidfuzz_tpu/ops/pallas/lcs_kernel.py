@@ -52,14 +52,14 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
             else:
                 pmw = t0
             sw = s[w]
-            u = sw & pmw
-            x1 = sw + u
+            um = sw & pmw
+            x1 = sw + um
             c1 = (x1 < sw).astype(jnp.uint32)
             x2 = x1 + carry
             c2 = (x2 < x1).astype(jnp.uint32)
             carry = c1 | c2
             # must mask: the s-state IS the result accumulator
-            new_s.append(jnp.where(active, x2 | (sw - u), sw))
+            new_s.append(jnp.where(active, x2 | (sw - um), sw))
         return new_s
 
     def body(jj, state):
@@ -84,6 +84,7 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
                                     "interpret"))
 def _run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
          interpret=False):
+    assert unroll % 4 == 0, "packed-row indexing needs unroll % 4 == 0"
     nblocks = cand3.shape[1] // sub
     kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
                              sub=sub)

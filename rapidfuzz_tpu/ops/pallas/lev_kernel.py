@@ -138,6 +138,7 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
                                     "interpret"))
 def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll=UNROLL, sub=SUB,
          interpret=False):
+    assert unroll % 4 == 0, "packed-row indexing needs unroll % 4 == 0"
     nblocks = cand3.shape[1] // sub
     kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
                              sub=sub)
@@ -188,10 +189,14 @@ def unpack_byte(row, j: int):
 
 
 def pick_unroll(LB: int) -> int:
-    for u in (UNROLL, 8, 4, 2, 1):
+    """Text-loop unroll factor; must stay a multiple of 4 — the packed
+    corpus rows hold 4 chars, and the kernels' row/byte indexing assumes
+    ``u % 4`` is the byte slot (codec buckets are multiples of 32, so 16
+    always divides LB in practice)."""
+    for u in (UNROLL, 8, 4):
         if LB % u == 0:
             return u
-    return 1
+    raise ValueError(f"candidate bucket {LB} must be a multiple of 4")
 
 
 def pick_mode(query: np.ndarray, corpus_max: int) -> str:

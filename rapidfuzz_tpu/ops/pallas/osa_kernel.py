@@ -108,6 +108,7 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
                                     "interpret"))
 def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
          interpret=False):
+    assert unroll % 4 == 0, "packed-row indexing needs unroll % 4 == 0"
     nblocks = cand3.shape[1] // sub
     kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
                              sub=sub)

@@ -131,6 +131,10 @@ def wlev_1v_many(query: np.ndarray, cand3, lb2, *, ins: int, dele: int,
     """
     q = np.asarray(query)
     la = int(q.size)
+    LBc = int(cand3.shape[0]) * 4
+    if la * max(dele, sub_cost, 1) + LBc * max(ins, sub_cost, 1) >= 2 ** 31:
+        raise ValueError("weight table too large for the int32 device DP; "
+                         "use the scalar API for costs of this magnitude")
     if la == 0:
         return (jnp.broadcast_to(lb2, lb2.shape) * np.int32(ins)).astype(
             jnp.int32)

@@ -152,6 +152,7 @@ class CorpusScanner:
                     for a in arrs]
         chars, lens = _codec.pad_batch(arrs, bucket)
         n = len(lens)
+        self.lengths = lens[:n].copy()     # host lengths, corpus order
         ndev = len(mesh.devices.flat)
 
         self._cmax = int(chars.max()) if chars.size else 0
@@ -258,6 +259,17 @@ class CorpusScanner:
             # element uses, so they can never match
             miss = self._vocab[idx] != q
             q = np.where(miss, np.int64(len(self._vocab)), idx)
+        elif q.size:
+            # corpus was NOT vocab-remapped: query chars outside the int32
+            # corpus domain can never match any corpus char, so map them
+            # to one never-matching sentinel (query-internal equality is
+            # irrelevant to every metric).  Without this, downstream
+            # pad_batch would remap the query alone and silently break
+            # cross-equality with the corpus.
+            bad = (q < 0) | (q > np.iinfo(np.int32).max)
+            if bad.any():
+                q = np.where(bad, np.int64(min(self._cmax + 1,
+                                               np.iinfo(np.int32).max)), q)
         return q
 
     def _jaro_finish(self, common, trans, q):

@@ -53,15 +53,24 @@ def encode_one(s) -> np.ndarray:
         return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.int64)
     if isinstance(s, np.ndarray):
         if s.dtype == np.uint64:
-            # uint64 values above int64 range: go through object ints exactly
+            # uint64 values above int64 range are bit-cast into the
+            # negative int64 half: equality-preserving among u64 inputs
+            # (negative carriers then go through the vocab remap).  Note
+            # the one documented corner: a u64 value and the i64 value
+            # with the same bit pattern would compare equal, where the
+            # reference's Hash enum keeps them distinct (lib.rs:102-120).
             if s.size and s.max() > np.iinfo(np.int64).max:
-                raise OverflowError(
-                    "uint64 elements above int64 range need vocab encoding; "
-                    "pass via encode_batch")
+                return s.view(np.int64)
             return s.astype(np.int64)
         return s.astype(np.int64)
     seq = list(s)
-    return np.array(seq, dtype=np.int64) if seq else np.empty(0, np.int64)
+    if not seq:
+        return np.empty(0, np.int64)
+    try:
+        return np.array(seq, dtype=np.int64)
+    except OverflowError:
+        # python ints beyond int64: same u64 bit-cast path
+        return np.array(seq, dtype=np.uint64).view(np.int64)
 
 
 def _needs_remap(arrs: Sequence[np.ndarray]) -> bool:

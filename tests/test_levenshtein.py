@@ -159,6 +159,27 @@ def test_batch_comparator_matches_scalar(rng):
         assert bc.distance(s) == lev.distance(q, s)
 
 
+def test_huge_weight_costs_no_overflow():
+    """Regression: the int32 device DP must not silently wrap for large
+    cost tables — the batch path falls back to the int64 oracle."""
+    w = lev.WeightTable(2 * 10 ** 7, 2 * 10 ** 7, 3 * 10 ** 7)
+    s1, s2 = "a" * 300, "b" * 300
+    exp = lev.distance(s1, s2, weights=w)
+    assert exp == 9_000_000_000
+    assert lev.distance_many([s1], [s2], weights=w).values[0] == exp
+
+
+def test_uint64_overflow_values():
+    """Regression: u64 values above int64 are bit-cast (equality
+    preserved) instead of raising OverflowError."""
+    big = 2 ** 64 - 1
+    a = np.array([big, 5], np.uint64)
+    b = np.array([big, 6], np.uint64)
+    assert lev.distance(a, b) == 1
+    assert lev.distance_many([a], [b]).values[0] == 1
+    assert lev.distance([big, 5], [big, 5]) == 0   # python ints > 2**63
+
+
 def test_int_sequences():
     assert lev.distance([1, 2, 3], [1, 2, 4]) == 1
     assert lev.distance(b"kitten", b"sitting") == 3

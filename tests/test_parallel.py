@@ -83,6 +83,18 @@ def test_corpus_scanner_jaro_family(mesh):
                                          prefix_weight=0.2)
 
 
+def test_query_outside_corpus_domain(mesh):
+    """Regression: a query with negative/out-of-int32 chars against an
+    UN-remapped corpus must not be vocab-remapped alone (that broke char
+    equality and returned distance 3 instead of 1 here)."""
+    sc = CorpusScanner(["ab", "xy"], metric="levenshtein", mesh=mesh,
+                       bucket=32)
+    np.testing.assert_array_equal(
+        sc.distances(np.array([-7, 97, 98])), [1, 3])
+    np.testing.assert_array_equal(
+        sc.distances(np.array([2 ** 40, 97, 98])), [1, 3])
+
+
 def test_corpus_scanner_vocab_remap(mesh):
     """Corpus elements above int32 go through a shared dense vocab; queries
     must map through the same vocab (SURVEY.md hard part #4)."""
