@@ -37,12 +37,12 @@ def jaro_components(a, la, b, lb):
     """
     LA = a.shape[-1]
     LB = b.shape[-1]
-    eq = (b[..., :, None] == a[..., None, :]) & (a[..., None, :] >= 0)
-    B = eq.shape[0]
+    B = max(a.shape[0], b.shape[0])
     la_b = jnp.broadcast_to(la, (B,)).astype(jnp.int32)
     lb_b = jnp.broadcast_to(lb, (B,)).astype(jnp.int32)
     a_b = jnp.broadcast_to(a, (B, LA))
     b_b = jnp.broadcast_to(b, (B, LB))
+    amask = a_b >= 0
 
     # window bound + truncation (jaro.rs:457-470); bound clamps at 0 for
     # the 1x1 case which the formula then resolves exactly
@@ -58,14 +58,16 @@ def jaro_components(a, la, b, lb):
     prefix = jnp.sum(jnp.cumprod(pre_eq.astype(jnp.int32), axis=-1),
                      axis=-1, dtype=jnp.int32)
 
-    # greedy flagging scan over text positions
+    # greedy flagging scan over text positions; the per-step eq row is
+    # computed in-scan (materialising [LB, B, LA] costs LB x the memory
+    # and was the dominant cost for large batches)
     ii = jnp.arange(LA, dtype=jnp.int32)
-    eq_t = jnp.moveaxis(eq, 1, 0)               # [LB, B, LA]
     js = jnp.arange(LB, dtype=jnp.int32)
 
-    def step(carry, inp):
+    def step(carry, j):
         pflag, tflag = carry
-        eq_j, j = inp
+        bj = lax.dynamic_slice_in_dim(b_b, j, 1, axis=1)     # [B, 1]
+        eq_j = (bj == a_b) & amask
         active = (j >= prefix) & (j < len2)
         window = (ii[None, :] >= (j - bound)[:, None]) & \
                  (ii[None, :] <= (j + bound)[:, None]) & \
@@ -81,7 +83,7 @@ def jaro_components(a, la, b, lb):
 
     pflag0 = jnp.zeros((B, LA), bool)
     tflag0 = jnp.zeros((B, LB), bool)
-    (pflag, tflag), _ = lax.scan(step, (pflag0, tflag0), (eq_t, js))
+    (pflag, tflag), _ = lax.scan(step, (pflag0, tflag0), js)
 
     nflag = jnp.sum(pflag, axis=-1, dtype=jnp.int32)
     common = prefix + nflag
