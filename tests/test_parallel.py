@@ -199,6 +199,38 @@ def test_scan_many_checkpoint_resume(mesh, tmp_path):
     np.testing.assert_array_equal(ids[0], i0)
 
 
+def test_pallas_single_device_routing(monkeypatch):
+    """The full single-device Pallas routing (the real-TPU code path) in
+    interpret mode: every metric route, weighted reductions, and the
+    cutoff mask."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance import (indel as indel_mod, jaro as jaro_mod,
+                                        osa as osa_mod)
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    corpus = ["sitting", "mitten", "kitchen", "apple", ""]
+    for metric, mod in [("levenshtein", lev), ("osa", osa_mod),
+                        ("indel", indel_mod), ("jaro", jaro_mod)]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=m1, bucket=32)
+        assert sc._pallas and sc._ndev == 1
+        d = sc.distances("kitten")
+        for s, g in zip(corpus, d):
+            assert g == mod.distance("kitten", s), (metric, s)
+    # weighted route (wlev kernel) + algebraic reduction + cutoff mask
+    w = WeightTable(1, 2, 3)
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, bucket=32,
+                       weights=w)
+    d = sc.distances("kitten")
+    for s, g in zip(corpus, d):
+        assert g == lev.distance("kitten", s, weights=w), s
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, bucket=32)
+    res = sc.distances("kitten", score_cutoff=2)
+    assert res.tolist() == [lev.distance("kitten", s, score_cutoff=2)
+                            for s in corpus]
+
+
 def test_pallas_mesh_composition(mesh, monkeypatch):
     """Pallas kernels under shard_map over the 8-device mesh (interpret
     mode stands in for multi-chip hardware)."""
