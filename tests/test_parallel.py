@@ -192,6 +192,19 @@ def test_scan_many_checkpoint_resume(mesh, tmp_path):
     resumed = sc.scan_many(queries, checkpoint_path=ck, checkpoint_every=2)
     np.testing.assert_array_equal(resumed, full)
 
+    # genuine mid-run resume: poison the first two completed rows in a
+    # hand-written checkpoint; a resumed run must keep them (proof it
+    # resumes rather than recomputes) and fill the rest correctly
+    poisoned = full.copy()
+    poisoned[:2] = 123.0
+    np.savez(ck + ".tmp.npz", n=sc.n, nq=len(queries), k=0, done=2,
+             vals=poisoned, ids=np.empty(0))
+    import os as _os
+    _os.replace(ck + ".tmp.npz", ck)
+    resumed2 = sc.scan_many(queries, checkpoint_path=ck, checkpoint_every=2)
+    np.testing.assert_array_equal(resumed2[:2], poisoned[:2])
+    np.testing.assert_array_equal(resumed2[2:], full[2:])
+
     # top-k variant
     vals, ids = sc.scan_many(queries, k=2)
     v0, i0 = sc.topk(queries[0], 2)
