@@ -35,7 +35,8 @@ def main():
     last = ""
     for attempt in range(3):
         try:
-            p = subprocess.run([sys.executable, "-u", __file__], env=env,
+            p = subprocess.run([sys.executable, "-u", __file__,
+                                *sys.argv[1:]], env=env,
                                capture_output=True, text=True, timeout=240)
             for line in reversed(p.stdout.splitlines()):
                 if line.startswith("{"):
@@ -79,6 +80,13 @@ def _measure():
                                          corpus[i].astype(np.int64))
         assert flat[i] == exp, (i, flat[i], exp)
 
+    # --profile <dir>: wrap the timed windows in a jax.profiler trace
+    # (SURVEY.md §5 observability; view with tensorboard/xprof)
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+        jax.profiler.start_trace(profile_dir)
+
     iters = 10 if not interpret else 1
     windows = 3 if not interpret else 1
 
@@ -117,6 +125,10 @@ def _measure():
         extras["jaro_pairs_per_s"] = rate(
             lambda: jk.jaro_1v_many(query, cand3, lb2, mode=mode,
                                     staged=staged)[0])[0]
+
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+        extras["profile_dir"] = profile_dir
 
     # roofline counters (SURVEY.md §5 observability): Myers W=2 models at
     # ~50 VPU tile element-ops per text char per pair
