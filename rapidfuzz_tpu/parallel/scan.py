@@ -165,9 +165,19 @@ class CorpusScanner:
         self._pallas = ((tpu_backend() or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
                         and self._cmax < 256 and chars.shape[1] <= 1024)
+        # the Damerau kernel keeps DP columns on the lane axis: any int32
+        # alphabet, candidates <= 127 chars, 32 per tile
+        self._dam_pallas = ((tpu_backend() or bool(force)) and ndev == 1
+                            and metric == "damerau_levenshtein"
+                            and chars.shape[1] <= 127)
         self._ndev = ndev
         self._smap_cache = {}
-        align = 4096 * ndev if self._pallas else ndev
+        if self._pallas:
+            align = 4096 * ndev
+        elif self._dam_pallas:
+            align = 32
+        else:
+            align = ndev
         padded = -(-max(n, 1) // align) * align
         if padded != n:
             chars = np.concatenate(
@@ -208,6 +218,12 @@ class CorpusScanner:
             if metric in _F64_METRICS:
                 self._lens_host = lens
                 self._chars4 = chars[:, :4].copy()
+        elif self._dam_pallas:
+            from ..ops.pallas import damerau_kernel as _dk
+            bt, lt = _dk.prepare_corpus_cols(chars, lens)
+            self._dam_b = jax.block_until_ready(jnp.asarray(bt))
+            self._dam_lb = jnp.asarray(lt)
+            self.lens = jax.device_put(lens, shard1)
         elif metric in _F64_METRICS:
             self.chars = jax.device_put(chars, shard)
             self.lens = jax.device_put(lens, shard1)
@@ -298,6 +314,10 @@ class CorpusScanner:
             return np.zeros(int(np.prod(self.lb2.shape))
                             if self._pallas else self.lens.shape[0],
                             np.int64)
+        if self._dam_pallas:
+            from ..ops.pallas import damerau_kernel as _dk
+            return _dk.damerau_1v_many(q, self._dam_b, self._dam_lb,
+                                       interpret=self._interpret)
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck

@@ -244,6 +244,27 @@ def test_pallas_single_device_routing(monkeypatch):
                             for s in corpus]
 
 
+def test_damerau_pallas_routing(monkeypatch):
+    """The lane-column Damerau Pallas kernel through the scanner
+    (interpret mode), including a unicode corpus (no byte restriction)."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance import damerau_levenshtein as dam
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    corpus = ["abaa", "baaa", "CA", "", "Петрунко", "kitten", "ktiten"]
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein", mesh=m1,
+                       bucket=32)
+    assert sc._dam_pallas
+    for query in ["aaaa", "AC", "Иванко", "kitten"]:
+        d = sc.distances(query)
+        for s, g in zip(corpus, d):
+            assert g == dam.distance(query, s), (query, s, g)
+    vals, ids = sc.topk("kitten", k=2)
+    assert corpus[ids[0]] == "kitten" and vals[0] == 0
+    assert corpus[ids[1]] == "ktiten" and vals[1] == 1   # transposition
+
+
 def test_pallas_mesh_composition(mesh, monkeypatch):
     """Pallas kernels under shard_map over the 8-device mesh (interpret
     mode stands in for multi-chip hardware)."""
