@@ -14,10 +14,10 @@ orientation makes every per-row structure a plain vector op:
 * the query walks one char per ``fori_loop`` row step (SMEM scalar
   reads), so trips == the true query length.
 
-~100 VPU tile-ops per query row per 32-candidate tile ≈ 1M+ pairs/s for
-len-64 — vs ~0.07-0.27M for the XLA scan and ~0.02M for reference-class
-CPU code.  O(N·M) like the reference; use the bit-parallel kernels for
-metrics that admit them.
+Measured ~0.4M pairs/s for len-64 on v5e — vs ~0.07-0.27M for the XLA
+scan and ~0.02M for reference-class CPU code.  O(N·M) like the reference;
+use the bit-parallel kernels for metrics that admit them.  First compile
+of the kernel is slow through the remote tunnel (~5 min; cached after).
 """
 
 from __future__ import annotations
@@ -36,14 +36,14 @@ BIG = np.int32(1 << 28)
 MAX_TEXT = LANE - 1
 
 
-def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, *, sub: int):
+def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int):
     la = la_ref[0]
     b_tile = b_ref[:, :]                     # [sub, 128] candidate chars
     lb = lb_ref[:, :]                        # [sub, 128] lengths (bcast)
     jj = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
 
     def shift_up(x, sh, fill):
-        r = jnp.roll(x, sh, axis=1)
+        r = pltpu.roll(x, sh, 1)
         return jnp.where(jj >= sh, r, fill)
 
     def last_match_scan(pos, val):
@@ -64,16 +64,19 @@ def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, *, sub: int):
             y = jnp.minimum(y, shift_up(y, sh, BIG))
         return y + jj
 
-    row0 = jj                                # D[0][j] = j
-    init = (
-        row0,                                # D_{i-1}
-        jnp.full((sub, LANE), BIG, jnp.int32),   # D_{i-2}
-        jnp.zeros((sub, LANE), jnp.int32),   # K[j]: last row matching b[j]
-        jnp.full((sub, LANE), BIG, jnp.int32),   # FR[j] = D[k-1][j-2]
-    )
+    # carries live in VMEM scratch (not fori_loop carries): iota/constant
+    # inits otherwise enter the loop sublane-replicated and Mosaic cannot
+    # relayout the carry ("Invalid relayout" at the while boundary)
+    st_ref[0] = jj                           # D_{i-1}; D[0][j] = j
+    st_ref[1] = jnp.full((sub, LANE), BIG, jnp.int32)    # D_{i-2}
+    st_ref[2] = jnp.zeros((sub, LANE), jnp.int32)        # K[j]
+    st_ref[3] = jnp.full((sub, LANE), BIG, jnp.int32)    # FR[j]
 
     def step(i, carry):
-        dim1, dim2, K, FR = carry
+        dim1 = st_ref[0]
+        dim2 = st_ref[1]
+        K = st_ref[2]
+        FR = st_ref[3]
         ai = q_ref[i - 1]
         eq_i = b_tile == ai                  # lane 0 / pads hold -2
 
@@ -99,12 +102,14 @@ def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, *, sub: int):
         new = minplus_prefix(cand)
 
         dim1_m2 = shift_up(dim1, 2, BIG)
-        FR = jnp.where(eq_i, dim1_m2, FR)
-        K = jnp.maximum(K, jnp.where(eq_i, i, 0))
-        return new, dim1, K, FR
+        st_ref[3] = jnp.where(eq_i, dim1_m2, FR)
+        st_ref[2] = jnp.maximum(K, jnp.where(eq_i, i, 0))
+        st_ref[1] = dim1
+        st_ref[0] = new
+        return carry
 
-    dim1, _, _, _ = jax.lax.fori_loop(1, la + 1, step, init)
-    out_ref[:, :] = jnp.where(jj == lb, dim1, 0)
+    jax.lax.fori_loop(1, la + 1, step, 0)
+    out_ref[:, :] = jnp.where(jj == lb, st_ref[0], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret"))
@@ -125,6 +130,7 @@ def _run(q, la, b_tiles, lb_tiles, *, sub=SUBC, interpret=False):
         out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_tiles.shape[0], LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4, sub, LANE), jnp.int32)],
         interpret=interpret,
     )(q, la, b_tiles, lb_tiles)
 
