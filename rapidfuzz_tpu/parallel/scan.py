@@ -162,12 +162,18 @@ class CorpusScanner:
         # interpreter mode off-TPU (tests exercise the mesh composition)
         force = os.environ.get("RAPIDFUZZ_TPU_FORCE_PALLAS")
         self._interpret = force == "interpret"
-        self._pallas = ((tpu_backend() or bool(force))
+        # gate on the MESH's devices, not the default backend: a CPU mesh
+        # in a TPU-backed process (the driver's dryrun) must not route
+        # into compiled Pallas
+        mesh_tpu = tpu_backend() and all(
+            getattr(d, "platform", "") not in ("cpu", "gpu", "rocm")
+            for d in mesh.devices.flat)
+        self._pallas = ((mesh_tpu or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
                         and self._cmax < 256 and chars.shape[1] <= 1024)
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 127 chars, 32 per tile
-        self._dam_pallas = ((tpu_backend() or bool(force)) and ndev == 1
+        self._dam_pallas = ((mesh_tpu or bool(force)) and ndev == 1
                             and metric == "damerau_levenshtein"
                             and chars.shape[1] <= 127)
         self._ndev = ndev
