@@ -6,8 +6,20 @@ vs_baseline is measured against the BASELINE.json target of 1e9 pairs/s/chip
 
 One-vs-many scan with the Pallas Myers/Hyyrö kernel: 64-char query against
 a device-resident 1M-candidate corpus (the BatchComparator pattern,
-``levenshtein.rs:1625-1657``, scaled to the chip).  Also reports the indel
-scan rate and corpus bytes/s as secondary fields.
+``levenshtein.rs:1625-1657``, scaled to the chip).  Also reports the indel,
+OSA and Jaro scan rates and corpus bytes/s as secondary fields.
+
+Harness structure (why it looks like this): the axon TPU tunnel has two
+failure modes — first compiles that take 30s–5min per kernel shape, and
+intermittent wedges on device->host transfers that never recover in-process.
+Defenses:
+  * a persistent JAX compilation cache (``.jax_cache/``) shared by every
+    child process, so a retried subprocess never recompiles;
+  * each metric is measured in its OWN subprocess: the lev headline runs
+    (and is retried) first, then the extras — a wedge in one extra can no
+    longer zero the headline;
+  * a global wall-clock budget (BENCH_BUDGET, default 900s) that skips
+    remaining extras rather than overrunning the driver's patience.
 """
 
 from __future__ import annotations
@@ -18,52 +30,110 @@ import subprocess
 import sys
 import time
 
-import numpy as np
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+EXTRAS = ("indel", "osa", "jaro")
+
+
+def _child_env():
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    return env
+
+
+def _run_phase(phase: str, timeout: float, extra_argv=()):
+    """Run one measurement phase in a fresh subprocess; return its JSON."""
+    p = subprocess.run(
+        [sys.executable, "-u", __file__, "--phase", phase, *extra_argv],
+        env=_child_env(), capture_output=True, text=True, timeout=timeout)
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"phase {phase}: no JSON (rc={p.returncode}): "
+                       f"{(p.stdout + p.stderr)[-800:]}")
 
 
 def main():
-    """Run the measurement in a child process with timeout + retry.
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    budget = float(os.environ.get("BENCH_BUDGET", 900))
+    deadline = time.time() + budget
+    profile_argv = ()
+    if "--profile" in sys.argv:
+        profile_argv = ("--profile", sys.argv[sys.argv.index("--profile") + 1])
 
-    The axon TPU tunnel intermittently wedges on device->host transfers
-    (observed ~minutes-long stalls that never return); a wedged child is
-    killed and the measurement retried in a fresh process, which has been
-    reliable in practice.
-    """
-    if os.environ.get("BENCH_INNER"):
-        return _measure()
-    env = dict(os.environ, BENCH_INNER="1")
+    # Headline first: retried with generous first-attempt timeout (cold
+    # cache worst case); later attempts are cheap thanks to the cache.
+    # With a warm .jax_cache an attempt takes <60s; the long first-attempt
+    # timeout only matters on a truly cold cache (first round on a machine).
+    cold = not os.listdir(CACHE_DIR)
+    headline = None
     last = ""
-    for attempt in range(3):
+    for attempt, tmo in enumerate([540.0 if cold else 240.0, 240.0, 180.0,
+                                   120.0]):
+        tmo = min(tmo, max(60.0, deadline - time.time() - 30.0))
+        t0 = time.time()
         try:
-            p = subprocess.run([sys.executable, "-u", __file__,
-                                *sys.argv[1:]], env=env,
-                               capture_output=True, text=True, timeout=240)
-            for line in reversed(p.stdout.splitlines()):
-                if line.startswith("{"):
-                    print(line)
-                    return
-            last = (p.stdout + p.stderr)[-2000:]
-        except subprocess.TimeoutExpired as e:
-            last = f"timeout (attempt {attempt}): " \
-                   f"{(e.stdout or '')[-500:] if e.stdout else ''}"
-    raise SystemExit(f"bench failed after retries: {last}")
+            headline = _run_phase("lev", tmo, profile_argv)
+            print(f"[bench] lev ok in {time.time()-t0:.0f}s "
+                  f"(attempt {attempt})", file=sys.stderr)
+            break
+        except subprocess.TimeoutExpired:
+            last = f"timeout after {tmo:.0f}s (attempt {attempt})"
+        except RuntimeError as e:
+            last = str(e)[-800:]
+        print(f"[bench] lev attempt {attempt} failed: {last[:200]}",
+              file=sys.stderr)
+    if headline is None:
+        raise SystemExit(f"bench failed after retries: {last}")
+
+    extras = dict(headline.get("extra", {}))
+    for phase in EXTRAS:
+        remaining = deadline - time.time() - 10.0
+        if remaining < 90.0:
+            extras[f"{phase}_skipped"] = "budget exhausted"
+            continue
+        t0 = time.time()
+        try:
+            r = _run_phase(phase, min(240.0, remaining))
+            extras[f"{phase}_pairs_per_s"] = r["pairs_per_s"]
+            print(f"[bench] {phase} ok in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+        except (subprocess.TimeoutExpired, RuntimeError) as e:
+            extras[f"{phase}_error"] = str(e)[-200:]
+            print(f"[bench] {phase} failed in {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+
+    target = 1e9
+    value = headline["pairs_per_s"]
+    print(json.dumps({
+        "metric": "levenshtein_pairs_per_sec_per_chip_len64",
+        "value": value,
+        "unit": "pairs/s",
+        "vs_baseline": value / target,
+        "extra": extras,
+    }))
 
 
-def _measure():
+# ---------------------------------------------------------------- children
+
+def _setup_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
+def _corpus(lk, interpret):
+    import numpy as np
     import jax
     import jax.numpy as jnp
-
-    from rapidfuzz_tpu import oracle
-    from rapidfuzz_tpu.ops.pallas import lcs_kernel as ck
-    from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
-    from rapidfuzz_tpu.ops.pallas import tpu_backend
-
-    interpret = not tpu_backend()
 
     rng = np.random.default_rng(42)
     LEN = 64
     B = int(os.environ.get("BENCH_B", 1048576 if not interpret else 4096))
-
     query = rng.integers(97, 123, LEN, dtype=np.int32)
     corpus = rng.integers(97, 123, (B, LEN), dtype=np.int32)
     lens = np.full(B, LEN, np.int32)
@@ -71,89 +141,106 @@ def _measure():
                                    LB=LEN)
     jax.block_until_ready(cand3)
     mode = lk.pick_mode(query, int(corpus.max()))
+    return LEN, B, query, corpus, cand3, lb2, mode
 
-    out = lk.lev_1v_many(query, cand3, lb2, mode=mode, interpret=interpret)
-    jax.block_until_ready(out)
-    flat = np.asarray(out).reshape(-1)
-    for i in range(0, B, max(B // 5, 1)):
-        exp = oracle.levenshtein_uniform(query.astype(np.int64),
-                                         corpus[i].astype(np.int64))
-        assert flat[i] == exp, (i, flat[i], exp)
 
-    # --profile <dir>: wrap the timed windows in a jax.profiler trace
-    # (SURVEY.md §5 observability; view with tensorboard/xprof)
-    profile_dir = None
-    if "--profile" in sys.argv:
-        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
-        jax.profiler.start_trace(profile_dir)
+def _rate(fn, B, interpret):
+    """pairs/s, best of 3 10-iter timing windows.
 
+    The axon tunnel intermittently injects multi-ms stalls into a window;
+    the best window reflects true kernel throughput.
+    """
+    import jax
+    import numpy as np
     iters = 10 if not interpret else 1
     windows = 3 if not interpret else 1
 
-    def rate(fn):
-        """pairs/s, best of `windows` timing windows.
+    def sync(out):
+        # block_until_ready is NOT a reliable barrier through the axon
+        # tunnel (yields impossible >1e10 pairs/s readings); a real
+        # device->host transfer of one element is.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[:1, :1])
 
-        The axon tunnel intermittently injects multi-ms stalls into a
-        window; the best window reflects true kernel throughput.
-        """
-        jax.block_until_ready(fn())
-        best = float("inf")
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return B / best, best
+    sync(fn())
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = fn()
+        for _ in range(iters - 1):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return B / best, best
 
+
+def _measure(phase: str):
+    jax = _setup_jax()
+    import numpy as np
+
+    from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
+    from rapidfuzz_tpu.ops.pallas import tpu_backend
+
+    interpret = not tpu_backend()
+    LEN, B, query, corpus, cand3, lb2, mode = _corpus(lk, interpret)
     staged = lk.stage_query(query, mode) if not interpret else None
-    pairs_per_s, dt = rate(
-        lambda: lk.lev_1v_many(query, cand3, lb2, mode=mode, staged=staged,
-                               interpret=interpret))
 
-    from rapidfuzz_tpu.ops.pallas import jaro_kernel as jk
-    from rapidfuzz_tpu.ops.pallas import osa_kernel as ok
+    if phase == "lev":
+        from rapidfuzz_tpu import oracle
 
-    extras = {}
-    if not interpret:   # skip the slow interpreted paths off-TPU
-        extras["indel_pairs_per_s"] = rate(
-            lambda: ck.lcs_1v_many(query, cand3, lb2, mode=mode,
-                                   staged=staged))[0]
-        extras["osa_pairs_per_s"] = rate(
-            lambda: ok.osa_1v_many(query, cand3, lb2, mode=mode,
-                                   staged=staged))[0]
-        extras["jaro_pairs_per_s"] = rate(
-            lambda: jk.jaro_1v_many(query, cand3, lb2, mode=mode,
-                                    staged=staged)[0])[0]
+        out = lk.lev_1v_many(query, cand3, lb2, mode=mode,
+                             interpret=interpret)
+        jax.block_until_ready(out)
+        flat = np.asarray(out).reshape(-1)
+        for i in range(0, B, max(B // 5, 1)):
+            exp = oracle.levenshtein_uniform(query.astype(np.int64),
+                                             corpus[i].astype(np.int64))
+            assert flat[i] == exp, (i, flat[i], exp)
 
-    if profile_dir is not None:
-        jax.profiler.stop_trace()
-        extras["profile_dir"] = profile_dir
-
-    # roofline counters (SURVEY.md §5 observability): Myers W=2 models at
-    # ~50 VPU tile element-ops per text char per pair
-    vpu_ops_per_s = 9.6e11    # v5e: 8x128 lanes x ~940 MHz, single issue
-    model_ops_per_pair = 50 * LEN
-    extras["model_element_ops_per_pair"] = model_ops_per_pair
-    extras["vpu_roofline_fraction"] = (
-        pairs_per_s * model_ops_per_pair / vpu_ops_per_s)
-
-    target = 1e9
-    print(json.dumps({
-        "metric": "levenshtein_pairs_per_sec_per_chip_len64",
-        "value": pairs_per_s,
-        "unit": "pairs/s",
-        "vs_baseline": pairs_per_s / target,
-        "extra": {
-            **extras,
+        profile_dir = None
+        if "--profile" in sys.argv:
+            profile_dir = sys.argv[sys.argv.index("--profile") + 1]
+            jax.profiler.start_trace(profile_dir)
+        pairs_per_s, dt = _rate(
+            lambda: lk.lev_1v_many(query, cand3, lb2, mode=mode,
+                                   staged=staged, interpret=interpret),
+            B, interpret)
+        extra = {
             "bytes_per_s_one_vs_many": pairs_per_s * LEN,
             "batch": B,
-            "iters": iters,
             "ms_per_scan": dt * 1e3,
             "device": str(jax.devices()[0]),
-        },
-    }))
+            # roofline counters (SURVEY.md §5 observability): Myers W=2
+            # models at ~50 VPU tile element-ops per text char per pair
+            "model_element_ops_per_pair": 50 * LEN,
+            "vpu_roofline_fraction": pairs_per_s * 50 * LEN / 9.6e11,
+        }
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
+            extra["profile_dir"] = profile_dir
+        print(json.dumps({"pairs_per_s": pairs_per_s, "extra": extra}))
+        return
+
+    if phase == "indel":
+        from rapidfuzz_tpu.ops.pallas import lcs_kernel as ck
+        fn = lambda: ck.lcs_1v_many(query, cand3, lb2, mode=mode,
+                                    staged=staged, interpret=interpret)
+    elif phase == "osa":
+        from rapidfuzz_tpu.ops.pallas import osa_kernel as ok
+        fn = lambda: ok.osa_1v_many(query, cand3, lb2, mode=mode,
+                                    staged=staged, interpret=interpret)
+    elif phase == "jaro":
+        from rapidfuzz_tpu.ops.pallas import jaro_kernel as jk
+        fn = lambda: jk.jaro_1v_many(query, cand3, lb2, mode=mode,
+                                     staged=staged, interpret=interpret)[0]
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+    pairs_per_s, _ = _rate(fn, B, interpret)
+    print(json.dumps({"pairs_per_s": pairs_per_s}))
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        _measure(sys.argv[sys.argv.index("--phase") + 1])
+    else:
+        main()

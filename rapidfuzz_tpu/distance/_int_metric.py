@@ -160,6 +160,10 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=()):
             return metric.similarity_many([self._u1], corpus,
                                           score_cutoff=score_cutoff)
 
+        def normalized_distances(self, corpus, *, score_cutoff=None):
+            return metric.normalized_distance_many(
+                [self._u1], corpus, score_cutoff=score_cutoff)
+
         def normalized_similarities(self, corpus, *, score_cutoff=None):
             return metric.normalized_similarity_many(
                 [self._u1], corpus, score_cutoff=score_cutoff)

@@ -158,3 +158,16 @@ class BatchComparator:
     def distances(self, corpus, *, pad=False, score_cutoff=None):
         return distance_many([self._u1], corpus, pad=pad,
                              score_cutoff=score_cutoff)
+
+    def similarities(self, corpus, *, pad=False, score_cutoff=None):
+        return similarity_many([self._u1], corpus, pad=pad,
+                               score_cutoff=score_cutoff)
+
+    def normalized_distances(self, corpus, *, pad=False, score_cutoff=None):
+        return normalized_distance_many([self._u1], corpus, pad=pad,
+                                        score_cutoff=score_cutoff)
+
+    def normalized_similarities(self, corpus, *, pad=False,
+                                score_cutoff=None):
+        return normalized_similarity_many([self._u1], corpus, pad=pad,
+                                          score_cutoff=score_cutoff)

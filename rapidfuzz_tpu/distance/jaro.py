@@ -134,3 +134,7 @@ class BatchComparator:
 
     def distances(self, corpus, *, score_cutoff=None):
         return distance_many([self._u1], corpus, score_cutoff=score_cutoff)
+
+    # f64 metric: normalized == raw (maximum is 1.0)
+    normalized_similarities = similarities
+    normalized_distances = distances

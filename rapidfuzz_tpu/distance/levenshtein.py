@@ -285,16 +285,31 @@ class BatchComparator:
                                      score_cutoff=args.cutoff,
                                      score_hint=args.hint)
 
-    # TPU-native batch API
-    def distances(self, corpus, *, score_cutoff=None) -> _dispatch.BatchResult:
-        c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
-        dist = _raw_distance_batch(c1, l1, c2, l2, self._weights)
-        return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
-
-    def normalized_similarities(self, corpus, *, score_cutoff=None
-                                ) -> _dispatch.BatchResult:
+    # TPU-native batch API (all 4 score kinds, levenshtein.rs:1750-1818)
+    def _batch(self, corpus):
         c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
         dist = _raw_distance_batch(c1, l1, c2, l2, self._weights)
         mx = maximum(np.int64(l1[0]), l2.astype(np.int64), self._weights)
+        return dist, mx
+
+    def distances(self, corpus, *, score_cutoff=None) -> _dispatch.BatchResult:
+        dist, _ = self._batch(corpus)
+        return _dispatch.BatchResult(*_c.mask_distance(dist, score_cutoff))
+
+    def similarities(self, corpus, *, score_cutoff=None
+                     ) -> _dispatch.BatchResult:
+        dist, mx = self._batch(corpus)
+        return _dispatch.BatchResult(*_c.mask_similarity(mx - dist,
+                                                         score_cutoff))
+
+    def normalized_distances(self, corpus, *, score_cutoff=None
+                             ) -> _dispatch.BatchResult:
+        dist, mx = self._batch(corpus)
+        nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+        return _dispatch.BatchResult(*_c.mask_distance(nd, score_cutoff))
+
+    def normalized_similarities(self, corpus, *, score_cutoff=None
+                                ) -> _dispatch.BatchResult:
+        dist, mx = self._batch(corpus)
         nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
         return _dispatch.BatchResult(*_c.mask_similarity(1.0 - nd, score_cutoff))

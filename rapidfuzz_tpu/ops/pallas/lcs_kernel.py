@@ -33,16 +33,15 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     lb = lb_ref[:, :]
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
 
-    def one_char(row, u, j, s):
+    def one_char(row, u, j, s, masked):
         c = unpack_byte(row, u)
-        active = j < lb
         if ntab == 2:
             clo = jnp.where(c < LANE, c, c - LANE)
             chi = c >= LANE
         else:
             clo = c
             chi = None
-        carry = jnp.zeros((sub, LANE), jnp.uint32)
+        carry = None
         new_s = []
         for w in range(W):
             t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
@@ -53,26 +52,40 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
                 pmw = t0
             sw = s[w]
             um = sw & pmw
+            # carrying_add (intrinsics.rs:25-29) specialized per position:
+            # word 0 has no carry-in, the last word's carry-out is unused
             x1 = sw + um
-            c1 = (x1 < sw).astype(jnp.uint32)
-            x2 = x1 + carry
-            c2 = (x2 < x1).astype(jnp.uint32)
-            carry = c1 | c2
-            # must mask: the s-state IS the result accumulator
-            new_s.append(jnp.where(active, x2 | (sw - um), sw))
+            x2 = x1 if carry is None else x1 + carry
+            if w != W - 1:
+                c1 = (x1 < sw).astype(jnp.uint32)
+                carry = c1 if carry is None else c1 | (x2 < x1).astype(
+                    jnp.uint32)
+            new_s.append(x2 | (sw - um))
+        if masked:
+            # the s-state IS the result accumulator, so chars past a
+            # candidate's length must not update it
+            active = j < lb
+            new_s = [jnp.where(active, ns, sw)
+                     for ns, sw in zip(new_s, s)]
         return new_s
 
-    def body(jj, state):
-        s = list(state)
-        row = None
-        for u in range(unroll):
-            if u % 4 == 0:
-                row = cand_ref[jj * (unroll // 4) + u // 4]
-            s = one_char(row, u, jj * unroll + u, s)
-        return tuple(s)
+    def make_body(masked):
+        def body(jj, state):
+            s = list(state)
+            row = None
+            for u in range(unroll):
+                if u % 4 == 0:
+                    row = cand_ref[jj * (unroll // 4) + u // 4]
+                s = one_char(row, u, jj * unroll + u, s, masked)
+            return tuple(s)
+        return body
 
+    # phase split: while j < min(lb) every candidate is active, so the
+    # hot loop needs no per-char masking; the ragged tail is masked
+    full_trips = jnp.min(lb) // unroll
     trips = (jnp.max(lb) + (unroll - 1)) // unroll
-    state = lax.fori_loop(0, trips, body, (ones,) * W)
+    state = lax.fori_loop(0, full_trips, make_body(False), (ones,) * W)
+    state = lax.fori_loop(full_trips, trips, make_body(True), state)
     sim = jnp.zeros((sub, LANE), jnp.int32)
     for w in range(W):
         sim = sim + lax.population_count(~state[w]).astype(jnp.int32)

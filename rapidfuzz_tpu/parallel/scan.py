@@ -10,6 +10,7 @@ across calls).
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
 from typing import Callable
 
@@ -141,11 +142,22 @@ class CorpusScanner:
             else:
                 self._weights = (ins, dele, sub)
         arrs = [_codec.encode_one(s) for s in corpus]
+        # corpus fingerprint: checkpoints must refuse to resume against a
+        # different corpus of the same shape (silent result splicing)
+        h = hashlib.sha1()
+        for a in arrs:
+            h.update(a.tobytes())
+            h.update(b";")
+        self._fingerprint = h.hexdigest()
         # corpora whose elements exceed int32 are remapped through a dense
         # vocabulary; queries must then go through the *same* vocabulary
-        # (pattern_match_vector.rs:104-154 overflow-hashmap equivalent)
+        # (pattern_match_vector.rs:104-154 overflow-hashmap equivalent).
+        # A corpus containing int32.max itself also goes through the vocab:
+        # the out-of-domain query sentinel (cmax+1 clipped to int32.max)
+        # would otherwise collide with that real corpus char.
         self._vocab = None
-        if _codec._needs_remap(arrs):
+        if _codec._needs_remap(arrs) or any(
+                a.size and a.max() == np.iinfo(np.int32).max for a in arrs):
             flat = (np.concatenate(arrs) if arrs else np.empty(0, np.int64))
             self._vocab = np.unique(flat)
             arrs = [np.searchsorted(self._vocab, a).astype(np.int32)
@@ -463,6 +475,10 @@ class CorpusScanner:
 
         d = np.asarray(self._distances_dev(query, score_cutoff))
         if self._order is not None:
+            # every device path on the sorted route must return the padded
+            # length (== the sort permutation's size) for the unsort to be
+            # valid — guards the _zero/banded/weighted shortcut shapes
+            assert d.shape == self._order.shape, (d.shape, self._order.shape)
             out = np.empty(d.shape, d.dtype)
             out[self._order] = d
             d = out[: self.n]
@@ -471,6 +487,14 @@ class CorpusScanner:
         if score_cutoff is None:
             return d
         return _dispatch.BatchResult(*_c.mask_distance(d, score_cutoff))
+
+    def _ckpt_fingerprint(self, queries) -> str:
+        """Corpus+queries+metric content hash stored in checkpoints."""
+        qh = hashlib.sha1()
+        for s in queries:
+            qh.update(_codec.encode_one(s).tobytes())
+            qh.update(b";")
+        return f"{self._fingerprint}:{qh.hexdigest()}:{self.metric}"
 
     def scan_many(self, queries, *, k: int | None = None,
                   checkpoint_path: str | None = None,
@@ -494,10 +518,14 @@ class CorpusScanner:
         else:
             vals = np.full((nq, k), np.inf)
             ids = np.full((nq, k), -1, np.int64)
+        # content fingerprint: shape equality alone would silently splice
+        # results from a different corpus/query list of the same sizes
+        fp = self._ckpt_fingerprint(queries)
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
             ck = np.load(checkpoint_path)
             if int(ck["n"]) == self.n and int(ck["nq"]) == nq \
-                    and (k or 0) == int(ck["k"]):
+                    and (k or 0) == int(ck["k"]) \
+                    and str(ck.get("fp", "")) == fp:
                 done = int(ck["done"])
                 vals[:done] = ck["vals"][:done]
                 if ids is not None:
@@ -508,7 +536,7 @@ class CorpusScanner:
                 return
             tmp = checkpoint_path + ".tmp.npz"
             np.savez(tmp, n=self.n, nq=nq, k=k or 0, done=done, vals=vals,
-                     ids=ids if ids is not None else np.empty(0))
+                     ids=ids if ids is not None else np.empty(0), fp=fp)
             os.replace(tmp, checkpoint_path)
 
         for qi in range(done, nq):

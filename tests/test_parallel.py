@@ -198,12 +198,20 @@ def test_scan_many_checkpoint_resume(mesh, tmp_path):
     poisoned = full.copy()
     poisoned[:2] = 123.0
     np.savez(ck + ".tmp.npz", n=sc.n, nq=len(queries), k=0, done=2,
-             vals=poisoned, ids=np.empty(0))
+             vals=poisoned, ids=np.empty(0),
+             fp=sc._ckpt_fingerprint(queries))
     import os as _os
     _os.replace(ck + ".tmp.npz", ck)
     resumed2 = sc.scan_many(queries, checkpoint_path=ck, checkpoint_every=2)
     np.testing.assert_array_equal(resumed2[:2], poisoned[:2])
     np.testing.assert_array_equal(resumed2[2:], full[2:])
+
+    # a checkpoint for DIFFERENT queries of the same shape must be
+    # rejected (content fingerprint), not silently spliced in
+    other = ["maple", "pear", "apple", "app", "orange", "banana"]
+    recomputed = sc.scan_many(other, checkpoint_path=ck, checkpoint_every=2)
+    for qi, q in enumerate(other):
+        np.testing.assert_array_equal(recomputed[qi], sc.distances(q))
 
     # top-k variant
     vals, ids = sc.scan_many(queries, k=2)
