@@ -127,21 +127,28 @@ def _setup_jax():
 
 
 def _corpus(lk, interpret):
+    """Build the 1M-candidate corpus ON DEVICE.
+
+    A host-generated corpus would mean a 256 MB host->device upload
+    through the axon tunnel per phase — the single biggest wedge
+    exposure.  jax.random generates it device-side; only the handful of
+    oracle-verified rows ever cross back to the host.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(42)
     LEN = 64
     B = int(os.environ.get("BENCH_B", 1048576 if not interpret else 4096))
-    query = rng.integers(97, 123, LEN, dtype=np.int32)
-    corpus = rng.integers(97, 123, (B, LEN), dtype=np.int32)
-    lens = np.full(B, LEN, np.int32)
-    cand3, lb2 = lk.prepare_corpus(jnp.asarray(corpus), jnp.asarray(lens),
-                                   LB=LEN)
+    query = np.random.default_rng(42).integers(97, 123, LEN, dtype=np.int32)
+    corpus_dev = jax.jit(
+        lambda: jax.random.randint(jax.random.PRNGKey(42), (B, LEN),
+                                   97, 123, jnp.int32))()
+    lens_dev = jnp.full((B,), LEN, jnp.int32)
+    cand3, lb2 = lk.prepare_corpus(corpus_dev, lens_dev, LB=LEN)
     jax.block_until_ready(cand3)
-    mode = lk.pick_mode(query, int(corpus.max()))
-    return LEN, B, query, corpus, cand3, lb2, mode
+    mode = lk.pick_mode(query, 122)   # lowercase ASCII by construction
+    return LEN, B, query, corpus_dev, cand3, lb2, mode
 
 
 def _rate(fn, B, interpret):
@@ -190,12 +197,15 @@ def _measure(phase: str):
 
         out = lk.lev_1v_many(query, cand3, lb2, mode=mode,
                              interpret=interpret)
-        jax.block_until_ready(out)
-        flat = np.asarray(out).reshape(-1)
-        for i in range(0, B, max(B // 5, 1)):
+        idxs = list(range(0, B, max(B // 5, 1)))
+        # two small transfers instead of pulling the 4 MB result + 256 MB
+        # corpus to the host
+        rows = np.asarray(corpus[np.array(idxs)])
+        got = np.asarray(out.reshape(-1)[np.array(idxs)])
+        for n, i in enumerate(idxs):
             exp = oracle.levenshtein_uniform(query.astype(np.int64),
-                                             corpus[i].astype(np.int64))
-            assert flat[i] == exp, (i, flat[i], exp)
+                                             rows[n].astype(np.int64))
+            assert got[n] == exp, (i, got[n], exp)
 
         profile_dir = None
         if "--profile" in sys.argv:

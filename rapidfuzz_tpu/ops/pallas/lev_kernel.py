@@ -181,6 +181,59 @@ def prepare_corpus(chars: jnp.ndarray, lens: jnp.ndarray, *, LB: int):
     return packed, lb2
 
 
+MISS_ID = 127   # query-local id for "not in query": PM row 127 is zero
+                # whenever the query has <= 127 distinct symbols
+
+
+@functools.partial(jax.jit, static_argnames=("LB",))
+def remap_corpus(chars: jnp.ndarray, qvocab128: jnp.ndarray, *, LB: int):
+    """Query-local remap of a wide-alphabet corpus + byte-pack, on device.
+
+    The reference keeps every alphabet first-class via PM overflow
+    hashmaps (``pattern_match_vector.rs:104-155``); the TPU equivalent:
+    a query has at most 127 distinct symbols (la <= 127 always, larger
+    queries fall back), so each corpus char maps to its query-local id
+    via a 7-step binary search against the query's sorted vocab, misses
+    to :data:`MISS_ID` whose PM row is zero.  The remapped ids are bytes,
+    so the ordinary "local"-mode kernels run unchanged.
+
+    ``qvocab128``: the query's sorted distinct chars, padded to 128 with
+    ``int32.max`` (corpora never contain ``int32.max`` — CorpusScanner
+    vocab-remaps such corpora — so padding can never produce a hit).
+    Returns packed ``cand3`` shaped like :func:`prepare_corpus`'s first
+    output.
+    """
+    B = chars.shape[0]
+    ids = jnp.searchsorted(qvocab128, chars, method="scan_unrolled")
+    idc = jnp.clip(ids, 0, 127)
+    hit = qvocab128[idc] == chars
+    ids8 = jnp.where(hit, idc, MISS_ID).astype(jnp.uint32)
+    cand3 = jnp.transpose(ids8, (1, 0)).reshape(LB, B // LANE, LANE)
+    packed = (cand3[0::4] | (cand3[1::4] << 8) | (cand3[2::4] << 16)
+              | (cand3[3::4] << 24))
+    return packed
+
+
+def query_vocab(q: np.ndarray):
+    """(sorted distinct chars padded to [128] i32, query-local ids) or
+    ``None`` when the query has > 127 distinct symbols (XLA fallback)."""
+    q32 = np.asarray(q, np.int64)
+    vocab = np.unique(q32)
+    dropped = vocab.size and vocab[-1] == np.iinfo(np.int32).max
+    if dropped:
+        vocab = vocab[:-1]               # == the qvocab128 pad sentinel
+    if vocab.size > MISS_ID or (dropped and vocab.size >= MISS_ID):
+        return None
+    q_local = np.searchsorted(vocab, q32).astype(np.int32)
+    # a query char of int32.max can't be in the vocab; corpus chars never
+    # equal it either (CorpusScanner vocab-remaps such corpora), so park
+    # it on an id no corpus char maps to — row `vocab.size` (< MISS_ID)
+    q_local[q32 == np.iinfo(np.int32).max] = vocab.size
+    padded = np.full(LANE, np.iinfo(np.int32).max, np.int32)
+    padded[: vocab.size] = vocab
+    return padded, q_local
+
+
 def unpack_byte(row, j: int):
     """Extract text char ``j % 4`` (static) from a packed u32 row tile."""
     sh = 8 * (j % 4)

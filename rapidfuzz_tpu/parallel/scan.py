@@ -182,7 +182,11 @@ class CorpusScanner:
             for d in mesh.devices.flat)
         self._pallas = ((mesh_tpu or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
-                        and self._cmax < 256 and chars.shape[1] <= 1024)
+                        and chars.shape[1] <= 1024)
+        # wide alphabets (chars >= 256) ride the same kernels through a
+        # per-query device-side remap to query-local ids (lev_kernel.
+        # remap_corpus) instead of dropping to the ~100x-slower XLA path
+        self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 127 chars, 32 per tile
         self._dam_pallas = ((mesh_tpu or bool(force)) and ndev == 1
@@ -223,15 +227,37 @@ class CorpusScanner:
             chars = chars[self._order]
             lens = lens[self._order]
             self._LB = chars.shape[1]
-            cand3, lb2 = _lk.prepare_corpus(
-                jnp.asarray(chars), jnp.asarray(lens), LB=self._LB)
-            if ndev > 1:
-                cand3 = jax.device_put(
-                    cand3, NamedSharding(mesh, P(None, "data", None)))
-                lb2 = jax.device_put(
-                    lb2, NamedSharding(mesh, P("data", None)))
-            self.cand3 = jax.block_until_ready(cand3)
-            self.lb2 = lb2
+            if self._wide:
+                # keep the sorted corpus unpacked on device: each query
+                # remaps it to query-local byte ids (remap_corpus), and
+                # the > 127-distinct-symbol fallback runs XLA kernels on
+                # the same array
+                cd = jnp.asarray(chars)
+                lb2 = jnp.asarray(lens).reshape(-1, _lk.LANE)
+                if ndev > 1:
+                    cd = jax.device_put(cd, shard)
+                    lb2 = jax.device_put(
+                        lb2, NamedSharding(mesh, P("data", None)))
+                    self._remap_fn = jax.jit(
+                        functools.partial(_lk.remap_corpus, LB=self._LB),
+                        out_shardings=NamedSharding(
+                            mesh, P(None, "data", None)))
+                else:
+                    self._remap_fn = functools.partial(
+                        _lk.remap_corpus, LB=self._LB)
+                self._chars_dev = jax.block_until_ready(cd)
+                self.cand3 = None
+                self.lb2 = lb2
+            else:
+                cand3, lb2 = _lk.prepare_corpus(
+                    jnp.asarray(chars), jnp.asarray(lens), LB=self._LB)
+                if ndev > 1:
+                    cand3 = jax.device_put(
+                        cand3, NamedSharding(mesh, P(None, "data", None)))
+                    lb2 = jax.device_put(
+                        lb2, NamedSharding(mesh, P("data", None)))
+                self.cand3 = jax.block_until_ready(cand3)
+                self.lb2 = lb2
             self.lens = jax.device_put(lens, shard1)
             if metric in _F64_METRICS:
                 self._lens_host = lens
@@ -260,7 +286,8 @@ class CorpusScanner:
                 fn = _distance_fn(metric)
             self._fn = jax.jit(fn, out_shardings=shard1)
 
-    def _pallas_sharded(self, run_fn, scal, tabs, statics: dict, nouts=1):
+    def _pallas_sharded(self, run_fn, scal, tabs, statics: dict, nouts=1,
+                        cand3=None):
         """Run a Pallas ``_run`` over the mesh-sharded packed corpus.
 
         Each shard executes the kernel on its local candidate slice
@@ -282,7 +309,8 @@ class CorpusScanner:
                 out_specs=ospec if nouts == 1 else (ospec, ospec),
                 check_vma=False))
             self._smap_cache[key] = f
-        return f(scal, tabs, self.cand3, self.lb2)
+        return f(scal, tabs, self.cand3 if cand3 is None else cand3,
+                 self.lb2)
 
     def _encode_query(self, query):
         q = _codec.encode_one(query)
@@ -340,13 +368,24 @@ class CorpusScanner:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck
             mode = _lk.pick_mode(q, self._cmax)
+            cand3 = self.cand3
+            qk = q                      # the query the kernels see
+            if self._wide:
+                qv = _lk.query_vocab(q)
+                if qv is None:          # > 127 distinct symbols
+                    return self._wide_xla_fallback(q)
+                qvocab128, q_local = qv
+                cand3 = self._remap_fn(self._chars_dev,
+                                       jnp.asarray(qvocab128))
+                qk = q_local
+                mode = "local"
             if self._ndev > 1:
-                return self._dist_pallas_mesh(q, mode)
+                return self._dist_pallas_mesh(qk, mode, cand3, q_finish=q)
             if self.metric == "levenshtein":
                 if self._weights is not None:
                     from ..ops.pallas import wlev_kernel as _wk
                     ins, dele, sub = self._weights
-                    out = _wk.wlev_1v_many(q.astype(np.int32), self.cand3,
+                    out = _wk.wlev_1v_many(qk.astype(np.int32), cand3,
                                            self.lb2, ins=ins, dele=dele,
                                            sub_cost=sub, mode=mode,
                                            interpret=self._interpret)
@@ -360,31 +399,31 @@ class CorpusScanner:
                 if (eff_cut is not None and 0 <= eff_cut <= _bk.MAX_CUTOFF
                         and eff_cut < q.size and q.size > 160):
                     # banded fast path: exact when <= cutoff, masked after
-                    out = _bk.lev_banded_1v_many(q.astype(np.int32),
-                                                 self.cand3, self.lb2,
+                    out = _bk.lev_banded_1v_many(qk.astype(np.int32),
+                                                 cand3, self.lb2,
                                                  cutoff=int(eff_cut),
                                                  mode=mode,
                                                  interpret=self._interpret)
                     return out.reshape(-1)
-                out = _lk.lev_1v_many(q, self.cand3, self.lb2, mode=mode,
+                out = _lk.lev_1v_many(qk, cand3, self.lb2, mode=mode,
                                       interpret=self._interpret)
                 if self._wscale != 1:
                     out = out * self._wscale
                 return out.reshape(-1)
             if self.metric == "osa":
                 from ..ops.pallas import osa_kernel as _ok
-                out = _ok.osa_1v_many(q, self.cand3, self.lb2, mode=mode,
+                out = _ok.osa_1v_many(qk, cand3, self.lb2, mode=mode,
                                       interpret=self._interpret)
                 return out.reshape(-1)
             if self.metric in _F64_METRICS:
                 from ..ops.pallas import jaro_kernel as _jk
-                common, trans = _jk.jaro_1v_many(q.astype(np.int32),
-                                                 self.cand3, self.lb2,
+                common, trans = _jk.jaro_1v_many(qk.astype(np.int32),
+                                                 cand3, self.lb2,
                                                  mode=mode,
                                                  interpret=self._interpret)
                 return self._jaro_finish(common.reshape(-1),
                                          trans.reshape(-1), q)
-            sim = _ck.lcs_1v_many(q, self.cand3, self.lb2, mode=mode,
+            sim = _ck.lcs_1v_many(qk, cand3, self.lb2, mode=mode,
                                   interpret=self._interpret).reshape(-1)
             la = q.size
             lb = self.lens.astype(jnp.int32)
@@ -399,13 +438,47 @@ class CorpusScanner:
         d = self._fn(qc, ql, self.chars, self.lens)
         return d * self._wscale if self._wscale != 1 else d
 
-    def _dist_pallas_mesh(self, q, mode):
-        """Pallas scan over a multi-device mesh (per-shard kernels)."""
+    def _wide_xla_fallback(self, q):
+        """XLA-kernel scan for wide-alphabet queries with > 127 distinct
+        symbols (the query-local remap needs a 128-entry table); runs on
+        the same sorted device corpus the Pallas path remaps."""
+        shard1 = NamedSharding(self.mesh, P("data"))
+        fn = getattr(self, "_wide_fb_fn", None)
+        if fn is None:
+            if self.metric in _F64_METRICS:
+                fn = jax.jit(_jaro_ops.jaro_components,
+                             out_shardings=(shard1, shard1))
+            elif self._weights is not None:
+                ins, dele, sub = self._weights
+                fn = jax.jit(functools.partial(
+                    _lev_ops.weighted_distance, ins=ins, dele=dele,
+                    sub=sub), out_shardings=shard1)
+            else:
+                fn = jax.jit(_distance_fn(self.metric),
+                             out_shardings=shard1)
+            self._wide_fb_fn = fn
+        qc, ql = _codec.pad_batch([q])
+        if self.metric in _F64_METRICS:
+            common, trans = fn(qc, ql, self._chars_dev, self.lens)
+            return self._jaro_finish(np.asarray(common), np.asarray(trans),
+                                     q)
+        d = fn(qc, ql, self._chars_dev, self.lens)
+        return d * self._wscale if self._wscale != 1 else d
+
+    def _dist_pallas_mesh(self, q, mode, cand3=None, q_finish=None):
+        """Pallas scan over a multi-device mesh (per-shard kernels).
+
+        ``q`` is the query as the kernels see it (query-local ids on the
+        wide-alphabet path); ``q_finish`` the original query for the
+        host-side Jaro finish (prefix compares use original chars).
+        """
         from ..ops.pallas import jaro_kernel as _jk
         from ..ops.pallas import lev_kernel as _lk
         from ..ops.pallas import osa_kernel as _ok
         from ..ops.pallas import wlev_kernel as _wk
 
+        if q_finish is None:
+            q_finish = q
         la = int(q.size)
         q32 = q.astype(np.int32)
         LB = self._LB
@@ -422,7 +495,7 @@ class CorpusScanner:
             out = self._pallas_sharded(
                 _wk._run, scal4, tabs,
                 dict(LA=W * 32, LB=LB, W=W, ntab=ntab,
-                     interpret=self._interpret))
+                     interpret=self._interpret), cand3=cand3)
             return out.reshape(-1)
         if la == 0:
             if self.metric == "lcs_seq":
@@ -432,31 +505,33 @@ class CorpusScanner:
             if self.metric in _F64_METRICS:
                 return self._jaro_finish(
                     np.zeros(lens.shape[0], np.int32),
-                    np.zeros(lens.shape[0], np.int32), q)
+                    np.zeros(lens.shape[0], np.int32), q_finish)
             return (lens * self._wscale).astype(jnp.int32)  # lev/osa
         if self.metric == "levenshtein":
             out = self._pallas_sharded(
                 _lk._run, scal, tabs,
                 dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
-                     interpret=self._interpret))
+                     interpret=self._interpret), cand3=cand3)
             out = out.reshape(-1)
             return out * self._wscale if self._wscale != 1 else out
         if self.metric == "osa":
             out = self._pallas_sharded(
                 _ok._run, scal, tabs,
                 dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
-                     interpret=self._interpret))
+                     interpret=self._interpret), cand3=cand3)
             return out.reshape(-1)
         if self.metric in _F64_METRICS:
             common, trans = self._pallas_sharded(
-                _jk._run, scal, tabs, dict(LB=LB, W=W, ntab=ntab, interpret=self._interpret),
-                nouts=2)
+                _jk._run, scal, tabs,
+                dict(LB=LB, W=W, ntab=ntab, interpret=self._interpret),
+                nouts=2, cand3=cand3)
             return self._jaro_finish(np.asarray(common).reshape(-1),
-                                     np.asarray(trans).reshape(-1), q)
+                                     np.asarray(trans).reshape(-1),
+                                     q_finish)
         sim = self._pallas_sharded(
             _lcs_run, scal, tabs,
             dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
-                     interpret=self._interpret)).reshape(-1)
+                     interpret=self._interpret), cand3=cand3).reshape(-1)
         if self.metric == "indel":
             d = la + lens - 2 * sim
             return d * self._wscale if self._wscale != 1 else d

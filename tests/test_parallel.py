@@ -357,3 +357,61 @@ def test_cdist_scanner_path_matches_scalar():
     for i, q in enumerate(qs):
         for j, c in enumerate(cs):
             assert r.values[i, j] == damerau_levenshtein.distance(q, c)
+
+
+def test_wide_alphabet_pallas_routing(monkeypatch):
+    """Unicode (chars >= 256) corpora ride the Pallas kernels via the
+    query-local remap (``lev_kernel.remap_corpus``; the reference keeps
+    wide alphabets first-class via PM overflow hashmaps,
+    ``pattern_match_vector.rs:104-155``) — single device and 8-device
+    mesh, every Pallas metric route."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance import (indel as indel_mod, jaro as jaro_mod,
+                                        osa as osa_mod)
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(7)
+    # Cyrillic + CJK + ASCII mixed corpus
+    pools = [(0x410, 0x44F), (0x4E00, 0x4E80), (97, 122)]
+    corpus = []
+    for i in range(30):
+        lo, hi = pools[i % 3]
+        corpus.append("".join(chr(c) for c in
+                              rng.integers(lo, hi, rng.integers(1, 28))))
+    corpus += ["Иванко", "Петрунко", "kitten", ""]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    for metric, mod in [("levenshtein", lev), ("osa", osa_mod),
+                        ("indel", indel_mod), ("jaro", jaro_mod)]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=m1, bucket=32)
+        assert sc._pallas and sc._wide, metric
+        for query in ["Иванко", "kitten", "不丁丙", ""]:
+            d = sc.distances(query)
+            for i in range(0, len(corpus), 5):
+                assert d[i] == mod.distance(query, corpus[i]), \
+                    (metric, query, corpus[i])
+
+    # 8-device mesh route
+    mesh8 = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh8, bucket=32)
+    assert sc._pallas and sc._wide and sc._ndev == 8
+    d = sc.distances("Иванко")
+    for i in range(len(corpus)):
+        assert d[i] == lev.distance("Иванко", corpus[i]), corpus[i]
+
+    # > 127 distinct query symbols -> XLA fallback, same results
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, bucket=32)
+    big_q = "".join(chr(0x410 + (i % 64)) + chr(0x4E00 + i) for i in range(80))
+    from rapidfuzz_tpu.ops.pallas import lev_kernel as _lk
+    assert _lk.query_vocab(np.array([ord(c) for c in big_q])) is None
+    d = sc.distances(big_q)
+    for i in range(0, len(corpus), 7):
+        assert d[i] == lev.distance(big_q, corpus[i]), corpus[i]
+
+    # weighted route through the remap
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+    w = WeightTable(1, 2, 3)
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, bucket=32,
+                       weights=w)
+    d = sc.distances("Иванко")
+    for i in range(0, len(corpus), 5):
+        assert d[i] == lev.distance("Иванко", corpus[i], weights=w)
