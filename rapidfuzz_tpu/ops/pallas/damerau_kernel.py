@@ -2,22 +2,32 @@
 
 Zhao-Sahni semantics (``/root/reference/src/distance/damerau_levenshtein.rs
 :111-168``) in a lane-transposed layout: **DP columns live on the lane
-axis** (text position ``j`` at lane ``j``, so candidates are limited to
-127 chars) and 32 candidates share a tile on the sublane axis.  This
+axis** and 32 candidate rows share a tile on the sublane axis.  This
 orientation makes every per-row structure a plain vector op:
 
 * the within-row last-match propagation (``l`` and ``D[i-2][l-1]``) and
-  the left-neighbour min-plus recurrence are 7-step Hillis-Steele scans
-  over lanes (``jnp.roll`` + mask — the per-element gathers that
+  the left-neighbour min-plus recurrence are log2(SEG)-step Hillis-Steele
+  scans over lanes (``pltpu.roll`` + mask — the per-element gathers that
   scalarise in the XLA formulation never appear);
 * the last-row structure ``K[j]`` is an elementwise running max;
 * the query walks one char per ``fori_loop`` row step (SMEM scalar
   reads), so trips == the true query length.
 
-Measured ~0.4M pairs/s for len-64 on v5e — vs ~0.07-0.27M for the XLA
-scan and ~0.02M for reference-class CPU code.  O(N·M) like the reference;
-use the bit-parallel kernels for metrics that admit them.  First compile
-of the kernel is slow through the remote tunnel (~5 min; cached after).
+Layout/throughput details (2nd-generation kernel):
+
+* the 128 lanes split into ``128/SEG`` independent **segments** (SEG = 64
+  or 128), one candidate per segment — a len<=64 corpus packs TWO
+  candidates per row, doubling throughput at the bench's len-64 point.
+  DP boundary columns (``D[i][0] = i`` etc.) are injected as masked roll
+  fill values instead of a dedicated border lane, so all SEG lanes carry
+  text.
+* the last-match scan carries ``(col, D[i-2][col-1])`` packed into ONE
+  int32 (``val << 7 | col``), halving the scan's roll count — rolls are
+  the kernel's dominant cost.
+
+O(N*M) like the reference; use the bit-parallel kernels for metrics that
+admit them.  First compile through the remote tunnel is slow (~minutes;
+persistently cached after).
 """
 
 from __future__ import annotations
@@ -31,43 +41,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-SUBC = 32          # candidates per tile (sublane axis)
-BIG = np.int32(1 << 28)
-MAX_TEXT = LANE - 1
+SUBC = 32          # candidate rows per tile (sublane axis)
+BIG = np.int32(1 << 23)     # "infinity"; real scores stay far below, and
+                            # (BIG << 7) still fits int32 for the packed scan
+MAX_TEXT = LANE    # candidates up to 128 chars (SEG = 128)
 
 
-def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int):
+def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int,
+            seg: int):
     la = la_ref[0]
     b_tile = b_ref[:, :]                     # [sub, 128] candidate chars
-    lb = lb_ref[:, :]                        # [sub, 128] lengths (bcast)
+    lb = lb_ref[:, :]                        # [sub, 128] per-segment lens
     jj = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    local = jj & (seg - 1)                   # lane index within segment
+    jcol = local + 1                         # 1-based DP column
+    shifts = [1, 2, 4, 8, 16, 32] + ([64] if seg == 128 else [])
+    SENT = jnp.int32(int(BIG) << 7)
 
-    def shift_up(x, sh, fill):
+    def shift_seg(x, sh, fill):
+        """x[j - sh] within the segment, else ``fill``."""
         r = pltpu.roll(x, sh, 1)
-        return jnp.where(jj >= sh, r, fill)
-
-    def last_match_scan(pos, val):
-        """Inclusive scan: at lane j, the highest lane <= j with pos>0
-        (and its val) — Hillis-Steele over lanes."""
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            p2 = shift_up(pos, sh, 0)
-            v2 = shift_up(val, sh, BIG)
-            keep = pos > 0
-            pos = jnp.where(keep, pos, p2)
-            val = jnp.where(keep, val, v2)
-        return pos, val
+        return jnp.where(local >= sh, r, fill)
 
     def minplus_prefix(x):
-        """new[j] = min over k<=j of (x[k] + (j-k))  (lane prefix)."""
-        y = x - jj
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            y = jnp.minimum(y, shift_up(y, sh, BIG))
-        return y + jj
+        """new[j] = min over k<=j of (x[k] + (j-k))  (segment prefix)."""
+        y = x - jcol
+        for sh in shifts:
+            y = jnp.minimum(y, shift_seg(y, sh, BIG))
+        return y + jcol
 
     # carries live in VMEM scratch (not fori_loop carries): iota/constant
     # inits otherwise enter the loop sublane-replicated and Mosaic cannot
     # relayout the carry ("Invalid relayout" at the while boundary)
-    st_ref[0] = jj                           # D_{i-1}; D[0][j] = j
+    st_ref[0] = jcol                         # D_{i-1}; D[0][j] = j
     st_ref[1] = jnp.full((sub, LANE), BIG, jnp.int32)    # D_{i-2}
     st_ref[2] = jnp.zeros((sub, LANE), jnp.int32)        # K[j]
     st_ref[3] = jnp.full((sub, LANE), BIG, jnp.int32)    # FR[j]
@@ -78,30 +84,37 @@ def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int):
         K = st_ref[2]
         FR = st_ref[3]
         ai = q_ref[i - 1]
-        eq_i = b_tile == ai                  # lane 0 / pads hold -2
+        eq_i = b_tile == ai                  # pads hold -2, never match
 
-        # (L, t) = last matching col < j and D_{i-2}[l-1]
-        dim2_up = shift_up(dim2, 1, BIG)
-        pos0 = jnp.where(eq_i, jj, 0)
-        val0 = jnp.where(eq_i, dim2_up, BIG)
-        spos, sval = last_match_scan(pos0, val0)
-        L = shift_up(spos, 1, 0)
-        t = shift_up(sval, 1, BIG)
-        t = jnp.where(L >= 1, t, BIG)
+        # D_{i-2}[jcol-1]; boundary D_{i-2}[0] = i-2 (only exists for i>=2)
+        d2fill = jnp.where(i >= 2, i - 2, BIG)
+        dim2_up = shift_seg(dim2, 1, d2fill)
+        # packed last-match scan: at lane j, (col, D_{i-2}[col-1]) of the
+        # highest matching column <= jcol
+        e = jnp.where(eq_i, (dim2_up << 7) | jcol, SENT)
+        for sh in shifts:
+            e = jnp.where((e & 127) > 0, e, shift_seg(e, sh, SENT))
+        es = shift_seg(e, 1, SENT)           # last match strictly < jcol
+        L = es & 127
+        t = jnp.where(L >= 1, es >> 7, BIG)
 
-        diag = shift_up(dim1, 1, BIG)
+        diag = shift_seg(dim1, 1, i - 1)     # D_{i-1}[jcol-1]; D[i-1][0]=i-1
         cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
         cand = jnp.minimum(diag + cost, dim1 + 1)
 
-        case1 = jnp.where(jj - L == 1, FR + (i - K), BIG)
-        case2 = jnp.where((i - K == 1) & (jj - L != 1), t + (jj - L), BIG)
+        case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
+        case2 = jnp.where((i - K == 1) & (jcol - L != 1), t + (jcol - L),
+                          BIG)
         tr = jnp.minimum(case1, case2)
         cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
-        cand = jnp.where(jj == 0, i, cand)   # new[0] = i
+        cand = jnp.minimum(cand, i + jcol)   # boundary D[i][0] = i
 
         new = minplus_prefix(cand)
 
-        dim1_m2 = shift_up(dim1, 2, BIG)
+        # D_{i-1}[jcol-2]: boundary i-1 at jcol==2, nonexistent at jcol==1
+        r2 = pltpu.roll(dim1, 2, 1)
+        dim1_m2 = jnp.where(local >= 2, r2,
+                            jnp.where(jcol == 2, i - 1, BIG))
         st_ref[3] = jnp.where(eq_i, dim1_m2, FR)
         st_ref[2] = jnp.maximum(K, jnp.where(eq_i, i, 0))
         st_ref[1] = dim1
@@ -109,13 +122,13 @@ def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int):
         return carry
 
     jax.lax.fori_loop(1, la + 1, step, 0)
-    out_ref[:, :] = jnp.where(jj == lb, st_ref[0], 0)
+    out_ref[:, :] = jnp.where(jcol == lb, st_ref[0], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
-def _run(q, la, b_tiles, lb_tiles, *, sub=SUBC, interpret=False):
+@functools.partial(jax.jit, static_argnames=("sub", "seg", "interpret"))
+def _run(q, la, b_tiles, lb_tiles, *, sub=SUBC, seg=LANE, interpret=False):
     nblocks = b_tiles.shape[0] // sub
-    kern = functools.partial(_kernel, sub=sub)
+    kern = functools.partial(_kernel, sub=sub, seg=seg)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -135,33 +148,48 @@ def _run(q, la, b_tiles, lb_tiles, *, sub=SUBC, interpret=False):
     )(q, la, b_tiles, lb_tiles)
 
 
-def prepare_corpus_cols(chars: np.ndarray, lens: np.ndarray, sub: int = SUBC):
-    """[B, LB<=127] i32 corpus -> column-lane tiles for the Damerau kernel.
-
-    Returns ``(b_tiles [B, 128], lb_tiles [B, 128])`` with candidate char
-    ``j`` (1-based) at lane ``j``; lane 0 and padding hold -2 (never
-    matches); ``B`` must be a multiple of ``sub``.
-    """
-    B, LB = chars.shape
-    if LB > MAX_TEXT:
+def pick_seg(maxlen: int) -> int:
+    """Segment width: two candidates per row when they fit 64 lanes."""
+    if maxlen > MAX_TEXT:
         raise ValueError(f"candidates longer than {MAX_TEXT} need the XLA "
                          "Damerau path")
-    b = np.full((B, LANE), -2, np.int32)
-    b[:, 1:LB + 1] = np.where(chars < 0, -2, chars)
-    lbt = np.broadcast_to(lens.astype(np.int32)[:, None], (B, LANE)).copy()
-    return b, lbt
+    return 64 if maxlen <= 64 else 128
 
 
-def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *,
+def prepare_corpus_cols(chars: np.ndarray, lens: np.ndarray,
+                        sub: int = SUBC, seg: int | None = None):
+    """[B, LB<=128] i32 corpus -> segment-lane tiles for the Damerau kernel.
+
+    Candidate ``c`` occupies lanes ``[(c % nsegs) * seg, ...)`` of row
+    ``c // nsegs`` (``nsegs = 128 // seg``), char ``j`` (1-based) at
+    segment-local lane ``j - 1``; padding holds -2 (never matches).
+    ``B`` must be a multiple of ``sub * nsegs``.
+    Returns ``(b_tiles [B/nsegs, 128], lb_tiles [B/nsegs, 128], seg)``.
+    """
+    B, LB = chars.shape
+    if seg is None:
+        seg = pick_seg(LB)
+    nsegs = LANE // seg
+    R = B // nsegs
+    b = np.full((R, nsegs, seg), -2, np.int32)
+    b[:, :, :LB] = np.where(chars < 0, -2, chars).reshape(R, nsegs, LB)
+    lbt = np.broadcast_to(
+        lens.astype(np.int32).reshape(R, nsegs, 1), (R, nsegs, seg))
+    return b.reshape(R, LANE), lbt.reshape(R, LANE).copy(), seg
+
+
+def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
                     interpret: bool = False) -> jnp.ndarray:
     """One-vs-many unrestricted Damerau distances -> int32[B].
 
-    ``b_tiles``/``lb_tiles`` from :func:`prepare_corpus_cols`; the query
-    may be any length (row loop runs exactly ``len(query)`` steps).
+    ``b_tiles``/``lb_tiles``/``seg`` from :func:`prepare_corpus_cols`;
+    the query may be any length (row loop runs exactly ``len(query)``
+    steps).
     """
     q = np.asarray(query, np.int64)
     la = int(q.size)
-    lens = np.asarray(lb_tiles)[:, 0]
+    nsegs = LANE // seg
+    lens = np.asarray(lb_tiles)[:, ::seg].reshape(-1)
     if la == 0:
         return jnp.asarray(lens.astype(np.int32))
     if q.max(initial=0) > np.iinfo(np.int32).max or q.min(initial=0) < -1:
@@ -173,6 +201,8 @@ def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *,
     qpad = np.full(LQ, -3, np.int32)
     qpad[:la] = q.astype(np.int32)
     out = _run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-               jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+               jnp.asarray(b_tiles), jnp.asarray(lb_tiles), seg=seg,
                interpret=interpret)
-    return jnp.sum(out, axis=1)
+    summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
+    # segments with an empty candidate never hit jcol == lb: dist = la
+    return jnp.where(jnp.asarray(lens) == 0, la, summed)

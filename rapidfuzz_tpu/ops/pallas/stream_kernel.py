@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: one-vs-many Levenshtein over LONG candidates.
+
+The fixed-bucket kernel (:mod:`lev_kernel`) holds a candidate block of
+``LB * 4096`` bytes in VMEM, capping buckets at ~1024 chars.  The
+reference handles arbitrarily long texts in its core block kernel
+(``/root/reference/src/distance/levenshtein.rs:769-1019`` — the 106k-char
+OCR pair is its proof fixture); this kernel restores that capability on
+TPU by streaming the text as a second grid dimension:
+
+* grid ``(candidate_blocks, text_chunks)`` — the chunk axis iterates
+  sequentially (TPU grids execute in order, last dimension fastest), so
+  the Myers state (dist, VP, VN) carries across chunks of the same
+  candidate block in VMEM scratch, initialized at chunk 0 and emitted to
+  the output block after the last chunk (SURVEY.md §5 long-context plan:
+  "a sequential scan over text chunks with carried (VP, VN) state").
+* each chunk block is ``CH * 4096`` bytes (CH = 512 -> 2 MB double
+  buffered), independent of the total bucket length, so buckets of any
+  length fit VMEM.
+* inside a chunk the body is the :mod:`lev_kernel` hot loop verbatim
+  (same PM tables, packed rows, dynamic trip counts); chunks wholly past
+  the tile's longest candidate run zero trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lev_kernel import (LANE, SUB, build_pm_tables, pick_mode, pick_unroll,
+                         unpack_byte)
+
+CHUNK = 512          # text chars per grid step (CH/4 * 32 * 128 u32 = 2 MB)
+
+
+def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref,
+            dist_ref, vp_ref, vn_ref, *, CH: int, W: int, ntab: int,
+            unroll: int, sub: int, nchunks: int):
+    j = pl.program_id(1)
+    la = la_ref[0]
+    lb = lb_ref[:, :]
+    last_bit = ((la - 1) & 31).astype(jnp.uint32)
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[:, :] = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
+        vp_ref[:, :, :] = jnp.full((W, sub, LANE), 0xFFFFFFFF, jnp.uint32)
+        vn_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+
+    base = j * CH
+
+    def one_char(row, u, jg, dist, vp, vn):
+        c = unpack_byte(row, u)
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        hp_c = jnp.ones((sub, LANE), jnp.uint32)
+        hn_c = jnp.zeros((sub, LANE), jnp.uint32)
+        nvp, nvn = list(vp), list(vn)
+        delta = None
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pmw = jnp.where(chi, t1, t0)
+            else:
+                pmw = t0
+            x = pmw | hn_c
+            vpw, vnw = vp[w], vn[w]
+            d0 = (((x & vpw) + vpw) ^ vpw) | x | vnw
+            hp = vnw | ~(d0 | vpw)
+            hn = d0 & vpw
+            if w == W - 1:
+                delta = (((hp >> last_bit) & 1).astype(jnp.int32)
+                         - ((hn >> last_bit) & 1).astype(jnp.int32))
+            hp_out = hp >> 31
+            hn_out = hn >> 31
+            hp_s = (hp << 1) | hp_c
+            hn_s = (hn << 1) | hn_c
+            nvp[w] = hn_s | ~(d0 | hp_s)
+            nvn[w] = hp_s & d0
+            hp_c, hn_c = hp_out, hn_out
+        dist = jnp.where(jg < lb, dist + delta, dist)
+        return dist, nvp, nvn
+
+    def body(jj, state):
+        dist, *rest = state
+        vp = list(rest[:W])
+        vn = list(rest[W:])
+        row = None
+        for u in range(unroll):
+            if u % 4 == 0:
+                row = cand_ref[jj * (unroll // 4) + u // 4]
+            dist, vp, vn = one_char(row, u, base + jj * unroll + u,
+                                    dist, vp, vn)
+        return (dist, *vp, *vn)
+
+    dist = dist_ref[:, :]
+    vp = [vp_ref[w] for w in range(W)]
+    vn = [vn_ref[w] for w in range(W)]
+    # trips clamped to this chunk; chunks past the tile's longest
+    # candidate run zero iterations (length-sorted corpora stop early)
+    rem = jnp.max(lb) - base
+    trips = jnp.clip((rem + (unroll - 1)) // unroll, 0, CH // unroll)
+    state = jax.lax.fori_loop(0, trips, body, (dist, *vp, *vn))
+    dist_ref[:, :] = state[0]
+    for w in range(W):
+        vp_ref[w] = state[1 + w]
+        vn_ref[w] = state[1 + W + w]
+
+    @pl.when(j == nchunks - 1)
+    def _emit():
+        out_ref[:, :] = dist_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+         interpret=False):
+    assert LB % CHUNK == 0, (LB, CHUNK)
+    nblocks = cand3.shape[1] // sub
+    nchunks = LB // CHUNK
+    kern = functools.partial(_kernel, CH=CHUNK, W=W, ntab=ntab,
+                             unroll=unroll, sub=sub, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 4, sub, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(la, tabs, cand3, lb2)
+
+
+def lev_stream_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
+                       staged=None, interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many uniform Levenshtein for long candidate buckets.
+
+    Same contract as :func:`lev_kernel.lev_1v_many`, but ``cand3`` may
+    come from a bucket of any CHUNK-multiple length (4096, 16384, ...).
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        return jnp.broadcast_to(lb2, lb2.shape).astype(jnp.int32)
+    LB = int(cand3.shape[0]) * 4
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    return _run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                unroll=pick_unroll(LB), interpret=interpret)

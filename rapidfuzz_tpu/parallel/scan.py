@@ -180,24 +180,33 @@ class CorpusScanner:
         mesh_tpu = tpu_backend() and all(
             getattr(d, "platform", "") not in ("cpu", "gpu", "rocm")
             for d in mesh.devices.flat)
+        # uniform-Levenshtein buckets beyond the VMEM cap stream the text
+        # as a second Pallas grid dimension (stream_kernel; the reference's
+        # long-text block kernel, levenshtein.rs:769-1019)
+        self._stream = (metric == "levenshtein" and self._weights is None
+                        and chars.shape[1] > 1024
+                        and chars.shape[1] % 512 == 0)
         self._pallas = ((mesh_tpu or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
-                        and chars.shape[1] <= 1024)
+                        and (chars.shape[1] <= 1024 or self._stream))
+        self._stream = self._stream and self._pallas
         # wide alphabets (chars >= 256) ride the same kernels through a
         # per-query device-side remap to query-local ids (lev_kernel.
         # remap_corpus) instead of dropping to the ~100x-slower XLA path
         self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
-        # alphabet, candidates <= 127 chars, 32 per tile
+        # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
+        # per tile
         self._dam_pallas = ((mesh_tpu or bool(force)) and ndev == 1
                             and metric == "damerau_levenshtein"
-                            and chars.shape[1] <= 127)
+                            and chars.shape[1] <= 128)
         self._ndev = ndev
         self._smap_cache = {}
         if self._pallas:
             align = 4096 * ndev
         elif self._dam_pallas:
-            align = 32
+            from ..ops.pallas import damerau_kernel as _dkm
+            align = 32 * (128 // _dkm.pick_seg(chars.shape[1]))
         else:
             align = ndev
         padded = -(-max(n, 1) // align) * align
@@ -264,7 +273,7 @@ class CorpusScanner:
                 self._chars4 = chars[:, :4].copy()
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
-            bt, lt = _dk.prepare_corpus_cols(chars, lens)
+            bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars, lens)
             self._dam_b = jax.block_until_ready(jnp.asarray(bt))
             self._dam_lb = jnp.asarray(lt)
             self.lens = jax.device_put(lens, shard1)
@@ -363,6 +372,7 @@ class CorpusScanner:
         if self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
             return _dk.damerau_1v_many(q, self._dam_b, self._dam_lb,
+                                       seg=self._dam_seg,
                                        interpret=self._interpret)
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
@@ -382,6 +392,13 @@ class CorpusScanner:
             if self._ndev > 1:
                 return self._dist_pallas_mesh(qk, mode, cand3, q_finish=q)
             if self.metric == "levenshtein":
+                if self._stream:
+                    from ..ops.pallas import stream_kernel as _sk
+                    out = _sk.lev_stream_1v_many(qk, cand3, self.lb2,
+                                                 mode=mode,
+                                                 interpret=self._interpret)
+                    out = out.reshape(-1)
+                    return out * self._wscale if self._wscale != 1 else out
                 if self._weights is not None:
                     from ..ops.pallas import wlev_kernel as _wk
                     ins, dele, sub = self._weights
@@ -508,8 +525,13 @@ class CorpusScanner:
                     np.zeros(lens.shape[0], np.int32), q_finish)
             return (lens * self._wscale).astype(jnp.int32)  # lev/osa
         if self.metric == "levenshtein":
+            if self._stream:
+                from ..ops.pallas import stream_kernel as _sk
+                run_fn = _sk._run
+            else:
+                run_fn = _lk._run
             out = self._pallas_sharded(
-                _lk._run, scal, tabs,
+                run_fn, scal, tabs,
                 dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
                      interpret=self._interpret), cand3=cand3)
             out = out.reshape(-1)

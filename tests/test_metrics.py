@@ -370,3 +370,66 @@ def test_batch_comparators_match_scalar():
     got = bj.similarities(corpus).values
     for s, g in zip(corpus, got):
         assert g == jaro.similarity("abcd", s)
+
+
+# ------------------------------------------- reference regression sweep
+
+def test_indel_banded_regressions_full():
+    """Remaining ``test_banded_implementation`` cases (indel.rs:818-848):
+    the cutoff ladder on the 508 fixture and the second 231-distance
+    pair."""
+    s1 = ("ddccbccc")
+    s2 = ("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaacca"
+          "cccaccaaaaaaaadaaaaaaaaccccaccccccaaaaaaaccccaaacccaccccadddaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaccccccccacccaaaaaacccaaaaaacc"
+          "cacccaaaaaacccdccccccaccccccccccccccccccccccccccccccccccccccccccccccccccccccc"
+          "ccccccddddddaaaaaaaaaaaaaaaaaaaaaaaaaacacccaaaaaacccddddaaaaaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaccccaaaaaaaaaaccccccaadddaaaaaaaaaaaaaaaaaaaaaacaaaaaa")
+    assert indel.distance(s1, s2, score_cutoff=508) == 508
+    assert indel.distance(s1, s2, score_cutoff=507) is None
+    assert indel.distance(s1, s2, score_cutoff=10**9) == 508
+
+    t1 = ("bbbdbbmbbbbbbbbbBbfbbbbbbbbbbbbbbbbbbbrbbbbbrbbbbbdbnbbbjbhbbbbbbbbbhbbb"
+          "bbCbobbbxbbbbbkbbbAbxbbwbbbtbcbbbbebbiblbbbbqbbbbbbpbbbbbbubbbkbbDbbbhbkbC"
+          "bbgbbrbbbbbbbbbbbkbyvbbsbAbbbbz")
+    t2 = "jaaagaaqyaaaanrCfwaaxaeahtaaaCzaaaspaaBkvaaaaqDaacndaaeolwiaaauaaaaaaamA"
+    assert indel.distance(t1, t2) == 231
+    assert indel.distance(t2, t1) == 231                       # symmetry
+    assert indel.distance_many([t1], [t2]).values[0] == 231    # batch==scalar
+
+
+def test_jaro_fuzzing_regression_wide():
+    """``jaro.rs:1201-1218`` fuzzing regression: long strings with >u8
+    codepoints mixed in; batch == scalar == symmetric, and the score sits
+    within the reference's asserted bound (|dist - 0.1| <= 0.32144)."""
+    s1 = ("afddddddddddddddddddddddddddddddddddddddddadacccccccdddddddddd%,"
+          "ccaa{1}ccccdccccccccccccccccccccc"
+          "cccccccccccccccccccccccccccccccccccccccccccccccczcecccccccccccccc"
+          "cccccccccccccccccccccccccccccccc"
+          "cccccccccdddddddd디ccc디Gcddddcccccccccccccccccccccccccccc"
+          "cccccccccccccccccccccccccccccccccccccaccccccccccccc"
+          "ccccccccccccccccccccccccccccccccccccccccccccea,"
+          "ccccccccccccccccccccccccccccccccccccccc")
+    s2 = ("cccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccc"
+          "ccccccccccccccccccccccccccddddd"
+          "dddddddddddddddddddddddddddddf,ccczюec*ceч;e,")
+    d = jaro.distance(s1, s2, score_cutoff=1.0)
+    assert d is not None and abs(d - 0.1) <= 0.32144
+    assert jaro.distance(s2, s1, score_cutoff=1.0) == pytest.approx(d, abs=1e-12)
+    bc = jaro.BatchComparator(s1)
+    assert bc.distances([s2]).values[0] == pytest.approx(d, abs=1e-12)
+
+
+def test_damerau_normalized_golden():
+    """``damerau_levenshtein.rs:646-690`` normalized-similarity goldens."""
+    cases = [("aaaa", "aaaa", 1.0), ("aaaa", "aaa", 0.75),
+             ("aaaa", "aaab", 0.75), ("abaa", "baaa", 0.75),
+             ("aaaa", "bbbb", 0.0)]
+    for a, b, exp in cases:
+        got = damerau_levenshtein.normalized_similarity(a, b,
+                                                        score_cutoff=0.0)
+        assert got == pytest.approx(exp, abs=1e-4), (a, b)
+        got2 = damerau_levenshtein.normalized_similarity_many(
+            [a], [b], score_cutoff=0.0).values[0]
+        assert got2 == pytest.approx(exp, abs=1e-4), (a, b)

@@ -175,3 +175,30 @@ def test_empty_query():
                                     mode="local",
                                     interpret=True)).reshape(-1)
     np.testing.assert_array_equal(out[: len(lens)], lens)
+
+
+def test_stream_kernel_long_candidates():
+    """Streaming text-chunk kernel (stream_kernel): candidates beyond the
+    single-block VMEM cap, Myers state carried across chunk grid steps
+    (the reference's long-text block kernel, ``levenshtein.rs:769-1019``,
+    proof fixture ``:2139-2161``)."""
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+
+    rng = np.random.default_rng(3)
+    Bs, LB, qlen = 4096, 1536, 48        # 3 chunks of 512
+    q = rng.integers(97, 123, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    lens[0] = 0
+    lens[1] = LB
+    chars = rng.integers(97, 123, (Bs, LB)).astype(np.int32)
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    mode = lk.pick_mode(q, int(chars.max()))
+    out = np.asarray(sk.lev_stream_1v_many(
+        q, cand3, lb2, mode=mode, interpret=True)).reshape(-1)
+    for i in list(range(0, Bs, 331)) + [0, 1]:
+        exp = oracle.levenshtein_uniform(q.astype(np.int64),
+                                         chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)

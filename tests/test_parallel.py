@@ -415,3 +415,24 @@ def test_wide_alphabet_pallas_routing(monkeypatch):
     d = sc.distances("Иванко")
     for i in range(0, len(corpus), 5):
         assert d[i] == lev.distance("Иванко", corpus[i], weights=w)
+
+
+def test_stream_scanner_routing(monkeypatch):
+    """Buckets > 1024 route to the streaming Pallas kernel through the
+    scanner (previously they dropped to the XLA path)."""
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(11)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 26, 1200))
+    corpus = [base,
+              base[:600] + "xyz" + base[603:],
+              base[:300] + base[310:],        # 10-char deletion
+              "short", ""]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1)
+    assert sc._pallas and sc._stream and sc._LB == 2048
+    q = base[:64]        # typical use: short query, long candidates
+    d = sc.distances(q)
+    for s, g in zip(corpus, d):
+        assert g == lev.distance(q, s), (s[:20], g)
