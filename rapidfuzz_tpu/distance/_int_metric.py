@@ -88,8 +88,15 @@ class IntMetric:
         return _dispatch.BatchResult(*_c.mask_similarity(ns, score_cutoff))
 
 
-def build_module(metric: IntMetric, ns: dict, extra_args_slots=()):
-    """Install the standard public surface into a module namespace."""
+def build_module(metric: IntMetric, ns: dict, extra_args_slots=(),
+                 example=None):
+    """Install the standard public surface into a module namespace.
+
+    ``example=(s1, s2, distance)`` generates runnable doctest examples in
+    each public function's docstring (the reference carries a doc test on
+    every public fn, ``lib.rs:28-72``; ``tests/test_doctest.py`` executes
+    them).
+    """
 
     class Args(_c.ArgsBase):
         __slots__ = ()
@@ -169,6 +176,64 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=()):
                 [self._u1], corpus, score_cutoff=score_cutoff)
 
     BatchComparator.__qualname__ = f"{metric.name}.BatchComparator"
+
+    if example is not None:
+        s1, s2, dist = example
+        mx = metric.maximum(len(s1), len(s2))
+        sim = mx - dist
+        mod = ns.get("__name__", f"rapidfuzz_tpu.distance.{metric.name}")
+        imp = f">>> from {mod.rsplit('.', 1)[0]} import {metric.name}"
+        n = metric.name
+        cut = (f"\n>>> {n}.distance({s1!r}, {s2!r}, "
+               f"score_cutoff={dist - 1}) is None\nTrue"
+               if dist > 0 else "")
+        distance.__doc__ = (
+            f"{n} distance between two sequences.\n\n"
+            f"{imp}\n>>> {n}.distance({s1!r}, {s2!r})\n{dist}{cut}\n")
+        similarity.__doc__ = (
+            f"{n} similarity (``maximum - distance``).\n\n"
+            f"{imp}\n>>> {n}.similarity({s1!r}, {s2!r})\n{sim}\n")
+        normalized_distance.__doc__ = (
+            f"{n} distance normalized to [0, 1].\n\n"
+            f"{imp}\n>>> round({n}.normalized_distance({s1!r}, {s2!r}), 4)"
+            f"\n{round(dist / mx, 4) if mx else 0.0}\n")
+        normalized_similarity.__doc__ = (
+            f"{n} similarity normalized to [0, 1].\n\n"
+            f"{imp}\n>>> round({n}.normalized_similarity({s1!r}, {s2!r}),"
+            f" 4)\n{round(1 - dist / mx, 4) if mx else 1.0}\n")
+        distance_with_args.__doc__ = (
+            f"{n} distance with an ``Args`` builder.\n\n"
+            f"{imp}\n>>> {n}.distance_with_args({s1!r}, {s2!r}, "
+            f"{n}.Args().score_cutoff({dist}))\n{dist}\n")
+        similarity_with_args.__doc__ = (
+            f"{n} similarity with an ``Args`` builder.\n\n"
+            f"{imp}\n>>> {n}.similarity_with_args({s1!r}, {s2!r}, "
+            f"{n}.Args())\n{sim}\n")
+        normalized_distance_with_args.__doc__ = (
+            f"Normalized {n} distance with an ``Args`` builder.\n\n"
+            f"{imp}\n>>> round({n}.normalized_distance_with_args({s1!r}, "
+            f"{s2!r}, {n}.Args()), 4)"
+            f"\n{round(dist / mx, 4) if mx else 0.0}\n")
+        normalized_similarity_with_args.__doc__ = (
+            f"Normalized {n} similarity with an ``Args`` builder.\n\n"
+            f"{imp}\n>>> round({n}.normalized_similarity_with_args("
+            f"{s1!r}, {s2!r}, {n}.Args()), 4)"
+            f"\n{round(1 - dist / mx, 4) if mx else 1.0}\n")
+        BatchComparator.__doc__ = (
+            f"One-vs-many {n} comparator with device batch APIs "
+            f"(``BatchComparator``, SURVEY.md §2.2).\n\n"
+            f"{imp}\n>>> bc = {n}.BatchComparator({s1!r})\n"
+            f">>> int(bc.distances([{s2!r}]).values[0])\n{dist}\n"
+            f">>> int(bc.similarities([{s2!r}]).values[0])\n{sim}\n")
+        # doctest.testmod only collects functions whose __module__ is the
+        # target module
+        for fn in (distance, similarity, normalized_distance,
+                   normalized_similarity, distance_with_args,
+                   similarity_with_args, normalized_distance_with_args,
+                   normalized_similarity_with_args):
+            fn.__module__ = mod
+        BatchComparator.__module__ = mod
+        Args.__module__ = mod
 
     ns.update(
         Args=Args,

@@ -50,11 +50,29 @@ def _scalar(s1, s2, pad):
 
 
 def distance(s1, s2, *, pad=False, score_cutoff=None, score_hint=None):
+    """Hamming distance; unequal lengths raise unless ``pad=True``.
+
+    >>> from rapidfuzz_tpu.distance import hamming
+    >>> hamming.distance("karolin", "kathrin")
+    3
+    >>> hamming.distance("karolin", "kath", pad=True)
+    5
+    >>> hamming.distance("ab", "abc")
+    Traceback (most recent call last):
+        ...
+    rapidfuzz_tpu.distance.hamming.DifferentLengthArgsError: Differing length arguments provided
+    """
     dist, _ = _scalar(s1, s2, pad)
     return _c.apply_distance_cutoff(dist, score_cutoff)
 
 
 def similarity(s1, s2, *, pad=False, score_cutoff=None, score_hint=None):
+    """Hamming similarity (``maximum - distance``).
+
+    >>> from rapidfuzz_tpu.distance import hamming
+    >>> hamming.similarity("karolin", "kathrin")
+    4
+    """
     dist, mx = _scalar(s1, s2, pad)
     return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
 

@@ -32,10 +32,24 @@ def _sim_scalar(s1, s2) -> float:
 
 
 def similarity(s1, s2, *, score_cutoff=None, score_hint=None):
+    """Jaro similarity in [0, 1].
+
+    >>> from rapidfuzz_tpu.distance import jaro
+    >>> round(jaro.similarity("martha", "marhta"), 4)
+    0.9444
+    >>> jaro.similarity("martha", "marhta", score_cutoff=0.99) is None
+    True
+    """
     return _c.apply_similarity_cutoff(_sim_scalar(s1, s2), score_cutoff)
 
 
 def distance(s1, s2, *, score_cutoff=None, score_hint=None):
+    """Jaro distance (``1.0 - similarity``).
+
+    >>> from rapidfuzz_tpu.distance import jaro
+    >>> round(jaro.distance("martha", "marhta"), 4)
+    0.0556
+    """
     return _c.apply_distance_cutoff(1.0 - _sim_scalar(s1, s2), score_cutoff)
 
 

@@ -41,6 +41,15 @@ def _sim_scalar(s1, s2, prefix_weight) -> float:
 
 def similarity(s1, s2, *, prefix_weight=0.1, score_cutoff=None,
                score_hint=None):
+    """Jaro-Winkler similarity (prefix-boosted Jaro).
+
+    >>> from rapidfuzz_tpu.distance import jaro_winkler
+    >>> round(jaro_winkler.similarity("martha", "marhta"), 4)
+    0.9611
+    >>> round(jaro_winkler.similarity("martha", "marhta",
+    ...                               prefix_weight=0.2), 4)
+    0.9778
+    """
     return _c.apply_similarity_cutoff(_sim_scalar(s1, s2, prefix_weight),
                                       score_cutoff)
 

@@ -31,7 +31,7 @@ def _batch_distance(c1, l1, c2, l2):
 
 METRIC = _int_metric.IntMetric("lcs_seq", _maximum, _raw_distance,
                                _batch_distance)
-_int_metric.build_module(METRIC, globals())
+_int_metric.build_module(METRIC, globals(), example=("lewenstein", "levenshtein", 2))
 
 
 def similarity_batch_raw(c1, l1, c2, l2):

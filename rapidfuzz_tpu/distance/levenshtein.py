@@ -118,6 +118,17 @@ def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
 def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
              score_cutoff: Optional[int] = None,
              score_hint: Optional[int] = None) -> Optional[int]:
+    """Levenshtein distance (uniform or weighted).
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> levenshtein.distance("kitten", "sitting")
+    3
+    >>> levenshtein.distance("kitten", "sitting", score_cutoff=2) is None
+    True
+    >>> levenshtein.distance("kitten", "sitting",
+    ...                      weights=levenshtein.WeightTable(1, 1, 2))
+    5
+    """
     dist, _ = _scalar(s1, s2, weights)
     return _c.apply_distance_cutoff(dist, score_cutoff)
 
@@ -125,6 +136,12 @@ def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
 def similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
                score_cutoff: Optional[int] = None,
                score_hint: Optional[int] = None) -> Optional[int]:
+    """Levenshtein similarity (``maximum - distance``).
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> levenshtein.similarity("kitten", "sitting")
+    4
+    """
     dist, mx = _scalar(s1, s2, weights)
     return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
 
@@ -132,6 +149,12 @@ def similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
 def normalized_distance(s1, s2, *, weights: WeightTable = _UNIFORM,
                         score_cutoff: Optional[float] = None,
                         score_hint: Optional[float] = None) -> Optional[float]:
+    """Levenshtein distance normalized to [0, 1].
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> round(levenshtein.normalized_distance("kitten", "sitting"), 4)
+    0.4286
+    """
     dist, mx = _scalar(s1, s2, weights)
     return _c.apply_distance_cutoff(_c.norm_dist_from_dist(dist, mx),
                                     score_cutoff)
@@ -140,6 +163,12 @@ def normalized_distance(s1, s2, *, weights: WeightTable = _UNIFORM,
 def normalized_similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
                           score_cutoff: Optional[float] = None,
                           score_hint: Optional[float] = None) -> Optional[float]:
+    """Levenshtein similarity normalized to [0, 1].
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> round(levenshtein.normalized_similarity("kitten", "sitting"), 4)
+    0.5714
+    """
     dist, mx = _scalar(s1, s2, weights)
     return _c.apply_similarity_cutoff(1.0 - _c.norm_dist_from_dist(dist, mx),
                                       score_cutoff)

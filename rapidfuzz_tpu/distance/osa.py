@@ -28,4 +28,4 @@ def _batch_distance(c1, l1, c2, l2):
 
 METRIC = _int_metric.IntMetric("osa", _maximum, _raw_distance,
                                _batch_distance)
-_int_metric.build_module(METRIC, globals())
+_int_metric.build_module(METRIC, globals(), example=("CA", "ABC", 3))

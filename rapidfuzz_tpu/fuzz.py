@@ -23,6 +23,15 @@ class Args(_c.ArgsBase):
 
 def ratio(s1, s2, *, score_cutoff: Optional[float] = None,
           score_hint: Optional[float] = None) -> Optional[float]:
+    """Indel-based normalized similarity in [0, 1] (``fuzz.rs:48-85``).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> round(fuzz.ratio("this is a test", "this is a test!"), 4)
+    0.9655
+    >>> fuzz.ratio("this is a test", "this is a test!",
+    ...            score_cutoff=0.99) is None
+    True
+    """
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     mx = u1.size + u2.size
     dist = _oracle.indel(u1, u2)

@@ -88,14 +88,21 @@ def jaro_components(a, la, b, lb):
     nflag = jnp.sum(pflag, axis=-1, dtype=jnp.int32)
     common = prefix + nflag
 
-    # transpositions: compact flagged chars in order, compare rank-matched
-    pord = jnp.argsort(~pflag, axis=-1, stable=True)
-    tord = jnp.argsort(~tflag, axis=-1, stable=True)
-    fa = jnp.take_along_axis(a_b, pord, axis=-1)
-    fb = jnp.take_along_axis(b_b, tord, axis=-1)
-    K = min(LA, LB)
-    rank = jnp.arange(K, dtype=jnp.int32)
-    trans = jnp.sum((fa[:, :K] != fb[:, :K]) & (rank < nflag[:, None]),
-                    axis=-1, dtype=jnp.int32)
+    # transpositions: walk flagged text chars in order, each popping the
+    # lowest remaining claimed pattern position and comparing chars — the
+    # Pallas kernel's technique (ops/pallas/jaro_kernel.py popping pass,
+    # matching count_transpositions_word, jaro.rs:339-368).  The previous
+    # stable-argsort compaction scalarised on TPU lanes.
+    def tstep(carry, j):
+        rem, trans = carry
+        pop = lax.dynamic_slice_in_dim(tflag, j, 1, axis=1)[:, 0]
+        first = jnp.argmax(rem, axis=-1).astype(jnp.int32)
+        ai = jnp.take_along_axis(a_b, first[:, None], axis=-1)[:, 0]
+        bj = lax.dynamic_slice_in_dim(b_b, j, 1, axis=1)[:, 0]
+        trans = trans + (pop & (ai != bj)).astype(jnp.int32)
+        rem = rem & ~((ii[None, :] == first[:, None]) & pop[:, None])
+        return (rem, trans), None
+
+    (_, trans), _ = lax.scan(tstep, (pflag, jnp.zeros((B,), jnp.int32)), js)
 
     return common, trans
