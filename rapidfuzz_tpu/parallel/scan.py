@@ -666,7 +666,7 @@ class CorpusScanner:
                 return np.empty(0, vals.dtype), np.empty(0, np.int32)
             ids = np.argpartition(d, k - 1)[:k] if k < d.size \
                 else np.arange(d.size)
-            ids = ids[np.argsort(d[ids], kind="stable")]
+            ids = ids[np.lexsort((ids, d[ids]))]
             return vals[ids], ids.astype(np.int32)
         dist = self._distances_dev(query)
         if self._order is not None:
@@ -676,7 +676,7 @@ class CorpusScanner:
             k = min(k, self.n)
             ids = np.argpartition(d, k - 1)[:k] if k < d.size \
                 else np.arange(d.size)
-            ids = ids[np.argsort(d[ids], kind="stable")]
+            ids = ids[np.lexsort((ids, d[ids]))]
             vals = d[ids]
             if not np.issubdtype(np.asarray(dist).dtype, np.floating):
                 vals = vals.astype(np.int64)
@@ -686,7 +686,7 @@ class CorpusScanner:
             k = min(k, d.size)
             ids = np.argpartition(d, k - 1)[:k] if k < d.size \
                 else np.arange(d.size)
-            ids = ids[np.argsort(d[ids], kind="stable")]
+            ids = ids[np.lexsort((ids, d[ids]))]
             return d[ids], ids.astype(np.int32)
         # mask the alignment-padding rows
         idx = jnp.arange(dist.shape[0], dtype=jnp.int32)

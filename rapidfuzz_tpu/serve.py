@@ -1,0 +1,162 @@
+"""Production serving layer: an HTTP daemon around :class:`CorpusScanner`.
+
+The reference is a library with no runtime (SURVEY.md §1: "no service, no
+scheduler"); for TPU deployment the natural unit of service is the
+device-resident corpus scan — load the corpus once, keep it sharded on
+the mesh, answer one-vs-many queries over HTTP.  Stdlib-only (no extra
+dependencies in the image).
+
+Endpoints (JSON):
+
+* ``GET /health``                 -> ``{"ok": true, "n": corpus_size}``
+* ``GET /stats``                  -> counters (queries, pairs, seconds)
+* ``POST /topk``    body ``{"query": str, "k": int, "score_cutoff"?: num}``
+                                  -> ``{"values": [...], "indices": [...],
+                                        "strings": [...]}``
+* ``POST /distances`` body ``{"query": str, "score_cutoff"?: num}``
+                                  -> ``{"values": [...], "valid"?: [...]}``
+
+Run::
+
+    python -m rapidfuzz_tpu.serve --corpus words.txt --metric levenshtein \
+        --port 8947
+
+JAX dispatch is single-threaded by design here: requests serialize
+through a lock (the scan itself saturates the chip; concurrency would
+only interleave device programs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .parallel.scan import CorpusScanner
+
+
+class ScanService:
+    """Device-resident corpus + compiled scan programs + counters."""
+
+    def __init__(self, corpus, metric: str = "levenshtein", mesh=None,
+                 bucket: int | None = None, **scanner_kw):
+        self.corpus = list(corpus)
+        self.scanner = CorpusScanner(self.corpus, metric=metric, mesh=mesh,
+                                     bucket=bucket, **scanner_kw)
+        self.metric = metric
+        self._lock = threading.Lock()
+        self.stats = {"queries": 0, "pairs": 0, "device_seconds": 0.0}
+
+    def _timed(self, fn):
+        with self._lock:
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            self.stats["queries"] += 1
+            self.stats["pairs"] += self.scanner.n
+            self.stats["device_seconds"] += dt
+        return out
+
+    def topk(self, query: str, k: int, score_cutoff=None):
+        vals, ids = self._timed(
+            lambda: self.scanner.topk(query, k, score_cutoff=score_cutoff))
+        return {
+            "values": np.asarray(vals).tolist(),
+            "indices": np.asarray(ids).tolist(),
+            "strings": [self.corpus[i] for i in np.asarray(ids)],
+        }
+
+    def distances(self, query: str, score_cutoff=None):
+        res = self._timed(
+            lambda: self.scanner.distances(query,
+                                           score_cutoff=score_cutoff))
+        if score_cutoff is None:
+            return {"values": np.asarray(res).tolist()}
+        return {"values": np.asarray(res.values).tolist(),
+                "valid": np.asarray(res.valid).tolist()}
+
+
+def make_server(service: ScanService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) an HTTP server bound to ``host:port``
+    (port 0 picks a free one; see ``server.server_address``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):     # library core stays silent
+            pass
+
+        def _reply(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"ok": True, "n": service.scanner.n,
+                                  "metric": service.metric})
+            elif self.path == "/stats":
+                self._reply(200, service.stats)
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                cutoff = req.get("score_cutoff")
+                if self.path == "/topk":
+                    out = service.topk(req["query"], int(req.get("k", 10)),
+                                       score_cutoff=cutoff)
+                elif self.path == "/distances":
+                    out = service.distances(req["query"],
+                                            score_cutoff=cutoff)
+                else:
+                    return self._reply(404, {"error": "unknown path"})
+                self._reply(200, out)
+            except Exception as e:          # noqa: BLE001 — serve errors
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--corpus", required=True,
+                    help="text file, one corpus string per line")
+    ap.add_argument("--metric", default="levenshtein")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8947)
+    ap.add_argument("--bucket", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu'); default: the "
+                         "process default (TPU when available)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    with open(args.corpus, encoding="utf-8") as f:
+        corpus = [line.rstrip("\n") for line in f]
+    service = ScanService(corpus, metric=args.metric, bucket=args.bucket)
+    # warm up in the MAIN thread: forces jax backend init + compiles the
+    # scan program before requests arrive (backend init inside an HTTP
+    # handler thread has been observed to deadlock with the axon plugin)
+    if corpus:
+        service.distances(corpus[0])
+    server = make_server(service, args.host, args.port)
+    print(json.dumps({"serving": True, "host": server.server_address[0],
+                      "port": server.server_address[1], "n": service.scanner.n}),
+          flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

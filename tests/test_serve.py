@@ -1,0 +1,62 @@
+"""Serving layer: HTTP daemon around the device-resident corpus scan."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+from rapidfuzz_tpu.serve import ScanService, make_server
+from rapidfuzz_tpu.distance import levenshtein as lev
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_scan_service_http():
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""]
+    service = ScanService(corpus, metric="levenshtein", bucket=32)
+    server = make_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        h = _get(port, "/health")
+        assert h["ok"] and h["n"] == len(corpus)
+
+        out = _post(port, "/topk", {"query": "apple", "k": 3})
+        assert out["strings"][0] == "apple" and out["values"][0] == 0
+        assert out["values"] == sorted(out["values"])
+
+        out = _post(port, "/distances", {"query": "apple"})
+        assert out["values"] == [lev.distance("apple", s) for s in corpus]
+
+        out = _post(port, "/distances", {"query": "apple",
+                                         "score_cutoff": 2})
+        masked = [lev.distance("apple", s, score_cutoff=2) for s in corpus]
+        for v, ok, exp in zip(out["values"], out["valid"], masked):
+            assert ok == (exp is not None)
+            if ok:
+                assert v == exp
+
+        try:                                        # missing query -> 400
+            _post(port, "/topk", {"k": 3})
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+
+        st = _get(port, "/stats")
+        assert st["queries"] == 3 and st["pairs"] == 3 * len(corpus)
+    finally:
+        server.shutdown()
