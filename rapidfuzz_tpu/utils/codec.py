@@ -39,11 +39,37 @@ def bucket_len(n: int) -> int:
     return int(-(-n // 32768) * 32768)
 
 
+# Interning for the element domain the reference spans with its Hash enum
+# (i64::MIN ..= u64::MAX, lib.rs:102-120): 2^65 values cannot embed in the
+# int64 code space, so the two ambiguous ranges — negative i64 and
+# u64 > i64::MAX — are interned into a process-global table allocating
+# distinct negative codes (downward from -2; -1 is PAD).  Equality then
+# holds exactly iff the reference's Hash equality holds, across all calls
+# in the process.
+_INTERN: dict = {}
+_INTERN_NEXT = [-2]
+
+
+def _intern_codes(tag: str, values) -> np.ndarray:
+    out = np.empty(len(values), np.int64)
+    nxt = _INTERN_NEXT
+    for i, v in enumerate(values):
+        key = (tag, int(v))
+        code = _INTERN.get(key)
+        if code is None:
+            code = _INTERN[key] = nxt[0]
+            nxt[0] -= 1
+        out[i] = code
+    return out
+
+
 def encode_one(s) -> np.ndarray:
     """Encode a single string/bytes/sequence to an int-valued numpy array.
 
     Returns int64 so that arbitrary integer inputs survive; callers narrow to
-    int32 (possibly via vocab remap) when building device batches.
+    int32 (possibly via vocab remap) when building device batches.  Codes are
+    >= 0 except interned carriers (see :func:`_intern_codes`), which go
+    through the vocab remap like any negative value.
     """
     if isinstance(s, str):
         if not s:
@@ -53,24 +79,34 @@ def encode_one(s) -> np.ndarray:
         return np.frombuffer(bytes(s), dtype=np.uint8).astype(np.int64)
     if isinstance(s, np.ndarray):
         if s.dtype == np.uint64:
-            # uint64 values above int64 range are bit-cast into the
-            # negative int64 half: equality-preserving among u64 inputs
-            # (negative carriers then go through the vocab remap).  Note
-            # the one documented corner: a u64 value and the i64 value
-            # with the same bit pattern would compare equal, where the
-            # reference's Hash enum keeps them distinct (lib.rs:102-120).
-            if s.size and s.max() > np.iinfo(np.int64).max:
-                return s.view(np.int64)
+            hi = s > np.uint64(np.iinfo(np.int64).max)
+            if hi.any():
+                out = s.view(np.int64).copy()
+                out[hi] = _intern_codes("u", s[hi])
+                return out
             return s.astype(np.int64)
-        return s.astype(np.int64)
+        out = s.astype(np.int64)
+        neg = out < 0
+        if neg.any():
+            out = out.copy()
+            out[neg] = _intern_codes("i", out[neg])
+        return out
     seq = list(s)
     if not seq:
         return np.empty(0, np.int64)
-    try:
-        return np.array(seq, dtype=np.int64)
-    except OverflowError:
-        # python ints beyond int64: same u64 bit-cast path
-        return np.array(seq, dtype=np.uint64).view(np.int64)
+    lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    vals = [int(v) for v in seq]
+    if any(v < lo or v > 2 ** 64 - 1 for v in vals):
+        raise OverflowError("element outside the i64..u64 Hash domain")
+    out = np.empty(len(vals), np.int64)
+    for i, v in enumerate(vals):
+        if 0 <= v <= hi:
+            out[i] = v
+        elif v < 0:
+            out[i] = _intern_codes("i", [v])[0]
+        else:                                   # i64::MAX < v <= u64::MAX
+            out[i] = _intern_codes("u", [v])[0]
+    return out
 
 
 def _needs_remap(arrs: Sequence[np.ndarray]) -> bool:

@@ -9,8 +9,8 @@ import pytest
 
 from rapidfuzz_tpu import fuzz, oracle
 from rapidfuzz_tpu.distance import (damerau_levenshtein, hamming, indel,
-                                    jaro, jaro_winkler, lcs_seq, osa,
-                                    postfix, prefix)
+                                    jaro, jaro_winkler, lcs_seq,
+                                    levenshtein, osa, postfix, prefix)
 from data_jaro_golden import NAMES, SCORES
 
 
@@ -433,3 +433,23 @@ def test_damerau_normalized_golden():
         got2 = damerau_levenshtein.normalized_similarity_many(
             [a], [b], score_cutoff=0.0).values[0]
         assert got2 == pytest.approx(exp, abs=1e-4), (a, b)
+
+
+def test_u64_i64_hash_disambiguation():
+    """The reference's ``Hash`` enum keeps a u64 value distinct from the
+    i64 value with the same bit pattern (``lib.rs:102-120``); the interned
+    codec preserves that across separate encode calls."""
+    u = np.array([0xFFFFFFFFFFFFFFFF], np.uint64)       # 2^64 - 1
+    i = np.array([-1], np.int64)                        # same bit pattern
+    assert levenshtein.distance(u, i) == 1              # NOT equal
+    assert levenshtein.distance(u, u) == 0              # self-equal
+    assert levenshtein.distance(i, i) == 0
+    # equality across separate calls + mixed widths below i64::MAX
+    assert levenshtein.distance(np.array([7], np.uint64),
+                                np.array([7], np.int64)) == 0
+    # python ints spanning the full domain
+    assert levenshtein.distance([2 ** 64 - 1, -1], [2 ** 64 - 1, -1]) == 0
+    assert levenshtein.distance([2 ** 64 - 1], [-1]) == 1
+    # batch path agrees with scalar
+    r = levenshtein.distance_many([u], [i]).values
+    assert r[0] == 1
