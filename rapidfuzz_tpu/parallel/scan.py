@@ -106,9 +106,12 @@ class CorpusScanner:
     The corpus is encoded once (packed + length-sorted on TPU), placed
     sharded over the mesh's ``data`` axis, and every query scan reuses the
     compiled program — the BatchComparator pattern scaled out.  On a TPU
-    with a byte-alphabet corpus (chars < 256, bucket <= 1024) the scans run
-    the Pallas kernels (Levenshtein incl. weighted/banded, indel, lcs_seq,
-    OSA, Jaro family); otherwise the XLA kernels over the mesh.
+    the scans run the Pallas kernels (Levenshtein incl. weighted/banded,
+    indel, lcs_seq, OSA, Jaro family): byte corpora directly, wide
+    alphabets through the per-query device remap, uniform-Levenshtein
+    buckets > 1024 chars through the streaming chunk kernel, Damerau via
+    the lane-column kernel.  Remaining cases (other metrics > 1024 chars,
+    > 127-distinct-symbol queries) use the XLA kernels over the mesh.
     """
 
     def __init__(self, corpus, metric: str = "levenshtein",
