@@ -106,6 +106,20 @@ def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
     """(raw_distance, maximum) for a scalar pair."""
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     if _c.scalar_backend() == "device":
+        ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
+                          weights.substitution_cost)
+        if (ins == dele == sub and ins > 0
+                and u1.size * u2.size > 1_000_000):
+            # long uniform pairs: the banded device pair kernel
+            # (ops/pallas/pair_kernel; the levenshtein.rs:769-1019 route)
+            # instead of a padded one-pair batch scan
+            from ..ops.pallas import pair_kernel as _pk
+            from ..ops.pallas import tpu_backend as _tb
+            try:
+                dist = ins * _pk.lev_pair(u1, u2, interpret=not _tb())
+            except ValueError:  # distance beyond the device band limit
+                dist = _raw_distance(u1, u2, weights)
+            return dist, maximum(u1.size, u2.size, weights)
         c1, l1, c2, l2 = _codec.encode_pair_batch([u1], [u2])
         dist = int(_raw_distance_batch(c1, l1, c2, l2, weights)[0])
     else:

@@ -202,3 +202,34 @@ def test_stream_kernel_long_candidates():
         exp = oracle.levenshtein_uniform(q.astype(np.int64),
                                          chars[i, : lens[i]].astype(np.int64))
         assert out[i] == exp, (i, out[i], exp)
+
+
+def test_pair_kernel_banded_long_pair():
+    """Single-long-pair banded kernel (pair_kernel): multi-word band with
+    carry-lookahead adds + XLA PM-window prepass; hint ladder escalates
+    the band until certified (``levenshtein.rs:769-1019``, ``:1069-1088``)."""
+    from rapidfuzz_tpu.ops.pallas import pair_kernel as pk
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(97, 101, 1400).astype(np.int64)
+    b = a.copy()
+    for _ in range(40):
+        op = rng.integers(0, 3)
+        pos = int(rng.integers(0, b.size - 1))
+        if op == 0:
+            b[pos] = rng.integers(97, 101)
+        elif op == 1:
+            b = np.delete(b, pos)
+        else:
+            b = np.insert(b, pos, rng.integers(97, 101))
+    exp = oracle.levenshtein_uniform(a, b)
+    assert pk.lev_pair(a, b, interpret=True) == exp
+    # cutoff semantics: exact at the boundary, None below it
+    assert pk.lev_pair(a, b, score_cutoff=exp, interpret=True) == exp
+    assert pk.lev_pair(a, b, score_cutoff=exp - 1, interpret=True) is None
+    # cross-row carries + R escalation (distance > one row's cutoff)
+    a2 = rng.integers(97, 101, 5000).astype(np.int64)
+    b2 = rng.integers(97, 101, 4950).astype(np.int64)
+    exp2 = oracle.levenshtein_uniform(a2, b2)
+    assert exp2 > pk.max_cutoff(1)
+    assert pk.lev_pair(a2, b2, interpret=True) == exp2
