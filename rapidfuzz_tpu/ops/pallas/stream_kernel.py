@@ -174,3 +174,129 @@ def lev_stream_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
         jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
     return _run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
                 unroll=pick_unroll(LB), interpret=interpret)
+
+
+# ---------------------------------------------------- LCS (indel) stream
+
+def _lcs_kernel(tab_ref, cand_ref, lb_ref, out_ref, s_ref, *, CH: int,
+                W: int, ntab: int, unroll: int, sub: int, nchunks: int):
+    """LCS over streamed text chunks: the :mod:`lcs_kernel` recurrence
+    (``lcs_seq.rs:225-235``) with the Hyyrö s-state carried in VMEM
+    scratch across chunks; serves lcs_seq/indel/fuzz.ratio on long
+    candidate buckets."""
+    j = pl.program_id(1)
+    lb = lb_ref[:, :]
+
+    @pl.when(j == 0)
+    def _init():
+        s_ref[:, :, :] = jnp.full((W, sub, LANE), 0xFFFFFFFF, jnp.uint32)
+
+    base = j * CH
+
+    def one_char(row, u, jg, s, masked):
+        c = unpack_byte(row, u)
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        carry = None
+        new_s = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pmw = jnp.where(chi, t1, t0)
+            else:
+                pmw = t0
+            sw = s[w]
+            um = sw & pmw
+            x1 = sw + um
+            x2 = x1 if carry is None else x1 + carry
+            if w != W - 1:
+                c1 = (x1 < sw).astype(jnp.uint32)
+                carry = c1 if carry is None else c1 | (x2 < x1).astype(
+                    jnp.uint32)
+            new_s.append(x2 | (sw - um))
+        if masked:
+            active = jg < lb
+            new_s = [jnp.where(active, ns, sw)
+                     for ns, sw in zip(new_s, s)]
+        return new_s
+
+    def make_body(masked):
+        def body(jj, state):
+            s = list(state)
+            row = None
+            for u in range(unroll):
+                if u % 4 == 0:
+                    row = cand_ref[jj * (unroll // 4) + u // 4]
+                s = one_char(row, u, base + jj * unroll + u, s, masked)
+            return tuple(s)
+        return body
+
+    s = tuple(s_ref[w] for w in range(W))
+    full_trips = jnp.clip(jnp.min(lb) - base, 0, CH) // unroll
+    rem = jnp.max(lb) - base
+    trips = jnp.clip((rem + (unroll - 1)) // unroll, 0, CH // unroll)
+    s = jax.lax.fori_loop(0, full_trips, make_body(False), s)
+    s = jax.lax.fori_loop(full_trips, trips, make_body(True), s)
+    for w in range(W):
+        s_ref[w] = s[w]
+
+    @pl.when(j == nchunks - 1)
+    def _emit():
+        sim = jnp.zeros((sub, LANE), jnp.int32)
+        for w in range(W):
+            sim = sim + jax.lax.population_count(~s_ref[w]).astype(
+                jnp.int32)
+        out_ref[:, :] = sim
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _lcs_run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+             interpret=False):
+    assert LB % CHUNK == 0, (LB, CHUNK)
+    nblocks = cand3.shape[1] // sub
+    nchunks = LB // CHUNK
+    kern = functools.partial(_lcs_kernel, CH=CHUNK, W=W, ntab=ntab,
+                             unroll=unroll, sub=sub, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 4, sub, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((W, SUB, LANE), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tabs, cand3, lb2)
+
+
+def lcs_stream_1v_many(query: np.ndarray, cand3, lb2, *,
+                       mode: str = "byte", staged=None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many LCS lengths for long candidate buckets."""
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        return jnp.zeros(lb2.shape, jnp.int32)
+    LB = int(cand3.shape[0]) * 4
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    tabs = (staged[1] if staged is not None
+            else jnp.asarray(build_pm_tables(q, mode)))
+    return _lcs_run(tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                    unroll=pick_unroll(LB), interpret=interpret)

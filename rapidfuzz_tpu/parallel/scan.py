@@ -100,6 +100,13 @@ def _lcs_run(scal, tabs, cand3, lb2, **statics):
     return _ck._run(tabs, cand3, lb2, **statics)
 
 
+def _lcs_stream_run(scal, tabs, cand3, lb2, **statics):
+    """Adapter for the streamed (long-bucket) LCS kernel."""
+    from ..ops.pallas import stream_kernel as _sk
+
+    return _sk._lcs_run(tabs, cand3, lb2, **statics)
+
+
 class CorpusScanner:
     """Precompiled one-vs-many scan over a device-resident sharded corpus.
 
@@ -183,10 +190,11 @@ class CorpusScanner:
         mesh_tpu = tpu_backend() and all(
             getattr(d, "platform", "") not in ("cpu", "gpu", "rocm")
             for d in mesh.devices.flat)
-        # uniform-Levenshtein buckets beyond the VMEM cap stream the text
-        # as a second Pallas grid dimension (stream_kernel; the reference's
-        # long-text block kernel, levenshtein.rs:769-1019)
-        self._stream = (metric == "levenshtein" and self._weights is None
+        # levenshtein/indel/lcs buckets beyond the VMEM cap stream the
+        # text as a second Pallas grid dimension (stream_kernel; the
+        # reference's long-text block kernel, levenshtein.rs:769-1019)
+        self._stream = (metric in ("levenshtein", "indel", "lcs_seq")
+                        and self._weights is None
                         and chars.shape[1] > 1024
                         and chars.shape[1] % 512 == 0)
         self._pallas = ((mesh_tpu or bool(force))
@@ -443,8 +451,14 @@ class CorpusScanner:
                                                  interpret=self._interpret)
                 return self._jaro_finish(common.reshape(-1),
                                          trans.reshape(-1), q)
-            sim = _ck.lcs_1v_many(qk, cand3, self.lb2, mode=mode,
-                                  interpret=self._interpret).reshape(-1)
+            if self._stream:
+                from ..ops.pallas import stream_kernel as _sk
+                sim = _sk.lcs_stream_1v_many(
+                    qk, cand3, self.lb2, mode=mode,
+                    interpret=self._interpret).reshape(-1)
+            else:
+                sim = _ck.lcs_1v_many(qk, cand3, self.lb2, mode=mode,
+                                      interpret=self._interpret).reshape(-1)
             la = q.size
             lb = self.lens.astype(jnp.int32)
             if self.metric == "indel":
@@ -554,7 +568,7 @@ class CorpusScanner:
                                      np.asarray(trans).reshape(-1),
                                      q_finish)
         sim = self._pallas_sharded(
-            _lcs_run, scal, tabs,
+            _lcs_stream_run if self._stream else _lcs_run, scal, tabs,
             dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
                      interpret=self._interpret), cand3=cand3).reshape(-1)
         if self.metric == "indel":

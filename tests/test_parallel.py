@@ -436,3 +436,20 @@ def test_stream_scanner_routing(monkeypatch):
     d = sc.distances(q)
     for s, g in zip(corpus, d):
         assert g == lev.distance(q, s), (s[:20], g)
+
+    # indel rides the streamed LCS kernel on the same buckets
+    from rapidfuzz_tpu.distance import indel as indel_mod
+    sc2 = CorpusScanner(corpus, metric="indel", mesh=m1)
+    assert sc2._pallas and sc2._stream
+    d2 = sc2.distances(q)
+    for s, g in zip(corpus, d2):
+        assert g == indel_mod.distance(q, s), (s[:20], g)
+
+    # and over the 8-device mesh
+    mesh8 = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    sc3 = CorpusScanner(corpus, metric="lcs_seq", mesh=mesh8)
+    assert sc3._pallas and sc3._stream and sc3._ndev == 8
+    from rapidfuzz_tpu.distance import lcs_seq as lcs_mod
+    d3 = sc3.distances(q)
+    for s, g in zip(corpus, d3):
+        assert g == lcs_mod.distance(q, s), (s[:20], g)
