@@ -233,3 +233,42 @@ def test_pair_kernel_banded_long_pair():
     exp2 = oracle.levenshtein_uniform(a2, b2)
     assert exp2 > pk.max_cutoff(1)
     assert pk.lev_pair(a2, b2, interpret=True) == exp2
+
+
+def test_nq_multi_query_kernel():
+    """Multi-query kernel (``lev_kernel._run_nq``): NQ queries share one
+    dispatch and the candidate tiles (grid ``(nblocks, q)``, query axis
+    innermost).  Exact vs the oracle across a W bucket's length range,
+    byte == local mode, empty query handled (the device form of the
+    ``BatchComparator`` reuse pattern, ``levenshtein.rs:1625-1657``)."""
+    rng = np.random.default_rng(3)
+    LB = 64
+    chars, lens = _mk(rng, B, 90, 256, LB)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+
+    for qlens in ((64, 33, 40), (0, 5, 32)):
+        qs = [rng.integers(90, 256, n).astype(np.int32) for n in qlens]
+        out = np.asarray(lk.lev_nq_many(qs, cand3, lb2, mode="byte",
+                                        interpret=True))
+        for k, q in enumerate(qs):
+            for i in list(range(0, B, 397)) + [0, 1, B - 1]:
+                cand = chars[i, : lens[i]].astype(np.int64)
+                exp = oracle.levenshtein_uniform(q.astype(np.int64), cand)
+                assert out[k, i // 128, i % 128] == exp, (k, i)
+
+    # local mode agrees with byte mode on an ASCII corpus
+    chars2, lens2 = _mk(rng, B, 97, 123, LB)
+    cand3a, lb2a = lk.prepare_corpus(jnp.asarray(chars2),
+                                     jnp.asarray(lens2), LB=LB)
+    qs = [rng.integers(97, 123, n).astype(np.int32) for n in (64, 50)]
+    ob = np.asarray(lk.lev_nq_many(qs, cand3a, lb2a, mode="byte",
+                                   interpret=True))
+    ol = np.asarray(lk.lev_nq_many(qs, cand3a, lb2a, mode="local",
+                                   interpret=True))
+    assert np.array_equal(ob, ol)
+
+    # mixed word buckets are rejected (callers bucket by W)
+    with pytest.raises(ValueError):
+        lk.lev_nq_many([np.zeros(10, np.int32), np.zeros(40, np.int32)],
+                       cand3, lb2)
