@@ -24,9 +24,28 @@ The PM window crossing u32 word boundaries uses scalar funnel shifts
 (start position is uniform across lanes), so per step the cost is
 ``W`` table gathers + ~25 band ops + per-step scalar shift setup.
 Measured on v5e the scalar-shift setup makes one banded step cost about
-two full Myers words, so the scan layer only routes here for long
+two full Myers words, so the *dynamic* kernel only wins for long
 patterns (W >= ~6), where the full kernel's per-step cost grows with W
 and the band's stays flat.
+
+The **fast table-driven variant** (``_fast_kernel``, routed for buckets
+``LB <= FAST_MAX_LB``) removes that setup entirely: the band semiwidth
+is pinned at ``MAX_CUTOFF`` regardless of the caller's (dynamic) cutoff,
+so the PM window start ``j - 16`` is a *host-computable* function of the
+step — the funnel shifts move into :func:`build_shifted_tables`, applied
+once per (step, table entry) on the host instead of per (step,
+candidate) on the VPU.  The horizontal phase swaps the dynamic ``hbit``
+shift for a per-step probe mask from an SMEM table
+(:func:`probe_table`).  In-kernel, ``j`` is then ONLY a table index, so
+the text loop is an ordinary ``fori_loop`` with dynamic leading-dim
+loads (fully unrolling it instead triggers superlinear XLA-CPU
+compile/execute blowups beyond ~56 steps, and would bloat Mosaic
+compiles at LB=256).  A wider-than-requested band computes a superset of
+the DP cells with identical values, and the final masks still apply the
+caller's true cutoff, so accept/reject semantics are unchanged
+(``levenshtein.rs:565-567`` contract).  Net per-step cost ~0.55x a full
+W=2 Myers step, which finally makes ``score_cutoff`` a device-time win
+at practical lengths instead of only for W >= 6 patterns.
 """
 
 from __future__ import annotations
@@ -148,7 +167,146 @@ def _run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
     )(scal, tabs, cand3, lb2)
 
 
+def build_shifted_tables(query: np.ndarray, mode: str, LB: int,
+                         sub: int = SUB) -> np.ndarray:
+    """Per-step pre-funneled PM tables for the static band kernel.
+
+    The static kernel's PM window at step ``j`` starts at the constant
+    bit position ``j - 16``, so the funnel shift over the word-blocked
+    tables can be applied ONCE per (step, table-entry) on the host
+    instead of per (step, candidate) on the VPU: row ``j*ntab + t`` maps
+    char entry ``c`` (lane-indexed) to its 32-bit window for step ``j``.
+    Shape ``(LB * ntab, sub, LANE)`` u32.  Rows whose window lies fully
+    past the pattern are zero (those steps are frozen for every in-band
+    candidate anyway).
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    base = build_pm_tables(q, mode, sub=1)     # (W*ntab, 1, LANE) u32
+    base = base.reshape(W, ntab, LANE)
+    out = np.zeros((LB, ntab, LANE), np.uint32)
+    for j in range(LB):
+        start = j + MAX_CUTOFF + 1 - 32
+        if start < 0:
+            out[j] = base[0] << np.uint32(-start)
+        else:
+            widx, wpos = divmod(start, 32)
+            if widx >= W:
+                continue
+            win = base[widx] >> np.uint32(wpos)
+            if wpos and widx + 1 < W:
+                win |= base[widx + 1] << np.uint32(32 - wpos)
+            out[j] = win
+    out = np.broadcast_to(out.reshape(LB * ntab, 1, LANE),
+                          (LB * ntab, sub, LANE))
+    return np.ascontiguousarray(out)
+
+
+def probe_table(la: int, LB: int) -> np.ndarray:
+    """Horizontal-phase probe bit per step: ``1 << (30 - (j - pstart))``
+    while in range, else 0 (diagonal phase / expired probes — the latter
+    only occur for ``|la-lb| > 15``, rejected by the length mask)."""
+    pstart = max(la - MAX_CUTOFF, 0)
+    j = np.arange(LB)
+    k = j - pstart
+    return np.where((k >= 0) & (k <= 30),
+                    np.uint32(1 << 30) >> np.minimum(
+                        np.maximum(k, 0), 30).astype(np.uint32),
+                    np.uint32(0)).astype(np.uint32)
+
+
+def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
+                 *, LB: int, ntab: int, sub: int):
+    """Table-driven band kernel (band semiwidth pinned at 15).
+
+    Per step the work is ONE table gather (two + select in byte mode)
+    from the pre-funneled per-step tables, the 10-op one-word band
+    recurrence, and the distance delta — no funnel shifts, no word
+    selects, no loop-carried probe.  The probe trajectory rides in SMEM
+    (:func:`probe_table`), so only ``la`` and the caller's true cutoff
+    (final masks) are dynamic and one compilation serves the bucket.
+    """
+    la = scal_ref[0]
+    cut = scal_ref[1]
+    lb = lb_ref[:, :]
+
+    ones_t = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+    vp0 = ones_t << jnp.uint32(31 - MAX_CUTOFF)        # 16 top bits
+    vn0 = jnp.zeros((sub, LANE), jnp.uint32)
+    dist0 = jnp.full((sub, LANE), MAX_CUTOFF, jnp.int32)
+
+    def body(jj, state):
+        dist, vp, vn = state
+        row = cand_ref[jj]
+        for u in range(4):
+            j = jj * 4 + u
+            c = ((row >> jnp.uint32(8 * u))
+                 & jnp.uint32(0xFF)).astype(jnp.int32)
+            if ntab == 2:
+                c_lo = jnp.where(c < LANE, c, c - LANE)
+                x = jnp.where(
+                    c >= LANE,
+                    jnp.take_along_axis(tab_ref[j * ntab + 1], c_lo,
+                                        axis=1),
+                    jnp.take_along_axis(tab_ref[j * ntab], c_lo, axis=1))
+            else:
+                x = jnp.take_along_axis(tab_ref[j], c, axis=1)
+
+            d0 = (((x & vp) + vp) ^ vp) | x | vn
+            hp = vn | ~(d0 | vp)
+            hn = d0 & vp
+
+            probe = probe_ref[j]                       # SMEM scalar
+            diag_delta = 1 - ((d0 >> 31) & 1).astype(jnp.int32)
+            hor_delta = ((hp & probe) != 0).astype(jnp.int32) \
+                - ((hn & probe) != 0).astype(jnp.int32)
+            delta = jnp.where(probe != 0, hor_delta, diag_delta)
+            dist = jnp.where(j < lb, dist + delta, dist)
+
+            nvp = hn | ~((d0 >> 1) | hp)
+            vn = (d0 >> 1) & hp
+            vp = nvp
+        return dist, vp, vn
+
+    trips = (jnp.max(lb) + 3) // 4
+    dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
+
+    dist = jnp.where(lb == 0, la, dist)
+    dist = jnp.where(jnp.abs(la - lb) > cut, BIG, dist)
+    dist = jnp.where(dist > cut, BIG, dist)
+    out_ref[:, :] = dist
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "ntab", "sub", "interpret"))
+def _run_fast(scal, probe, tabs, cand3, lb2, *, LB, ntab, sub=SUB,
+              interpret=False):
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_fast_kernel, LB=LB, ntab=ntab, sub=sub)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((LB * ntab, sub, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        interpret=interpret,
+    )(scal, probe, tabs, cand3, lb2)
+
+
 MAX_CUTOFF = 15   # band 2*cutoff+1 <= 32 (one u32 word)
+FAST_MAX_LB = 256   # pre-funneled table VMEM budget: LB*ntab*sub*LANE u32
 
 
 def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
@@ -173,6 +331,13 @@ def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     scal = jnp.array([la, cutoff], jnp.int32)
+    if la > MAX_CUTOFF and LB <= FAST_MAX_LB:
+        # static variant: band semiwidth pinned at MAX_CUTOFF (needs
+        # band < la), true cutoff applied in the final mask
+        stabs = jnp.asarray(build_shifted_tables(q, mode, LB, sub))
+        probe = jnp.asarray(probe_table(la, LB))
+        return _run_fast(scal, probe, stabs, cand3, lb2, LB=LB,
+                         ntab=ntab, sub=sub, interpret=interpret)
     tabs = jnp.asarray(build_pm_tables(q, mode, sub))
     return _run(scal, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab, sub=sub,
                 interpret=interpret)

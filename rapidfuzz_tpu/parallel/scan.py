@@ -421,11 +421,17 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
-                # the band kernel's per-step scalar shifts cost ~2x a full
-                # Myers word on v5e, so it only wins once the full kernel
-                # carries >= ~6 words (queries > 160 chars)
+                # short buckets ride the statically-unrolled band kernel
+                # (constant shifts, ~0.55x a full W=2 step); beyond its
+                # unroll cap the dynamic variant's per-step scalar shifts
+                # cost ~2x a full Myers word, so it only wins once the
+                # full kernel carries >= ~6 words (queries > 160 chars)
+                LBp = int(cand3.shape[0]) * 4
+                band_ok = (q.size > 160
+                           or (LBp <= _bk.FAST_MAX_LB
+                               and q.size > _bk.MAX_CUTOFF))
                 if (eff_cut is not None and 0 <= eff_cut <= _bk.MAX_CUTOFF
-                        and eff_cut < q.size and q.size > 160):
+                        and eff_cut < q.size and band_ok):
                     # banded fast path: exact when <= cutoff, masked after
                     out = _bk.lev_banded_1v_many(qk.astype(np.int32),
                                                  cand3, self.lb2,

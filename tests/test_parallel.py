@@ -152,6 +152,57 @@ def test_banded_kernel_interpret():
             assert out[i] > cutoff, (i, out[i], exp)
 
 
+def test_banded_fast_static_kernel():
+    """Fast band variant (``band_kernel._fast_kernel``): band semiwidth
+    pinned at MAX_CUTOFF with the true cutoff applied in the final mask,
+    per-step shifts pre-funneled into host-built tables.
+    Exact-under/masked-over vs the oracle for
+    boundary query lengths (la=16 is the smallest eligible), every
+    cutoff parity, byte and local modes; la <= 15 falls back to the
+    dynamic kernel (``levenshtein.rs:509-617`` routing contract)."""
+    import jax.numpy as jnp
+    from rapidfuzz_tpu.ops.pallas import band_kernel as bk
+    from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
+    from rapidfuzz_tpu import oracle
+
+    rng = np.random.default_rng(5)
+    Bs = 1024   # sub=8 tiles need B >= 8*128 candidates
+    for qlen, cutoff, mode, LB in [(16, 15, "byte", 64),
+                                   (17, 0, "byte", 64),
+                                   (40, 8, "local", 64),
+                                   (64, 15, "byte", 64),
+                                   (48, 11, "byte", 48),
+                                   (12, 5, "byte", 64)]:  # la<16 -> dyn
+        # local mode indexes 128-entry tables by char value: only valid
+        # for query-local ids < 128 (the scanner remaps first)
+        lo, hi = (0, 128) if mode == "local" else (90, 256)
+        lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+        chars = rng.integers(lo, hi, (Bs, LB)).astype(np.int32)
+        for i, l in enumerate(lens):
+            chars[i, l:] = -1
+        q = rng.integers(lo, hi, qlen).astype(np.int32)
+        # plant near-copies so the <= cutoff branch is exercised
+        planted = chars.copy()
+        for i in range(0, Bs, 4):
+            planted[i, :] = -1
+            planted[i, :qlen] = q
+            for _ in range(int(rng.integers(0, cutoff + 2))):
+                planted[i, rng.integers(0, qlen)] = rng.integers(lo, hi)
+            lens[i] = qlen
+        c3, l2 = lk.prepare_corpus(jnp.asarray(planted),
+                                   jnp.asarray(lens), LB=LB)
+        out = np.asarray(bk.lev_banded_1v_many(
+            q, c3, l2, cutoff=cutoff, mode=mode, sub=8,
+            interpret=True)).reshape(-1)
+        for i in range(0, Bs, 5):
+            exp = oracle.levenshtein_uniform(
+                q.astype(np.int64), planted[i, : lens[i]].astype(np.int64))
+            if exp <= cutoff:
+                assert out[i] == exp, (qlen, cutoff, i, out[i], exp)
+            else:
+                assert out[i] > cutoff, (qlen, cutoff, i, out[i], exp)
+
+
 def test_corpus_scanner_weighted(mesh):
     from rapidfuzz_tpu.distance.levenshtein import WeightTable
 
