@@ -36,16 +36,17 @@ step — the funnel shifts move into :func:`build_shifted_tables`, applied
 once per (step, table entry) on the host instead of per (step,
 candidate) on the VPU.  The horizontal phase swaps the dynamic ``hbit``
 shift for a per-step probe mask from an SMEM table
-(:func:`probe_table`).  In-kernel, ``j`` is then ONLY a table index, so
-the text loop is an ordinary ``fori_loop`` with dynamic leading-dim
-loads (fully unrolling it instead triggers superlinear XLA-CPU
-compile/execute blowups beyond ~56 steps, and would bloat Mosaic
-compiles at LB=256).  A wider-than-requested band computes a superset of
-the DP cells with identical values, and the final masks still apply the
-caller's true cutoff, so accept/reject semantics are unchanged
-(``levenshtein.rs:565-567`` contract).  Net per-step cost ~0.55x a full
-W=2 Myers step, which finally makes ``score_cutoff`` a device-time win
-at practical lengths instead of only for W >= 6 patterns.
+(:func:`probe_table`).  In-kernel, ``j`` is then ONLY a table index; on
+TPU the text loop is fully flattened so every index is a compile-time
+constant (a ``fori_loop`` form is kept for interpret mode, where XLA-CPU
+goes superlinear on flat bodies beyond ~56 steps).  A
+wider-than-requested band computes a superset of the DP cells with
+identical values, and the final masks still apply the caller's true
+cutoff, so accept/reject semantics are unchanged
+(``levenshtein.rs:565-567`` contract).  Measured v5e per-step cost is
+~0.57x a full W=2 Myers step (1.75x kernel speedup), which finally makes
+``score_cutoff`` a device-time win at practical lengths instead of only
+for W >= 6 patterns.
 """
 
 from __future__ import annotations
@@ -218,7 +219,7 @@ def probe_table(la: int, LB: int) -> np.ndarray:
 
 
 def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
-                 *, LB: int, ntab: int, sub: int):
+                 *, LB: int, ntab: int, sub: int, unroll_all: bool):
     """Table-driven band kernel (band semiwidth pinned at 15).
 
     Per step the work is ONE table gather (two + select in byte mode)
@@ -227,6 +228,13 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
     selects, no loop-carried probe.  The probe trajectory rides in SMEM
     (:func:`probe_table`), so only ``la`` and the caller's true cutoff
     (final masks) are dynamic and one compilation serves the bucket.
+
+    ``unroll_all=True`` (the TPU path) flattens the text loop so every
+    table index is a compile-time constant — measured v5e: the fori_loop
+    form's dynamic leading-dim loads + per-trip overhead cost ~1.2x a
+    full-kernel step, the flat form ~0.57x (sweep in
+    ``experiments/README.md``).  The fori form is kept for interpret
+    mode, where XLA-CPU goes superlinear on flat bodies beyond ~56 steps.
     """
     la = scal_ref[0]
     cut = scal_ref[1]
@@ -237,41 +245,51 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
     vn0 = jnp.zeros((sub, LANE), jnp.uint32)
     dist0 = jnp.full((sub, LANE), MAX_CUTOFF, jnp.int32)
 
-    def body(jj, state):
+    def one_step(j, row, u, state):
         dist, vp, vn = state
-        row = cand_ref[jj]
-        for u in range(4):
-            j = jj * 4 + u
-            c = ((row >> jnp.uint32(8 * u))
-                 & jnp.uint32(0xFF)).astype(jnp.int32)
-            if ntab == 2:
-                c_lo = jnp.where(c < LANE, c, c - LANE)
-                x = jnp.where(
-                    c >= LANE,
-                    jnp.take_along_axis(tab_ref[j * ntab + 1], c_lo,
-                                        axis=1),
-                    jnp.take_along_axis(tab_ref[j * ntab], c_lo, axis=1))
-            else:
-                x = jnp.take_along_axis(tab_ref[j], c, axis=1)
+        c = ((row >> jnp.uint32(8 * u))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
+        if ntab == 2:
+            c_lo = jnp.where(c < LANE, c, c - LANE)
+            x = jnp.where(
+                c >= LANE,
+                jnp.take_along_axis(tab_ref[j * ntab + 1], c_lo,
+                                    axis=1),
+                jnp.take_along_axis(tab_ref[j * ntab], c_lo, axis=1))
+        else:
+            x = jnp.take_along_axis(tab_ref[j], c, axis=1)
 
-            d0 = (((x & vp) + vp) ^ vp) | x | vn
-            hp = vn | ~(d0 | vp)
-            hn = d0 & vp
+        d0 = (((x & vp) + vp) ^ vp) | x | vn
+        hp = vn | ~(d0 | vp)
+        hn = d0 & vp
 
-            probe = probe_ref[j]                       # SMEM scalar
-            diag_delta = 1 - ((d0 >> 31) & 1).astype(jnp.int32)
-            hor_delta = ((hp & probe) != 0).astype(jnp.int32) \
-                - ((hn & probe) != 0).astype(jnp.int32)
-            delta = jnp.where(probe != 0, hor_delta, diag_delta)
-            dist = jnp.where(j < lb, dist + delta, dist)
+        probe = probe_ref[j]                           # SMEM scalar
+        diag_delta = 1 - ((d0 >> 31) & 1).astype(jnp.int32)
+        hor_delta = ((hp & probe) != 0).astype(jnp.int32) \
+            - ((hn & probe) != 0).astype(jnp.int32)
+        delta = jnp.where(probe != 0, hor_delta, diag_delta)
+        dist = jnp.where(j < lb, dist + delta, dist)
 
-            nvp = hn | ~((d0 >> 1) | hp)
-            vn = (d0 >> 1) & hp
-            vp = nvp
-        return dist, vp, vn
+        nvp = hn | ~((d0 >> 1) | hp)
+        vn = (d0 >> 1) & hp
+        return dist, nvp, vn
 
-    trips = (jnp.max(lb) + 3) // 4
-    dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
+    if unroll_all:
+        state = (dist0, vp0, vn0)
+        for jj in range(LB // 4):
+            row = cand_ref[jj]
+            for u in range(4):
+                state = one_step(jj * 4 + u, row, u, state)
+        dist, _, _ = state
+    else:
+        def body(jj, state):
+            row = cand_ref[jj]
+            for u in range(4):
+                state = one_step(jj * 4 + u, row, u, state)
+            return state
+
+        trips = (jnp.max(lb) + 3) // 4
+        dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
 
     dist = jnp.where(lb == 0, la, dist)
     dist = jnp.where(jnp.abs(la - lb) > cut, BIG, dist)
@@ -284,7 +302,8 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
 def _run_fast(scal, probe, tabs, cand3, lb2, *, LB, ntab, sub=SUB,
               interpret=False):
     nblocks = cand3.shape[1] // sub
-    kern = functools.partial(_fast_kernel, LB=LB, ntab=ntab, sub=sub)
+    kern = functools.partial(_fast_kernel, LB=LB, ntab=ntab, sub=sub,
+                             unroll_all=not interpret)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),

@@ -421,8 +421,8 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
-                # short buckets ride the statically-unrolled band kernel
-                # (constant shifts, ~0.55x a full W=2 step); beyond its
+                # short buckets ride the table-driven band kernel
+                # (pre-funneled shifts, ~0.57x a full W=2 step); beyond its
                 # unroll cap the dynamic variant's per-step scalar shifts
                 # cost ~2x a full Myers word, so it only wins once the
                 # full kernel carries >= ~6 words (queries > 160 chars)
