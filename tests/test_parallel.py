@@ -271,6 +271,37 @@ def test_scan_many_checkpoint_resume(mesh, tmp_path):
     np.testing.assert_array_equal(ids[0], i0)
 
 
+def test_scan_many_grouped_multiquery(monkeypatch):
+    """scan_many's grouped multi-query dispatch (``_distances_many``):
+    single-device uniform-Levenshtein Pallas scans batch NQ_GROUP queries
+    per kernel launch (``lev_kernel.lev_nq_many``), grouped by word
+    bucket and PM mode, padded by repeating the last query.  Results must
+    equal the per-query path for mixed-length query streams (W=1 and W=2
+    buckets, an empty query, chars forcing byte mode), and the k variant
+    must match topk."""
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    rng = np.random.default_rng(11)
+    corpus = ["".join(chr(97 + c) for c in rng.integers(0, 26, n))
+              for n in rng.integers(0, 30, 40)] + ["kitten", ""]
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, bucket=32)
+    assert sc._pallas and sc._nq_eligible()
+    queries = (["kitten", "", "sitting", chr(200) * 3, "a" * 40, "b" * 35]
+               + ["".join(chr(97 + c) for c in rng.integers(0, 26, 7))
+                  for _ in range(7)])   # 13 queries: pads a partial group
+    got = sc.scan_many(queries)
+    for qi, q in enumerate(queries):
+        np.testing.assert_array_equal(got[qi], sc.distances(q)), qi
+
+    vals, ids = sc.scan_many(queries, k=3)
+    for qi in (0, 3, 4):
+        v0, i0 = sc.topk(queries[qi], 3)
+        np.testing.assert_array_equal(vals[qi], v0)
+        np.testing.assert_array_equal(ids[qi], i0)
+
+
 def test_pallas_single_device_routing(monkeypatch):
     """The full single-device Pallas routing (the real-TPU code path) in
     interpret mode: every metric route, weighted reductions, and the
