@@ -15,6 +15,12 @@ Endpoints (JSON):
                                         "strings": [...]}``
 * ``POST /distances`` body ``{"query": str, "score_cutoff"?: num}``
                                   -> ``{"values": [...], "valid"?: [...]}``
+* ``POST /batch``   body ``{"queries": [str], "k"?: int}``
+                                  -> ``{"values": [[...]], "indices"?:
+                                        [[...]], "strings"?: [[...]]}``
+  (rides ``CorpusScanner.scan_many`` — eligible query streams share
+  kernel dispatches in groups of 8, the sustained-throughput serving
+  path)
 
 Run::
 
@@ -51,13 +57,13 @@ class ScanService:
         self._lock = threading.Lock()
         self.stats = {"queries": 0, "pairs": 0, "device_seconds": 0.0}
 
-    def _timed(self, fn):
+    def _timed(self, fn, nq: int = 1):
         with self._lock:
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
-            self.stats["queries"] += 1
-            self.stats["pairs"] += self.scanner.n
+            self.stats["queries"] += nq
+            self.stats["pairs"] += nq * self.scanner.n
             self.stats["device_seconds"] += dt
         return out
 
@@ -78,6 +84,17 @@ class ScanService:
             return {"values": np.asarray(res).tolist()}
         return {"values": np.asarray(res.values).tolist(),
                 "valid": np.asarray(res.valid).tolist()}
+
+    def batch(self, queries, k=None):
+        out = self._timed(lambda: self.scanner.scan_many(queries, k=k),
+                          nq=len(queries))
+        if k is None:
+            return {"values": np.asarray(out).tolist()}
+        vals, ids = out
+        return {"values": np.asarray(vals).tolist(),
+                "indices": np.asarray(ids).tolist(),
+                "strings": [[self.corpus[i] if i >= 0 else None
+                             for i in row] for row in np.asarray(ids)]}
 
 
 def make_server(service: ScanService, host: str = "127.0.0.1",
@@ -117,6 +134,10 @@ def make_server(service: ScanService, host: str = "127.0.0.1",
                 elif self.path == "/distances":
                     out = service.distances(req["query"],
                                             score_cutoff=cutoff)
+                elif self.path == "/batch":
+                    k = req.get("k")
+                    out = service.batch(list(req["queries"]),
+                                        k=None if k is None else int(k))
                 else:
                     return self._reply(404, {"error": "unknown path"})
                 self._reply(200, out)

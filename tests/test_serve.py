@@ -58,5 +58,17 @@ def test_scan_service_http():
 
         st = _get(port, "/stats")
         assert st["queries"] == 3 and st["pairs"] == 3 * len(corpus)
+
+        # /batch rides scan_many (grouped multi-query dispatches)
+        out = _post(port, "/batch", {"queries": ["apple", "grape"]})
+        assert out["values"][0] == [lev.distance("apple", s)
+                                    for s in corpus]
+        assert out["values"][1] == [lev.distance("grape", s)
+                                    for s in corpus]
+        out = _post(port, "/batch", {"queries": ["apple", "grape"], "k": 2})
+        assert out["strings"][0][0] == "apple" and out["values"][0][0] == 0
+        assert out["strings"][1][0] == "grape" and out["values"][1][0] == 0
+        st = _get(port, "/stats")
+        assert st["queries"] == 7 and st["pairs"] == 7 * len(corpus)
     finally:
         server.shutdown()
