@@ -189,6 +189,87 @@ MISS_ID = 127   # query-local id for "not in query": PM row 127 is zero
 
 
 @functools.partial(jax.jit, static_argnames=("LB",))
+def transpose_corpus(chars: jnp.ndarray, *, LB: int) -> jnp.ndarray:
+    """[B, LB] i32 -> [LB, B/128, 128] i32 (query-independent; done once
+    at scanner build so per-query remaps are pure elementwise work)."""
+    B = chars.shape[0]
+    return jnp.transpose(chars, (1, 0)).reshape(LB, B // LANE, LANE)
+
+
+def _remap_kernel(vocab_ref, chars_ref, out_ref, *, LBC: int, sub: int):
+    """Binary-search remap + byte-pack for one candidate block.
+
+    Per char: 7-step branchless lower-bound over the 128-entry sorted
+    vocab (each step one ``dynamic_gather`` + compare + select — the
+    lane-table gather the Myers kernels already rely on), one hit probe,
+    and the byte pack.  ~33 VPU ops/char vs the XLA ``searchsorted``
+    route whose per-element gathers scalarise at ~10 ns/char (measured
+    22.9 s for a 4M x 64 corpus; this kernel does it in ~4 ms).
+    """
+    tab = vocab_ref[:, :]
+
+    def srch(c):
+        pos = jnp.zeros_like(c)
+        for k in (64, 32, 16, 8, 4, 2, 1):
+            vm = jnp.take_along_axis(tab, pos + (k - 1), axis=1)
+            pos = jnp.where(vm < c, pos + k, pos)
+        hit = jnp.take_along_axis(tab, pos, axis=1) == c
+        return jnp.where(hit, pos, MISS_ID).astype(jnp.uint32)
+
+    def body(jj, _):
+        w = srch(chars_ref[jj * 4])
+        w = w | (srch(chars_ref[jj * 4 + 1]) << 8)
+        w = w | (srch(chars_ref[jj * 4 + 2]) << 16)
+        w = w | (srch(chars_ref[jj * 4 + 3]) << 24)
+        out_ref[jj] = w
+        return 0
+
+    jax.lax.fori_loop(0, LBC // 4, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("LB", "sub", "interpret"))
+def remap_pack(chars_t: jnp.ndarray, qvocab128: jnp.ndarray, *, LB: int,
+               sub: int | None = None,
+               interpret: bool = False) -> jnp.ndarray:
+    """Pallas remap of a wide-alphabet corpus to query-local ids + pack.
+
+    ``chars_t`` from :func:`transpose_corpus`; ``qvocab128`` as in
+    :func:`remap_corpus` (sorted distinct query chars padded with
+    ``int32.max``).  Returns packed ``cand3`` identical to
+    ``remap_corpus``'s output; binary-search note: ``pos`` reaches at
+    most 127 so a char greater than the whole vocab fails the hit probe
+    on entry 127 — same MISS as the clipped ``searchsorted`` route.
+    """
+    nb = chars_t.shape[1]
+    # chunk long buckets to bound the VMEM block (all default buckets
+    # > 512 are multiples of 512; odd custom buckets fall back whole)
+    LBC = 512 if LB > 512 and LB % 512 == 0 else LB
+    if sub is None:
+        # wide blocks amortize the per-grid-step cost (sub=8: 47 ms for a
+        # 4M x 64 corpus; sub=64: 12 ms) under an ~8 MB VMEM block cap
+        sub = next((s for s in (64, 32, 16, 8)
+                    if nb % s == 0 and LBC * s * LANE * 4 <= (8 << 20)), 8)
+    vocab_tab = jnp.broadcast_to(qvocab128.astype(jnp.int32)[None, :],
+                                 (sub, LANE))
+    kern = functools.partial(_remap_kernel, LBC=LBC, sub=sub)
+    return pl.pallas_call(
+        kern,
+        grid=(nb // sub, LB // LBC),
+        in_specs=[
+            pl.BlockSpec((sub, LANE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LBC, sub, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LBC // 4, sub, LANE),
+                               lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((LB // 4, nb, LANE), jnp.uint32),
+        interpret=interpret,
+    )(vocab_tab, chars_t)
+
+
+@functools.partial(jax.jit, static_argnames=("LB",))
 def remap_corpus(chars: jnp.ndarray, qvocab128: jnp.ndarray, *, LB: int):
     """Query-local remap of a wide-alphabet corpus + byte-pack, on device.
 

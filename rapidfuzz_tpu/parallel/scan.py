@@ -248,23 +248,35 @@ class CorpusScanner:
             lens = lens[self._order]
             self._LB = chars.shape[1]
             if self._wide:
-                # keep the sorted corpus unpacked on device: each query
-                # remaps it to query-local byte ids (remap_corpus), and
-                # the > 127-distinct-symbol fallback runs XLA kernels on
-                # the same array
-                cd = jnp.asarray(chars)
+                # keep the sorted corpus unpacked on device, PRE-TRANSPOSED
+                # to the kernel layout (query-independent): each query
+                # remaps it to query-local byte ids in a Pallas kernel
+                # (remap_pack — the XLA searchsorted route's per-element
+                # gathers scalarise at ~10 ns/char, 22.9 s for a 4M x 64
+                # corpus); the > 127-distinct-symbol fallback rebuilds the
+                # [B, LB] view on demand (_wide_chars_bl)
+                cd = _lk.transpose_corpus(jnp.asarray(chars), LB=self._LB)
                 lb2 = jnp.asarray(lens).reshape(-1, _lk.LANE)
+                tshard = NamedSharding(mesh, P(None, "data", None))
                 if ndev > 1:
-                    cd = jax.device_put(cd, shard)
+                    cd = jax.device_put(cd, tshard)
                     lb2 = jax.device_put(
                         lb2, NamedSharding(mesh, P("data", None)))
-                    self._remap_fn = jax.jit(
-                        functools.partial(_lk.remap_corpus, LB=self._LB),
-                        out_shardings=NamedSharding(
-                            mesh, P(None, "data", None)))
+
+                    def _remap_sharded(ct, vocab, _LB=self._LB):
+                        local = functools.partial(
+                            _lk.remap_pack, LB=_LB,
+                            interpret=self._interpret)
+                        return jax.jit(jax.shard_map(
+                            local, mesh=mesh,
+                            in_specs=(P(None, "data", None), P()),
+                            out_specs=P(None, "data", None),
+                            check_vma=False))(ct, vocab)
+                    self._remap_fn = _remap_sharded
                 else:
                     self._remap_fn = functools.partial(
-                        _lk.remap_corpus, LB=self._LB)
+                        _lk.remap_pack, LB=self._LB,
+                        interpret=self._interpret)
                 self._chars_dev = jax.block_until_ready(cd)
                 self.cand3 = None
                 self.lb2 = lb2
@@ -497,12 +509,21 @@ class CorpusScanner:
                 fn = jax.jit(_distance_fn(self.metric),
                              out_shardings=shard1)
             self._wide_fb_fn = fn
+        chars_bl = getattr(self, "_wide_chars_bl", None)
+        if chars_bl is None:
+            # [LB, B/128, 128] kernel layout -> the [B, LB] the XLA
+            # kernels take; built once, only when this rare path runs
+            LB = self._chars_dev.shape[0]
+            chars_bl = jnp.transpose(
+                self._chars_dev.reshape(LB, -1), (1, 0))
+            self._wide_chars_bl = chars_bl = jax.device_put(
+                chars_bl, NamedSharding(self.mesh, P("data", None)))
         qc, ql = _codec.pad_batch([q])
         if self.metric in _F64_METRICS:
-            common, trans = fn(qc, ql, self._chars_dev, self.lens)
+            common, trans = fn(qc, ql, chars_bl, self.lens)
             return self._jaro_finish(np.asarray(common), np.asarray(trans),
                                      q)
-        d = fn(qc, ql, self._chars_dev, self.lens)
+        d = fn(qc, ql, chars_bl, self.lens)
         return d * self._wscale if self._wscale != 1 else d
 
     def _dist_pallas_mesh(self, q, mode, cand3=None, q_finish=None):

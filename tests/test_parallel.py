@@ -443,7 +443,7 @@ def test_cdist_scanner_path_matches_scalar():
 
 def test_wide_alphabet_pallas_routing(monkeypatch):
     """Unicode (chars >= 256) corpora ride the Pallas kernels via the
-    query-local remap (``lev_kernel.remap_corpus``; the reference keeps
+    query-local remap (``lev_kernel.remap_pack``; the reference keeps
     wide alphabets first-class via PM overflow hashmaps,
     ``pattern_match_vector.rs:104-155``) — single device and 8-device
     mesh, every Pallas metric route."""
