@@ -41,7 +41,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-SUBC = 32          # candidate rows per tile (sublane axis)
+SUBC = 32          # fallback candidate rows per tile (sublane axis)
+SUB_CAP = 512      # preferred tile height: each grid step runs the whole
+                   # la-iteration row loop, so its fixed per-iteration cost
+                   # amortizes over the tile's candidates — measured v5e
+                   # len-64: sub=32 -> 0.90M pairs/s, 128 -> 3.1M,
+                   # 512 -> 5.9M (saturates; 1024 is flat)
+
+
+def pick_sub(rows: int) -> int:
+    """Largest power-of-2 tile height <= SUB_CAP dividing the row count."""
+    s = SUB_CAP
+    while s > 8 and rows % s:
+        s //= 2
+    return s if rows % s == 0 else SUBC
 BIG = np.int32(1 << 23)     # "infinity"; real scores stay far below, and
                             # (BIG << 7) still fits int32 for the packed scan
 MAX_TEXT = LANE    # candidates up to 128 chars (SEG = 128)
@@ -201,7 +214,8 @@ def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
     qpad = np.full(LQ, -3, np.int32)
     qpad[:la] = q.astype(np.int32)
     out = _run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-               jnp.asarray(b_tiles), jnp.asarray(lb_tiles), seg=seg,
+               jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+               sub=pick_sub(int(b_tiles.shape[0])), seg=seg,
                interpret=interpret)
     summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
     # segments with an empty candidate never hit jcol == lb: dist = la
