@@ -32,7 +32,7 @@ import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
-EXTRAS = ("nq", "indel", "osa", "jaro")
+EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "damerau")
 
 
 def _child_env():
@@ -189,7 +189,7 @@ def _rate(fn, B, interpret):
         # tunnel (yields impossible >1e10 pairs/s readings); a real
         # device->host transfer of one element is.
         leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[:1, :1])
+        np.asarray(leaf[:1, :1] if leaf.ndim >= 2 else leaf[:1])
 
     sync(fn())
     best = float("inf")
@@ -206,6 +206,7 @@ def _rate(fn, B, interpret):
 def _measure(phase: str):
     jax = _setup_jax()
     import numpy as np
+    import jax.numpy as jnp
 
     from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
     from rapidfuzz_tpu.ops.pallas import tpu_backend
@@ -264,6 +265,37 @@ def _measure(phase: str):
         fn = lambda: lk.lev_nq_many(qs, cand3, lb2, mode=mode, staged=st,
                                     interpret=interpret)
         pairs_per_s, _ = _rate(fn, B * NQ, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
+
+    if phase == "banded":
+        # score_cutoff <= 15 rides the pre-funneled-table band kernel
+        from rapidfuzz_tpu.ops.pallas import band_kernel as bk
+        stabs = jax.device_put(jnp.asarray(
+            bk.build_shifted_tables(query, mode, LEN)))
+        probe = jnp.asarray(bk.probe_table(LEN, LEN))
+        scal = jnp.array([LEN, 15], jnp.int32)
+        jax.block_until_ready(stabs)
+        ntab = 2 if mode == "byte" else 1
+        fn = lambda: bk._run_fast(scal, probe, stabs, cand3, lb2, LB=LEN,
+                                  ntab=ntab, interpret=interpret)
+        pairs_per_s, _ = _rate(fn, B, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
+
+    if phase == "damerau":
+        # O(N*M) Zhao-Sahni kernel: much smaller batch, own corpus layout
+        from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+        Bd = 1 << 16 if not interpret else 1 << 10
+        rngd = np.random.default_rng(7)
+        chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
+        bt, lt, seg = dk.prepare_corpus_cols(chars,
+                                             np.full(Bd, LEN, np.int32))
+        btd = jax.block_until_ready(jax.device_put(jnp.asarray(bt)))
+        ltd = jax.device_put(jnp.asarray(lt))
+        fn = lambda: dk.damerau_1v_many(query, btd, ltd, seg=seg,
+                                        interpret=interpret)
+        pairs_per_s, _ = _rate(fn, Bd, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return
 
