@@ -112,17 +112,22 @@ def _kernel(scal_ref, pm_ref, out_ref, vp_ref, vn_ref, dist_ref, *,
         return jnp.where(widx < R * LANE - 1, y, fill)
 
     def big_and_add(x, vp):
-        """(x & vp) + vp over the B-bit band (carry-lookahead)."""
+        """(x & vp) + vp over the B-bit band (carry-lookahead).
+
+        Carry generate/propagate ride as u32 0/1 words, not bools —
+        Mosaic's ``tpu.dynamic_rotate`` (pltpu.roll) has no i1 lowering
+        ("Rotate with non-32-bit data").
+        """
         av = x & vp
         s0 = av + vp
-        g = (s0 < av) & valid                  # word carry generate
-        p = (s0 == ones) & valid               # word carry propagate
+        g = ((s0 < av) & valid).astype(jnp.uint32)    # word carry generate
+        p = ((s0 == ones) & valid).astype(jnp.uint32)  # word carry propagate
         sh = 1
         while sh < R * LANE:
-            g = g | (p & shift_words_up(g, sh, False))
-            p = p & shift_words_up(p, sh, False)
+            g = g | (p & shift_words_up(g, sh, zero))
+            p = p & shift_words_up(p, sh, zero)
             sh *= 2
-        cin = shift_words_up(g, 1, False).astype(jnp.uint32)
+        cin = shift_words_up(g, 1, zero)
         return s0 + cin
 
     @pl.when(j0 == 0)
