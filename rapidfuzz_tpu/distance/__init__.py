@@ -10,8 +10,11 @@ from . import levenshtein  # noqa: F401
 from . import osa  # noqa: F401
 from . import postfix  # noqa: F401
 from . import prefix  # noqa: F401
+from ._editops import (Editop, Editops, MatchingBlock,  # noqa: F401
+                       Opcode, Opcodes)
 
 __all__ = [
     "damerau_levenshtein", "hamming", "indel", "jaro", "jaro_winkler",
     "lcs_seq", "levenshtein", "osa", "postfix", "prefix",
+    "Editop", "Editops", "Opcode", "Opcodes", "MatchingBlock",
 ]

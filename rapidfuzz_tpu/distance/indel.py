@@ -33,3 +33,24 @@ def _batch_distance(c1, l1, c2, l2):
 METRIC = _int_metric.IntMetric("indel", _maximum, _raw_distance,
                                _batch_distance)
 _int_metric.build_module(METRIC, globals(), example=("lewenstein", "levenshtein", 3))
+
+
+def editops(s1, s2):
+    """Insert/delete-only edit script from the LCS alignment
+    (``len(editops) == indel.distance``).
+
+    >>> from rapidfuzz_tpu.distance import indel
+    >>> [(o.tag, o.src_pos, o.dest_pos)
+    ...  for o in indel.editops("lewenstein", "levenshtein")]  # doctest: +NORMALIZE_WHITESPACE
+    [('insert', 2, 2), ('delete', 2, 3), ('insert', 6, 6)]
+    """
+    from ._editops import indel_editops
+    return indel_editops(s1, s2)
+
+
+def opcodes(s1, s2):
+    """difflib-style grouped edit operations for the LCS alignment."""
+    return editops(s1, s2).as_opcodes()
+
+
+__all__ += ["editops", "opcodes"]

@@ -37,3 +37,25 @@ _int_metric.build_module(METRIC, globals(), example=("lewenstein", "levenshtein"
 def similarity_batch_raw(c1, l1, c2, l2):
     """Raw LCS lengths for pre-encoded batches (used by indel/fuzz)."""
     return _dispatch.run_pairs(_ops.lcs_similarity, c1, l1, c2, l2)
+
+
+def editops(s1, s2):
+    """Insert/delete-only edit script from the LCS alignment (shared with
+    ``indel.editops`` — the two metrics score the same alignment,
+    ``indel.rs:62-104``).
+
+    >>> from rapidfuzz_tpu.distance import lcs_seq
+    >>> ops = lcs_seq.editops("lewenstein", "levenshtein")
+    >>> ops.apply("lewenstein", "levenshtein")
+    'levenshtein'
+    """
+    from ._editops import lcs_editops
+    return lcs_editops(s1, s2)
+
+
+def opcodes(s1, s2):
+    """difflib-style grouped edit operations for the LCS alignment."""
+    return editops(s1, s2).as_opcodes()
+
+
+__all__ += ["editops", "opcodes"]

@@ -34,8 +34,37 @@ __all__ = [
     "WeightTable", "Args", "distance", "similarity", "normalized_distance",
     "normalized_similarity", "distance_with_args", "similarity_with_args",
     "normalized_distance_with_args", "normalized_similarity_with_args",
-    "BatchComparator", "distance_many", "maximum",
+    "BatchComparator", "distance_many", "maximum", "editops", "opcodes",
 ]
+
+
+def editops(s1, s2):
+    """Minimal uniform-Levenshtein edit script (``Editops``).
+
+    Beyond the reference crate (whose recording hooks are dead
+    scaffolding, ``levenshtein.rs:176-210``); matches the wider rapidfuzz
+    ecosystem's alignment API.  The bit-rows are recorded by the device
+    kernel; the traceback runs on host.
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> [(o.tag, o.src_pos, o.dest_pos)
+    ...  for o in levenshtein.editops("kitten", "sitting")]
+    [('replace', 0, 0), ('replace', 4, 4), ('insert', 6, 6)]
+    """
+    from ._editops import levenshtein_editops
+    return levenshtein_editops(s1, s2)
+
+
+def opcodes(s1, s2):
+    """difflib-style grouped edit operations (``Opcodes``).
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> [(o.tag, o.src_start, o.src_end, o.dest_start, o.dest_end)
+    ...  for o in levenshtein.opcodes("kitten", "sitting")]  # doctest: +NORMALIZE_WHITESPACE
+    [('replace', 0, 1, 0, 1), ('equal', 1, 4, 1, 4), ('replace', 4, 5, 4, 5),
+     ('equal', 5, 6, 5, 6), ('insert', 6, 6, 6, 7)]
+    """
+    return editops(s1, s2).as_opcodes()
 
 
 @dataclass(frozen=True)

@@ -48,3 +48,43 @@ def lcs_similarity(a: jnp.ndarray, la: jnp.ndarray,
 
     s, _ = lax.scan(step, s0, (pm_t, js))
     return jnp.sum(popcount(~s), axis=-1, dtype=jnp.int32)
+
+
+def lcs_record(a: jnp.ndarray, la: jnp.ndarray,
+               b: jnp.ndarray, lb: jnp.ndarray):
+    """LCS length with every per-column ``S`` bit-row recorded.
+
+    Enables host-side alignment traceback (indel/LCS editops): the zero
+    bits of ``S_j`` mark the pattern rows where column j gains a match,
+
+        L[i][j] = popcount(~S_j & mask(i)),
+
+    so cell values of the LCS DP table reconstruct from the recorded rows.
+    Returns ``(sim[B], s[LB, B, W])`` (uint32 words).
+    """
+    LA = a.shape[-1]
+    W = LA // 32
+
+    pm = pm_columns(a, b)
+    B = pm.shape[0]
+    lb_b = jnp.broadcast_to(lb, (B,))
+
+    s0 = jnp.full((B, W), FULL, jnp.uint32)
+    pm_t = jnp.moveaxis(pm, 1, 0)
+    js = jnp.arange(pm_t.shape[0], dtype=jnp.int32)
+
+    def step(s, inp):
+        pm_j, j = inp
+        active = (j < lb_b)
+        carry = jnp.zeros((B,), jnp.uint32)
+        words = []
+        for w in range(W):
+            sw = s[:, w]
+            u = sw & pm_j[:, w]
+            x, carry = add_with_carry(sw, u, carry)
+            words.append(x | (sw - u))
+        s = jnp.where(active[:, None], jnp.stack(words, axis=-1), s)
+        return s, s
+
+    s, rows = lax.scan(step, s0, (pm_t, js))
+    return jnp.sum(popcount(~s), axis=-1, dtype=jnp.int32), rows

@@ -100,6 +100,74 @@ def uniform_distance(a: jnp.ndarray, la: jnp.ndarray,
     return dist
 
 
+def uniform_distance_record(a: jnp.ndarray, la: jnp.ndarray,
+                            b: jnp.ndarray, lb: jnp.ndarray):
+    """Uniform Levenshtein with the per-column (VP, VN) bit-rows recorded.
+
+    Same recurrence as :func:`uniform_distance`, but every text step also
+    emits its post-update vertical-delta words, enabling host-side
+    alignment traceback (editops/opcodes).  This is the live version of
+    the reference's dead ``RECORD_BIT_ROW`` scaffolding
+    (``levenshtein.rs:176-210``): cell values reconstruct as
+
+        D[i][j] = j + popcount(VP_j & mask(i)) - popcount(VN_j & mask(i))
+
+    because VP/VN encode the vertical deltas of column j.
+
+    Returns ``(dist[B], vp[LB, B, W], vn[LB, B, W])`` (uint32 words).
+    """
+    LA = a.shape[-1]
+    W = LA // 32
+    assert LA % 32 == 0
+
+    pm = pm_columns(a, b)
+    B = pm.shape[0]
+    la_b = jnp.broadcast_to(la, (B,))
+    lb_b = jnp.broadcast_to(lb, (B,))
+    last_pos = jnp.maximum(la_b - 1, 0)
+
+    vp0 = jnp.full((B, W), FULL, jnp.uint32)
+    vn0 = jnp.zeros((B, W), jnp.uint32)
+    dist0 = la_b.astype(jnp.int32)
+    pm_t = jnp.moveaxis(pm, 1, 0)
+    js = jnp.arange(pm_t.shape[0], dtype=jnp.int32)
+
+    def step(carry, inp):
+        vp, vn, dist = carry
+        pm_j, j = inp
+        active = (j < lb_b)
+        hp_c = jnp.ones((B,), jnp.uint32)
+        hn_c = jnp.zeros((B,), jnp.uint32)
+        hp_words, hn_words, new_vp, new_vn = [], [], [], []
+        for w in range(W):
+            x = pm_j[:, w] | hn_c
+            vpw = vp[:, w]
+            vnw = vn[:, w]
+            d0 = (((x & vpw) + vpw) ^ vpw) | x | vnw
+            hp = vnw | ~(d0 | vpw)
+            hn = d0 & vpw
+            hp_words.append(hp)
+            hn_words.append(hn)
+            hp_out = hp >> 31
+            hn_out = hn >> 31
+            hp_s = (hp << 1) | hp_c
+            hn_s = (hn << 1) | hn_c
+            new_vp.append(hn_s | ~(d0 | hp_s))
+            new_vn.append(hp_s & d0)
+            hp_c, hn_c = hp_out, hn_out
+        hp_all = jnp.stack(hp_words, axis=-1)
+        hn_all = jnp.stack(hn_words, axis=-1)
+        delta = test_bit(hp_all, last_pos) - test_bit(hn_all, last_pos)
+        dist = jnp.where(active, dist + delta, dist)
+        vp = jnp.where(active[:, None], jnp.stack(new_vp, axis=-1), vp)
+        vn = jnp.where(active[:, None], jnp.stack(new_vn, axis=-1), vn)
+        return (vp, vn, dist), (vp, vn)
+
+    (_, _, dist), (vps, vns) = lax.scan(step, (vp0, vn0, dist0), (pm_t, js))
+    dist = jnp.where(la_b == 0, lb_b, dist)
+    return dist, vps, vns
+
+
 def _row_at(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """row[..., L] int32 at per-batch idx, gather-free."""
     pos = jnp.arange(row.shape[-1], dtype=jnp.int32)
