@@ -1,13 +1,31 @@
-"""``fuzz`` family (``/root/reference/src/fuzz.rs``).
+"""``fuzz`` family.
 
-Only ``ratio`` exists in the reference crate (``fuzz.rs:207-213`` notes the
-other C++/Python rapidfuzz scorers are absent); ``ratio`` is indel
-normalized similarity in ``[0.0, 1.0]`` (``fuzz.rs:60-85``).
+``ratio`` is the reference crate's only fuzz scorer (``fuzz.rs:60-85``:
+indel normalized similarity in ``[0.0, 1.0]``; ``fuzz.rs:207-213``
+comments out the rest).  The remaining ecosystem scorers
+(rapidfuzz-cpp/-py) are provided TPU-natively on top of it:
+
+* ``partial_ratio`` — best sliding-window ``ratio`` of the shorter string
+  against the longer, windows batched through the device LCS kernel
+  (every window of the unbounded alignment, clipped to the string: the
+  window set is ``longer[max(0, i-m) : min(n, i)]`` for ``i`` in
+  ``1..n+m-1``, so overhanging edge alignments count like the
+  ecosystem's).  Scores stay in ``[0.0, 1.0]``.
+* ``token_sort_ratio`` / ``token_set_ratio`` / ``token_ratio`` and their
+  ``partial_`` forms — whitespace tokenization on host, scoring on the
+  same kernels.
+* ``WRatio`` / ``QRatio`` — the standard weighted combinations.
+
+Empty-input convention follows the crate's score algebra
+(``maximum == 0 -> normalized similarity 1.0``): two empty inputs score
+1.0; one empty input scores 0.0.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -66,3 +84,231 @@ class RatioBatchComparator:
         dist = mx - 2 * sim.astype(np.int64)
         nsim = 1.0 - np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
         return _dispatch.BatchResult(*_c.mask_similarity(nsim, score_cutoff))
+
+
+# --------------------------------------------------------- ecosystem scorers
+
+def default_process(s: str) -> str:
+    """Standard preprocessor: non-alphanumeric runs -> space, lowercase,
+    trim (the ecosystem's ``utils.default_process``)."""
+    return re.sub(r"\W", " ", s, flags=re.UNICODE).lower().strip()
+
+
+def _processed(s1, s2, processor: Optional[Callable]):
+    if processor is None:
+        return s1, s2
+    return processor(s1), processor(s2)
+
+
+@dataclass(frozen=True)
+class ScoreAlignment:
+    """Where the best ``partial_ratio`` window sits:
+    ``ratio(s1[src_start:src_end], s2[dest_start:dest_end]) == score``."""
+    score: float
+    src_start: int
+    src_end: int
+    dest_start: int
+    dest_end: int
+
+
+def _best_window(us: np.ndarray, ul: np.ndarray):
+    """(best_ratio, (start, end)) of the shorter ``us`` against every
+    clipped window of the longer ``ul``, via the batched LCS kernel."""
+    from .ops import lcs as _lcs_ops
+
+    m, n = int(us.size), int(ul.size)
+    if m == 0:
+        return (1.0 if n == 0 else 0.0), (0, 0)
+    starts = np.maximum(0, np.arange(1, n + m) - m)
+    ends = np.minimum(n, np.arange(1, n + m))
+    best = -1.0
+    best_se = (0, 0)
+    # chunk the window batch to bound host/device memory on long inputs
+    chunk = max(256, (1 << 22) // max(m, 1))
+    for lo in range(0, len(starts), chunk):
+        ss, ee = starts[lo:lo + chunk], ends[lo:lo + chunk]
+        wins = [ul[s:e] for s, e in zip(ss, ee)]
+        c1, l1, c2, l2 = _codec.encode_pair_batch([us], wins, bucket2=None)
+        sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
+        tot = m + l2.astype(np.int64)
+        r = 1.0 - (tot - 2 * sim.astype(np.int64)) / np.maximum(tot, 1)
+        k = int(np.argmax(r))
+        if float(r[k]) > best:
+            best = float(r[k])
+            best_se = (int(ss[k]), int(ee[k]))
+        if best >= 1.0:
+            break
+    return best, best_se
+
+
+def partial_ratio_alignment(s1, s2, *, processor: Optional[Callable] = None,
+                            score_cutoff: Optional[float] = None
+                            ) -> Optional[ScoreAlignment]:
+    """Best-window ``ratio`` plus where that window sits.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> a = fuzz.partial_ratio_alignment("needle", "say needle here")
+    >>> (round(a.score, 4), a.dest_start, a.dest_end)
+    (1.0, 4, 10)
+    """
+    s1, s2 = _processed(s1, s2, processor)
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    if u1.size <= u2.size:
+        score, (ws, we) = _best_window(u1, u2)
+        align = ScoreAlignment(score, 0, int(u1.size), ws, we)
+    else:
+        score, (ws, we) = _best_window(u2, u1)
+        align = ScoreAlignment(score, ws, we, 0, int(u2.size))
+    if score_cutoff is not None and score < score_cutoff:
+        return None
+    return align
+
+
+def partial_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                  score_cutoff: Optional[float] = None) -> Optional[float]:
+    """Best ``ratio`` of the shorter string over sliding windows of the
+    longer (ecosystem ``fuzz.partial_ratio``; absent from the crate,
+    ``fuzz.rs:207-213``).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.partial_ratio("this is a test", "this is a test!")
+    1.0
+    """
+    a = partial_ratio_alignment(s1, s2, processor=processor)
+    return _c.apply_similarity_cutoff(a.score, score_cutoff)
+
+
+def _tokens(s) -> list:
+    if isinstance(s, (bytes, bytearray)):
+        return bytes(s).split()
+    if not isinstance(s, str):
+        raise TypeError("token-based scorers need str or bytes input")
+    return s.split()
+
+
+def _join(tokens, sep):
+    return sep.join(tokens)
+
+
+def _token_sorted(s):
+    sep = b" " if isinstance(s, (bytes, bytearray)) else " "
+    return _join(sorted(_tokens(s)), sep)
+
+
+def token_sort_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                     score_cutoff: Optional[float] = None
+                     ) -> Optional[float]:
+    """``ratio`` of the whitespace tokens sorted and re-joined.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.token_sort_ratio("fuzzy wuzzy was a bear",
+    ...                       "wuzzy fuzzy was a bear")
+    1.0
+    """
+    s1, s2 = _processed(s1, s2, processor)
+    return ratio(_token_sorted(s1), _token_sorted(s2),
+                 score_cutoff=score_cutoff)
+
+
+def _token_set_parts(s1, s2):
+    t1, t2 = set(_tokens(s1)), set(_tokens(s2))
+    sep = b" " if isinstance(s1, (bytes, bytearray)) else " "
+    inter = _join(sorted(t1 & t2), sep)
+    d1 = _join(sorted(t1 - t2), sep)
+    d2 = _join(sorted(t2 - t1), sep)
+    j1 = inter + sep + d1 if inter and d1 else (inter or d1)
+    j2 = inter + sep + d2 if inter and d2 else (inter or d2)
+    return inter, d1, d2, j1, j2
+
+
+def token_set_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                    score_cutoff: Optional[float] = None
+                    ) -> Optional[float]:
+    """Set-algebra ``ratio``: max over {sect vs sect+diff1, sect vs
+    sect+diff2, sect+diff1 vs sect+diff2} (the classic fuzzywuzzy /
+    rapidfuzz construction).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.token_set_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear")
+    1.0
+    """
+    s1, s2 = _processed(s1, s2, processor)
+    inter, d1, d2, j1, j2 = _token_set_parts(s1, s2)
+    best = ratio(j1, j2)
+    if inter:
+        best = max(best, ratio(inter, j1), ratio(inter, j2))
+    return _c.apply_similarity_cutoff(best, score_cutoff)
+
+
+def token_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                score_cutoff: Optional[float] = None) -> Optional[float]:
+    """``max(token_sort_ratio, token_set_ratio)``."""
+    s1, s2 = _processed(s1, s2, processor)
+    best = max(token_sort_ratio(s1, s2), token_set_ratio(s1, s2))
+    return _c.apply_similarity_cutoff(best, score_cutoff)
+
+
+def partial_token_sort_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                             score_cutoff: Optional[float] = None
+                             ) -> Optional[float]:
+    """``partial_ratio`` of the sorted-token joins."""
+    s1, s2 = _processed(s1, s2, processor)
+    return partial_ratio(_token_sorted(s1), _token_sorted(s2),
+                         score_cutoff=score_cutoff)
+
+
+def partial_token_set_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                            score_cutoff: Optional[float] = None
+                            ) -> Optional[float]:
+    """1.0 on any shared token, else ``partial_ratio`` of the sorted
+    difference joins (the ecosystem's shortcut semantics)."""
+    s1, s2 = _processed(s1, s2, processor)
+    inter, d1, d2, _, _ = _token_set_parts(s1, s2)
+    if inter:
+        return _c.apply_similarity_cutoff(1.0, score_cutoff)
+    return partial_ratio(d1, d2, score_cutoff=score_cutoff)
+
+
+def partial_token_ratio(s1, s2, *, processor: Optional[Callable] = None,
+                        score_cutoff: Optional[float] = None
+                        ) -> Optional[float]:
+    """``max(partial_token_sort_ratio, partial_token_set_ratio)``."""
+    s1, s2 = _processed(s1, s2, processor)
+    best = max(partial_token_sort_ratio(s1, s2),
+               partial_token_set_ratio(s1, s2))
+    return _c.apply_similarity_cutoff(best, score_cutoff)
+
+
+def WRatio(s1, s2, *, processor: Optional[Callable] = None,
+           score_cutoff: Optional[float] = None) -> Optional[float]:
+    """Weighted combination of the fuzz scorers (ecosystem ``WRatio``),
+    in [0, 1].
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> round(fuzz.WRatio("this is a test", "this is a new test!!!"), 4)
+    0.855
+    """
+    s1, s2 = _processed(s1, s2, processor)
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    if u1.size == 0 or u2.size == 0:
+        score = 1.0 if u1.size == u2.size else 0.0
+        return _c.apply_similarity_cutoff(score, score_cutoff)
+    UNBASE_SCALE = 0.95
+    len_ratio = max(u1.size, u2.size) / min(u1.size, u2.size)
+    end_ratio = ratio(s1, s2)
+    if len_ratio < 1.5:
+        score = max(end_ratio, token_ratio(s1, s2) * UNBASE_SCALE)
+    else:
+        partial_scale = 0.9 if len_ratio < 8.0 else 0.6
+        score = max(end_ratio, partial_ratio(s1, s2) * partial_scale,
+                    partial_token_ratio(s1, s2) * UNBASE_SCALE
+                    * partial_scale)
+    return _c.apply_similarity_cutoff(score, score_cutoff)
+
+
+def QRatio(s1, s2, *, processor: Optional[Callable] = None,
+           score_cutoff: Optional[float] = None) -> Optional[float]:
+    """Quick ratio: ``ratio`` plus the empty-input convention (ecosystem
+    ``QRatio``)."""
+    s1, s2 = _processed(s1, s2, processor)
+    return ratio(s1, s2, score_cutoff=score_cutoff)

@@ -33,9 +33,25 @@ _SCORERS = {
 }
 
 
+def _fuzz_scorers():
+    from .. import fuzz
+    return {
+        "partial_ratio": fuzz.partial_ratio,
+        "token_sort_ratio": fuzz.token_sort_ratio,
+        "token_set_ratio": fuzz.token_set_ratio,
+        "token_ratio": fuzz.token_ratio,
+        "partial_token_sort_ratio": fuzz.partial_token_sort_ratio,
+        "partial_token_set_ratio": fuzz.partial_token_set_ratio,
+        "partial_token_ratio": fuzz.partial_token_ratio,
+        "WRatio": fuzz.WRatio,
+        "QRatio": fuzz.QRatio,
+    }
+
+
 def _resolve(scorer):
     if isinstance(scorer, str):
-        return _SCORERS[scorer]
+        mod = _SCORERS.get(scorer)
+        return mod if mod is not None else _fuzz_scorers()[scorer]
     return scorer
 
 
@@ -45,6 +61,16 @@ def _pairwise_scores(scorer, queries: Sequence, choices: Sequence,
     mod = _resolve(scorer)
     nq, nc = len(queries), len(choices)
     out = np.empty((nq, nc), np.float64)
+    if callable(mod) and not hasattr(mod, "normalized_similarity_many"):
+        # scalar similarity scorer (the fuzz.* family): [0, 1] similarities
+        if score_kind != "normalized_similarity":
+            raise ValueError(
+                f"scorer {getattr(mod, '__name__', mod)!r} only yields "
+                "normalized_similarity")
+        for qi, q in enumerate(queries):
+            for ci, c in enumerate(choices):
+                out[qi, ci] = mod(q, c)
+        return out
     many = {
         "normalized_similarity": getattr(mod, "normalized_similarity_many",
                                          None),

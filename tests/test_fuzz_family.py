@@ -1,0 +1,151 @@
+"""Extended fuzz-scorer family.
+
+These scorers are absent from the reference crate (``fuzz.rs:207-213``
+comments out their tests); semantics follow the wider rapidfuzz
+ecosystem, documented in ``rapidfuzz_tpu/fuzz.py``, with scores kept in
+[0, 1] like the crate's ``ratio``.  ``partial_ratio`` is verified against
+a brute-force window sweep built on the scalar ``ratio``.
+"""
+
+import numpy as np
+import pytest
+
+from rapidfuzz_tpu import fuzz
+from rapidfuzz_tpu.models import process
+
+
+def brute_partial(s1, s2):
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    m, n = len(s1), len(s2)
+    if m == 0:
+        return 1.0 if n == 0 else 0.0
+    best = 0.0
+    for i in range(1, n + m):
+        w = s2[max(0, i - m):min(n, i)]
+        best = max(best, fuzz.ratio(s1, w))
+    return best
+
+
+def test_partial_ratio_brute_force():
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        n1, n2 = rng.integers(0, 18, 2)
+        s1 = "".join(rng.choice(list("abc"), n1))
+        s2 = "".join(rng.choice(list("abc"), n2))
+        got = fuzz.partial_ratio(s1, s2)
+        exp = brute_partial(s1, s2)
+        assert got == pytest.approx(exp, abs=1e-12), (s1, s2)
+
+
+def test_partial_ratio_basics():
+    assert fuzz.partial_ratio("this is a test", "this is a test!") == 1.0
+    assert fuzz.partial_ratio("abc", "xxabcxx") == 1.0
+    # overhanging edge alignment counts (window shorter than the needle)
+    assert fuzz.partial_ratio("ab", "bx") == pytest.approx(2 / 3)
+    assert fuzz.partial_ratio("", "") == 1.0
+    assert fuzz.partial_ratio("", "x") == 0.0
+    assert fuzz.partial_ratio("abc", "abc", score_cutoff=0.9) == 1.0
+    assert fuzz.partial_ratio("abc", "xyz", score_cutoff=0.9) is None
+
+
+def test_partial_ratio_alignment():
+    a = fuzz.partial_ratio_alignment("needle", "say needle here")
+    assert (a.src_start, a.src_end) == (0, 6)
+    assert "say needle here"[a.dest_start:a.dest_end] == "needle"
+    assert a.score == 1.0
+    # swapped argument order mirrors the alignment
+    b = fuzz.partial_ratio_alignment("say needle here", "needle")
+    assert "say needle here"[b.src_start:b.src_end] == "needle"
+    assert (b.dest_start, b.dest_end) == (0, 6)
+    assert fuzz.partial_ratio_alignment("abc", "xyz",
+                                        score_cutoff=0.9) is None
+    # the claimed window really scores `score`
+    s1, s2 = "kitten inside", "a sitting kitten"
+    al = fuzz.partial_ratio_alignment(s1, s2)
+    assert fuzz.ratio(s1[al.src_start:al.src_end],
+                      s2[al.dest_start:al.dest_end]) == pytest.approx(
+        al.score)
+
+
+def test_token_sort_ratio():
+    assert fuzz.token_sort_ratio("fuzzy wuzzy was a bear",
+                                 "wuzzy fuzzy was a bear") == 1.0
+    assert fuzz.token_sort_ratio("a b c", "c  b\ta") == 1.0
+    # equals plain ratio on the sorted joins
+    s1, s2 = "great new world", "new world order"
+    exp = fuzz.ratio(" ".join(sorted(s1.split())),
+                     " ".join(sorted(s2.split())))
+    assert fuzz.token_sort_ratio(s1, s2) == pytest.approx(exp)
+
+
+def test_token_set_ratio():
+    assert fuzz.token_set_ratio("fuzzy was a bear",
+                                "fuzzy fuzzy was a bear") == 1.0
+    # subset of tokens -> intersection vs join hits 1.0
+    assert fuzz.token_set_ratio("a b", "a b c d") == 1.0
+    assert fuzz.token_set_ratio("abc", "xyz") == fuzz.ratio("abc", "xyz")
+    assert fuzz.token_ratio("a b", "b a") == 1.0
+
+
+def test_partial_token_scorers():
+    assert fuzz.partial_token_set_ratio("shared x", "shared y") == 1.0
+    assert fuzz.partial_token_set_ratio("aa bb", "cc dd") == \
+        pytest.approx(fuzz.partial_ratio("aa bb", "cc dd"))
+    assert fuzz.partial_token_sort_ratio("new test", "test new extra") == 1.0
+    assert fuzz.partial_token_ratio("shared x", "shared y") == 1.0
+
+
+def test_wratio_qratio():
+    # short branch: len_ratio < 1.5 -> max(ratio, token_ratio * 0.95)
+    s1, s2 = "new world order", "the new order world"
+    exp = max(fuzz.ratio(s1, s2), fuzz.token_ratio(s1, s2) * 0.95)
+    assert fuzz.WRatio(s1, s2) == pytest.approx(exp)
+    # long branch: partial scorers scaled by 0.9
+    s1, s2 = "this is a test", "this is a new test!!!"
+    exp = max(fuzz.ratio(s1, s2), fuzz.partial_ratio(s1, s2) * 0.9,
+              fuzz.partial_token_ratio(s1, s2) * 0.95 * 0.9)
+    assert fuzz.WRatio(s1, s2) == pytest.approx(exp)
+    assert fuzz.WRatio("", "") == 1.0
+    assert fuzz.WRatio("", "x") == 0.0
+    assert fuzz.QRatio("abc", "abc") == 1.0
+    assert fuzz.WRatio("abc", "xyz", score_cutoff=0.5) is None
+
+
+def test_default_process():
+    assert fuzz.default_process("  Hello, WORLD!!") == "hello  world"
+    assert fuzz.token_sort_ratio("Fuzzy...Wuzzy", "wuzzy fuzzy",
+                                 processor=fuzz.default_process) == 1.0
+    assert fuzz.WRatio("C++ IS GREAT", "c   is great",
+                       processor=fuzz.default_process) == 1.0
+
+
+def test_bytes_tokens():
+    assert fuzz.token_sort_ratio(b"beta alpha", b"alpha beta") == 1.0
+    assert fuzz.partial_token_set_ratio(b"x shared", b"y shared") == 1.0
+
+
+def test_process_integration():
+    choices = ["new york jets", "new york giants", "dallas cowboys"]
+    best = process.extract_one("jets new york", choices,
+                               scorer="token_sort_ratio")
+    assert best[0] == "new york jets" and best[1] == 1.0
+    res = process.cdist(["jets"], choices, scorer="partial_ratio")
+    assert res.values[0, 0] == 1.0
+    with pytest.raises(ValueError, match="normalized_similarity"):
+        process.cdist(["a"], choices, scorer="WRatio",
+                      score_kind="distance")
+    # callables pass straight through
+    best = process.extract_one("jets", choices, scorer=fuzz.WRatio)
+    assert best[0] == "new york jets"
+
+
+def test_long_needle_chunked_windows():
+    # long inputs exercise the chunked window batches
+    rng = np.random.default_rng(9)
+    s1 = "".join(rng.choice(list("abcdef"), 300))
+    s2 = "".join(rng.choice(list("abcdef"), 90))
+    mid = s1[100:190]
+    assert fuzz.partial_ratio(mid, s1) == 1.0
+    got = fuzz.partial_ratio(s2, s1)
+    assert 0.0 < got <= 1.0
