@@ -30,23 +30,29 @@ and the band's stays flat.
 
 The **fast table-driven variant** (``_fast_kernel``, routed for buckets
 ``LB <= FAST_MAX_LB``) removes that setup entirely: the band semiwidth
-is pinned at ``MAX_CUTOFF`` regardless of the caller's (dynamic) cutoff,
-so the PM window start ``j - 16`` is a *host-computable* function of the
-step — the funnel shifts move into :func:`build_shifted_tables`, applied
-once per (step, table entry) on the host instead of per (step,
-candidate) on the VPU.  The horizontal phase swaps the dynamic ``hbit``
-shift for a per-step probe mask from an SMEM table
-(:func:`probe_table`).  In-kernel, ``j`` is then ONLY a table index; on
-TPU the text loop is fully flattened so every index is a compile-time
-constant (a ``fori_loop`` form is kept for interpret mode, where XLA-CPU
-goes superlinear on flat bodies beyond ~56 steps).  A
-wider-than-requested band computes a superset of the DP cells with
-identical values, and the final masks still apply the caller's true
-cutoff, so accept/reject semantics are unchanged
-(``levenshtein.rs:565-567`` contract).  Measured v5e per-step cost is
-~0.57x a full W=2 Myers step (1.75x kernel speedup), which finally makes
-``score_cutoff`` a device-time win at practical lengths instead of only
-for W >= 6 patterns.
+is pinned at ``16*bw - 1`` for a static word count ``bw`` in {1, 2, 3}
+(cutoffs up to ``MAX_CUTOFF_FAST == 47``) regardless of the caller's
+(dynamic) cutoff, so the band register's bit 0 sits at the
+*host-computable* pattern position ``j - 16*bw`` — the funnel shifts
+move into :func:`build_shifted_tables`, applied once per (step, table
+entry, band word) on the host instead of per (step, candidate) on the
+VPU.  Table rows are stored un-broadcast and broadcast in-kernel before
+the gather (measured free, ``experiments/table_bcast_probe.py``), so
+even 3-word-band tables for 1024-char buckets fit VMEM.  The horizontal
+phase swaps the dynamic ``hbit`` shift for per-step probe masks from an
+SMEM table (:func:`probe_table`).  In-kernel, ``j`` is then ONLY a
+table index; for short buckets the text loop is fully flattened so
+every index is a compile-time constant, longer buckets (and interpret
+mode, where XLA-CPU goes superlinear on flat bodies beyond ~56 steps)
+use a ``fori_loop`` form.  A wider-than-requested band computes a
+superset of the DP cells with identical values, and the final masks
+still apply the caller's true cutoff, so accept/reject semantics are
+unchanged (``levenshtein.rs:565-567`` contract).  Measured v5e per-step
+cost is ~0.57x a full W=2 Myers step per band word (flat form), which
+makes ``score_cutoff`` a device-time win at practical lengths instead
+of only for W >= 6 patterns; the multi-word bands extend that to the
+reference's ``O(ceil(K/word)*M)`` cutoff asymptotics
+(``levenshtein.rs:48``) for cutoffs up to 47.
 """
 
 from __future__ import annotations
@@ -59,9 +65,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..bitpack import add_with_carry
 from .lev_kernel import LANE, SUB, build_pm_tables
 
 BIG = np.int32(1 << 29)
+
+
+def band_words(cutoff: int) -> int:
+    """u32 words needed for a pinned band of semiwidth >= cutoff
+    (``16 * bw - 1 >= cutoff``)."""
+    return max(1, -(-(cutoff + 1) // 16))
 
 
 def _kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int,
@@ -169,17 +182,20 @@ def _run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False):
 
 
 def build_shifted_tables(query: np.ndarray, mode: str, LB: int,
-                         sub: int = SUB) -> np.ndarray:
+                         bw: int = 1) -> np.ndarray:
     """Per-step pre-funneled PM tables for the static band kernel.
 
-    The static kernel's PM window at step ``j`` starts at the constant
-    bit position ``j - 16``, so the funnel shift over the word-blocked
-    tables can be applied ONCE per (step, table-entry) on the host
-    instead of per (step, candidate) on the VPU: row ``j*ntab + t`` maps
-    char entry ``c`` (lane-indexed) to its 32-bit window for step ``j``.
-    Shape ``(LB * ntab, sub, LANE)`` u32.  Rows whose window lies fully
-    past the pattern are zero (those steps are frozen for every in-band
-    candidate anyway).
+    The static kernel's band register is ``32 * bw`` bits whose bit 0 at
+    step ``j`` is the constant pattern position ``j - 16 * bw``, so the
+    funnel shift over the word-blocked tables can be applied ONCE per
+    (step, table-entry, band-word) on the host instead of per (step,
+    candidate) on the VPU: row ``(j * ntab + t) * bw + k`` maps char
+    entry ``c`` (lane-indexed) to band word ``k``'s 32-bit window for
+    step ``j``.  Shape ``(LB * ntab * bw, 1, LANE)`` u32 — rows are NOT
+    broadcast across sublanes; the kernel broadcasts before the gather
+    (measured free on v5e).  Rows whose window lies fully past the
+    pattern are zero (those steps are frozen for every in-band candidate
+    anyway).
     """
     q = np.asarray(query)
     la = int(q.size)
@@ -187,63 +203,89 @@ def build_shifted_tables(query: np.ndarray, mode: str, LB: int,
     ntab = 2 if mode == "byte" else 1
     base = build_pm_tables(q, mode, sub=1)     # (W*ntab, 1, LANE) u32
     base = base.reshape(W, ntab, LANE)
-    out = np.zeros((LB, ntab, LANE), np.uint32)
+    out = np.zeros((LB, ntab, bw, LANE), np.uint32)
     for j in range(LB):
-        start = j + MAX_CUTOFF + 1 - 32
-        if start < 0:
-            out[j] = base[0] << np.uint32(-start)
-        else:
+        for k in range(bw):
+            start = j - 16 * bw + 32 * k
+            if start <= -32:
+                continue
+            if start < 0:
+                out[j, :, k] = base[0] << np.uint32(-start)
+                continue
             widx, wpos = divmod(start, 32)
             if widx >= W:
                 continue
             win = base[widx] >> np.uint32(wpos)
             if wpos and widx + 1 < W:
                 win |= base[widx + 1] << np.uint32(32 - wpos)
-            out[j] = win
-    out = np.broadcast_to(out.reshape(LB * ntab, 1, LANE),
-                          (LB * ntab, sub, LANE))
-    return np.ascontiguousarray(out)
+            out[j, :, k] = win
+    return np.ascontiguousarray(out.reshape(LB * ntab * bw, 1, LANE))
 
 
-def probe_table(la: int, LB: int) -> np.ndarray:
-    """Horizontal-phase probe bit per step: ``1 << (30 - (j - pstart))``
-    while in range, else 0 (diagonal phase / expired probes — the latter
-    only occur for ``|la-lb| > 15``, rejected by the length mask)."""
-    pstart = max(la - MAX_CUTOFF, 0)
-    j = np.arange(LB)
-    k = j - pstart
-    return np.where((k >= 0) & (k <= 30),
-                    np.uint32(1 << 30) >> np.minimum(
-                        np.maximum(k, 0), 30).astype(np.uint32),
-                    np.uint32(0)).astype(np.uint32)
+def probe_table(la: int, LB: int, bw: int = 1) -> np.ndarray:
+    """Horizontal-phase probe bits per step -> ``(LB, bw)`` u32.
+
+    Row ``j`` is all-zero during the diagonal phase; afterwards exactly
+    one word holds ``1 << bit`` for the register position of the
+    pattern's last row: ``32*bw - 2 - (j - pstart)``.  Expired probes
+    (``j - pstart > 32*bw - 2``) only occur for ``|la-lb| > 16*bw - 1``,
+    rejected by the length mask."""
+    maxc = 16 * bw - 1
+    pstart = max(la - maxc, 0)
+    out = np.zeros((LB, bw), np.uint32)
+    for j in range(LB):
+        k = j - pstart
+        if 0 <= k <= 32 * bw - 2:
+            rb = 32 * bw - 2 - k
+            out[j, rb // 32] = np.uint32(1) << np.uint32(rb % 32)
+    return out
 
 
 def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
-                 *, LB: int, ntab: int, sub: int, unroll_all: bool):
-    """Table-driven band kernel (band semiwidth pinned at 15).
+                 *, LB: int, ntab: int, sub: int, bw: int,
+                 unroll_all: bool):
+    """Table-driven band kernel (band semiwidth pinned at ``16*bw - 1``).
 
-    Per step the work is ONE table gather (two + select in byte mode)
-    from the pre-funneled per-step tables, the 10-op one-word band
-    recurrence, and the distance delta — no funnel shifts, no word
-    selects, no loop-carried probe.  The probe trajectory rides in SMEM
-    (:func:`probe_table`), so only ``la`` and the caller's true cutoff
-    (final masks) are dynamic and one compilation serves the bucket.
+    Per step the work is one table gather per band word (two + select in
+    byte mode) from the pre-funneled per-step tables, the ``bw``-word
+    band recurrence with add carries chained low-to-high and the
+    register shifted right one bit across words, and the distance delta
+    — no funnel shifts, no word selects, no loop-carried probe.  The
+    probe trajectory rides in SMEM (:func:`probe_table`), so only ``la``
+    and the caller's true cutoff (final masks) are dynamic and one
+    compilation serves the bucket.
 
-    ``unroll_all=True`` (the TPU path) flattens the text loop so every
-    table index is a compile-time constant — measured v5e: the fori_loop
-    form's dynamic leading-dim loads + per-trip overhead cost ~1.2x a
-    full-kernel step, the flat form ~0.57x (sweep in
-    ``experiments/README.md``).  The fori form is kept for interpret
-    mode, where XLA-CPU goes superlinear on flat bodies beyond ~56 steps.
+    Table rows are stored once (``(rows, 1, LANE)``) and broadcast
+    across sublanes in-kernel before the gather — measured bit-equal and
+    speed-neutral on v5e (``experiments/table_bcast_probe.py``), cutting
+    table VMEM 32x so multi-word bands and 1024-char buckets fit.
+
+    ``unroll_all=True`` flattens the text loop so every table index is a
+    compile-time constant — measured v5e: the fori_loop form's dynamic
+    leading-dim loads + per-trip overhead cost ~1.2x a full-kernel step,
+    the flat form ~0.57x (sweep in ``experiments/README.md``).  The fori
+    form serves longer buckets (flat-body compile time grows with
+    ``LB * bw``) and interpret mode, where XLA-CPU goes superlinear on
+    flat bodies beyond ~56 steps.
     """
     la = scal_ref[0]
     cut = scal_ref[1]
     lb = lb_ref[:, :]
+    maxc = 16 * bw - 1
 
     ones_t = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
-    vp0 = ones_t << jnp.uint32(31 - MAX_CUTOFF)        # 16 top bits
-    vn0 = jnp.zeros((sub, LANE), jnp.uint32)
-    dist0 = jnp.full((sub, LANE), MAX_CUTOFF, jnp.int32)
+    zeros_t = jnp.zeros((sub, LANE), jnp.uint32)
+    vp0 = []
+    for k in range(bw):                 # top 16*bw bits of the register
+        lo_bit = 32 * k
+        if lo_bit >= 16 * bw:
+            vp0.append(ones_t)
+        elif lo_bit + 32 <= 16 * bw:
+            vp0.append(zeros_t)
+        else:
+            vp0.append(ones_t << jnp.uint32(16 * bw - lo_bit))
+    vn0 = [zeros_t] * bw
+    dist0 = jnp.full((sub, LANE), maxc, jnp.int32)
 
     def one_step(j, row, u, state):
         dist, vp, vn = state
@@ -251,28 +293,53 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
              & jnp.uint32(0xFF)).astype(jnp.int32)
         if ntab == 2:
             c_lo = jnp.where(c < LANE, c, c - LANE)
-            x = jnp.where(
-                c >= LANE,
-                jnp.take_along_axis(tab_ref[j * ntab + 1], c_lo,
-                                    axis=1),
-                jnp.take_along_axis(tab_ref[j * ntab], c_lo, axis=1))
+            chi = c >= LANE
         else:
-            x = jnp.take_along_axis(tab_ref[j], c, axis=1)
+            c_lo = c
+            chi = None
 
-        d0 = (((x & vp) + vp) ^ vp) | x | vn
-        hp = vn | ~(d0 | vp)
-        hn = d0 & vp
+        x = []
+        for k in range(bw):
+            t0 = jnp.broadcast_to(tab_ref[(j * ntab) * bw + k],
+                                  (sub, LANE))
+            g0 = jnp.take_along_axis(t0, c_lo, axis=1)
+            if ntab == 2:
+                t1 = jnp.broadcast_to(tab_ref[(j * ntab + 1) * bw + k],
+                                      (sub, LANE))
+                g0 = jnp.where(chi,
+                               jnp.take_along_axis(t1, c_lo, axis=1), g0)
+            x.append(g0)
 
-        probe = probe_ref[j]                           # SMEM scalar
-        diag_delta = 1 - ((d0 >> 31) & 1).astype(jnp.int32)
-        hor_delta = ((hp & probe) != 0).astype(jnp.int32) \
-            - ((hn & probe) != 0).astype(jnp.int32)
-        delta = jnp.where(probe != 0, hor_delta, diag_delta)
+        d0, hp, hn = [], [], []
+        carry = zeros_t
+        for k in range(bw):
+            a = x[k] & vp[k]
+            s, carry = add_with_carry(a, vp[k], carry)
+            d0k = (s ^ vp[k]) | x[k] | vn[k]
+            d0.append(d0k)
+            hp.append(vn[k] | ~(d0k | vp[k]))
+            hn.append(d0k & vp[k])
+
+        diag_delta = 1 - ((d0[bw - 1] >> 31) & 1).astype(jnp.int32)
+        hor_delta = jnp.zeros((sub, LANE), jnp.int32)
+        pany = probe_ref[j, 0]
+        for k in range(bw):
+            pk = probe_ref[j, k]                       # SMEM scalar
+            if k:
+                pany = pany | pk
+            hor_delta = hor_delta \
+                + ((hp[k] & pk) != 0).astype(jnp.int32) \
+                - ((hn[k] & pk) != 0).astype(jnp.int32)
+        delta = jnp.where(pany != 0, hor_delta, diag_delta)
         dist = jnp.where(j < lb, dist + delta, dist)
 
-        nvp = hn | ~((d0 >> 1) | hp)
-        vn = (d0 >> 1) & hp
-        return dist, nvp, vn
+        nvp, nvn = [], []
+        for k in range(bw):
+            hi = (d0[k + 1] << 31) if k + 1 < bw else zeros_t
+            d0s = (d0[k] >> 1) | hi
+            nvp.append(hn[k] | ~(d0s | hp[k]))
+            nvn.append(d0s & hp[k])
+        return dist, nvp, nvn
 
     if unroll_all:
         state = (dist0, vp0, vn0)
@@ -283,10 +350,12 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
         dist, _, _ = state
     else:
         def body(jj, state):
+            dist, vp, vn = state
             row = cand_ref[jj]
             for u in range(4):
-                state = one_step(jj * 4 + u, row, u, state)
-            return state
+                dist, vp, vn = one_step(jj * 4 + u, row, u,
+                                        (dist, vp, vn))
+            return dist, vp, vn
 
         trips = (jnp.max(lb) + 3) // 4
         dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
@@ -298,19 +367,20 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("LB", "ntab", "sub", "interpret"))
-def _run_fast(scal, probe, tabs, cand3, lb2, *, LB, ntab, sub=SUB,
-              interpret=False):
+                   static_argnames=("LB", "ntab", "sub", "bw", "flat",
+                                    "interpret"))
+def _run_fast(scal, probe, tabs, cand3, lb2, *, LB, ntab, bw=1, sub=SUB,
+              flat=True, interpret=False):
     nblocks = cand3.shape[1] // sub
     kern = functools.partial(_fast_kernel, LB=LB, ntab=ntab, sub=sub,
-                             unroll_all=not interpret)
+                             bw=bw, unroll_all=flat and not interpret)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((LB * ntab, sub, LANE), lambda i: (0, 0, 0),
+            pl.BlockSpec((LB * ntab * bw, 1, LANE), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -324,39 +394,66 @@ def _run_fast(scal, probe, tabs, cand3, lb2, *, LB, ntab, sub=SUB,
     )(scal, probe, tabs, cand3, lb2)
 
 
-MAX_CUTOFF = 15   # band 2*cutoff+1 <= 32 (one u32 word)
-FAST_MAX_LB = 256   # pre-funneled table VMEM budget: LB*ntab*sub*LANE u32
+MAX_CUTOFF = 15        # dynamic kernel: band 2*cutoff+1 <= 32 (one word)
+MAX_CUTOFF_FAST = 47   # static kernel: up to a 3-word band
+FLAT_MAX_STEPS = 512   # flat-unroll budget in LB * bw (compile-time bound)
+FAST_MAX_LB = 1024     # fori-form cap: candidate-block VMEM (LB/4,sub,LANE)
+
+
+def stage_banded(query: np.ndarray, mode: str, LB: int, cutoff: int):
+    """Pre-upload the static band kernel's per-step tables + probes for
+    repeated scans of one query (mirrors ``lev_kernel.stage_query``)."""
+    import jax
+
+    q = np.asarray(query)
+    bw = band_words(cutoff)
+    stabs = jax.device_put(jnp.asarray(build_shifted_tables(q, mode, LB,
+                                                            bw)))
+    probe = jax.device_put(jnp.asarray(probe_table(int(q.size), LB, bw)))
+    return stabs, probe
 
 
 def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
-                       mode: str = "byte", sub: int = SUB,
+                       mode: str = "byte", sub: int = SUB, staged=None,
                        interpret: bool = False) -> jnp.ndarray:
     """Banded one-vs-many Levenshtein -> [B/128, 128] i32.
 
     Results are exact when ``<= cutoff``; candidates above the cutoff
     yield ``>= BIG`` (the caller's cutoff mask hides them).  Requires
-    ``0 <= cutoff <= MAX_CUTOFF`` and ``cutoff < len(query)`` — the
+    ``0 <= cutoff <= MAX_CUTOFF_FAST`` and ``cutoff < len(query)`` — the
     reference likewise only routes band-smaller-than-pattern cases here
     (``levenshtein.rs:1164-1172``); callers fall back to the full kernel
-    otherwise.
+    otherwise.  Cutoffs above ``MAX_CUTOFF`` need the static multi-word
+    variant (query longer than the pinned band, bucket within
+    ``FAST_MAX_LB``) — a ``ValueError`` tells the caller to fall back.
     """
     q = np.asarray(query)
     la = int(q.size)
-    if not 0 <= cutoff <= MAX_CUTOFF:
-        raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF}]")
+    if not 0 <= cutoff <= MAX_CUTOFF_FAST:
+        raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF_FAST}]")
     if cutoff >= la:
         raise ValueError("banded kernel requires cutoff < len(query)")
     LB = int(cand3.shape[0]) * 4
     W = max(1, -(-la // 32))
     ntab = 2 if mode == "byte" else 1
     scal = jnp.array([la, cutoff], jnp.int32)
-    if la > MAX_CUTOFF and LB <= FAST_MAX_LB:
-        # static variant: band semiwidth pinned at MAX_CUTOFF (needs
+    bw = band_words(cutoff)
+    if la > 16 * bw - 1 and LB <= FAST_MAX_LB:
+        # static variant: band semiwidth pinned at 16*bw - 1 (needs
         # band < la), true cutoff applied in the final mask
-        stabs = jnp.asarray(build_shifted_tables(q, mode, LB, sub))
-        probe = jnp.asarray(probe_table(la, LB))
+        if staged is not None:
+            stabs, probe = staged
+        else:
+            stabs = jnp.asarray(build_shifted_tables(q, mode, LB, bw))
+            probe = jnp.asarray(probe_table(la, LB, bw))
         return _run_fast(scal, probe, stabs, cand3, lb2, LB=LB,
-                         ntab=ntab, sub=sub, interpret=interpret)
+                         ntab=ntab, bw=bw, sub=sub,
+                         flat=LB * bw <= FLAT_MAX_STEPS,
+                         interpret=interpret)
+    if cutoff > MAX_CUTOFF:
+        raise ValueError(
+            f"cutoff {cutoff} > {MAX_CUTOFF} needs the static band kernel "
+            f"(query > {16 * bw - 1} chars, bucket <= {FAST_MAX_LB})")
     tabs = jnp.asarray(build_pm_tables(q, mode, sub))
     return _run(scal, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab, sub=sub,
                 interpret=interpret)

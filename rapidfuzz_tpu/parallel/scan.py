@@ -433,17 +433,34 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
-                # short buckets ride the table-driven band kernel
-                # (pre-funneled shifts, ~0.57x a full W=2 step); beyond its
-                # unroll cap the dynamic variant's per-step scalar shifts
-                # cost ~2x a full Myers word, so it only wins once the
-                # full kernel carries >= ~6 words (queries > 160 chars)
+                # cutoff-banded routing: the static table-driven kernel
+                # costs ~0.57x a full W=2 step per band word (flat form)
+                # or ~1.2x (fori form for longer buckets), while the full
+                # kernel's step cost grows with the query's word count W
+                # — so the band pays once W clears the band's op cost.
+                # Beyond the static kernel's bucket cap the dynamic
+                # variant's per-step scalar shifts cost ~2 Myers words,
+                # worthwhile only for W >= ~6 (queries > 160 chars).
                 LBp = int(cand3.shape[0]) * 4
-                band_ok = (q.size > 160
-                           or (LBp <= _bk.FAST_MAX_LB
-                               and q.size > _bk.MAX_CUTOFF))
-                if (eff_cut is not None and 0 <= eff_cut <= _bk.MAX_CUTOFF
-                        and eff_cut < q.size and band_ok):
+                band_ok = False
+                if (eff_cut is not None
+                        and 0 <= eff_cut <= _bk.MAX_CUTOFF_FAST
+                        and eff_cut < q.size):
+                    bw = _bk.band_words(int(eff_cut))
+                    Wq = max(1, -(-int(q.size) // 32))
+                    if q.size > 16 * bw - 1 and LBp <= _bk.FAST_MAX_LB:
+                        # measured v5e crossovers (experiments/
+                        # band_bw_speed.py): flat band per 64 steps costs
+                        # ~7.0/9.9/14.3 ms/8M at bw=1/2/3 vs the full
+                        # kernel's ~8.1/11.4/20 at W=2/4/8
+                        if LBp * bw <= _bk.FLAT_MAX_STEPS:
+                            band_ok = Wq >= 2 * bw
+                        else:
+                            band_ok = Wq >= 2 * bw + 1
+                    else:
+                        band_ok = (q.size > 160
+                                   and eff_cut <= _bk.MAX_CUTOFF)
+                if band_ok:
                     # banded fast path: exact when <= cutoff, masked after
                     out = _bk.lev_banded_1v_many(qk.astype(np.int32),
                                                  cand3, self.lb2,

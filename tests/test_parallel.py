@@ -172,7 +172,11 @@ def test_banded_fast_static_kernel():
                                    (40, 8, "local", 64),
                                    (64, 15, "byte", 64),
                                    (48, 11, "byte", 48),
-                                   (12, 5, "byte", 64)]:  # la<16 -> dyn
+                                   (12, 5, "byte", 64),   # la<16 -> dyn
+                                   (64, 31, "byte", 96),  # 2-word band
+                                   (40, 16, "local", 64),
+                                   (80, 47, "byte", 128),  # 3-word band
+                                   (64, 33, "byte", 256)]:  # fori form
         # local mode indexes 128-entry tables by char value: only valid
         # for query-local ids < 128 (the scanner remaps first)
         lo, hi = (0, 128) if mode == "local" else (90, 256)
