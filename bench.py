@@ -91,12 +91,18 @@ def main():
     extras = dict(headline.get("extra", {}))
     for phase in EXTRAS:
         remaining = deadline - time.time() - 10.0
-        if remaining < 90.0:
+        # damerau's cold compile runs ~5 min through the tunnel; killing
+        # the child mid-compile leaves the remote compile server grinding
+        # and wedges every later dispatch (observed: the NEXT bench run's
+        # lev phases all timed out for 13 min) — so give it a window that
+        # covers the compile or skip it outright
+        need = 420.0 if phase == "damerau" else 90.0
+        if remaining < need:
             extras[f"{phase}_skipped"] = "budget exhausted"
             continue
         t0 = time.time()
         try:
-            r = _run_phase(phase, min(240.0, remaining))
+            r = _run_phase(phase, min(max(240.0, need), remaining))
             extras[f"{phase}_pairs_per_s"] = r["pairs_per_s"]
             print(f"[bench] {phase} ok in {time.time()-t0:.0f}s",
                   file=sys.stderr)
@@ -213,6 +219,26 @@ def _measure(phase: str):
     from rapidfuzz_tpu.ops.pallas import tpu_backend
 
     interpret = not tpu_backend()
+    LEN = 64
+    if phase == "damerau":
+        # O(N*M) kernel with its own (small) corpus layout — skip the
+        # multi-GB shared-corpus build entirely
+        import numpy as np
+        from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+        query = np.random.default_rng(42).integers(97, 123, LEN,
+                                                   dtype=np.int32)
+        Bd = 1 << 16 if not interpret else 1 << 10
+        rngd = np.random.default_rng(7)
+        chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
+        bt, lt, seg = dk.prepare_corpus_cols(chars,
+                                             np.full(Bd, LEN, np.int32))
+        btd = jax.block_until_ready(jax.device_put(jnp.asarray(bt)))
+        ltd = jax.device_put(jnp.asarray(lt))
+        fn = lambda: dk.damerau_1v_many(query, btd, ltd, seg=seg,
+                                        interpret=interpret)
+        pairs_per_s, _ = _rate(fn, Bd, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
     # the nq phase emits an [NQ, B/128, 128] i32 result — cap its corpus
     # so output + corpus stay well inside HBM at NQ=16
     default_b = 16777216 if phase == "nq" else 67108864
@@ -286,22 +312,6 @@ def _measure(phase: str):
         fn = lambda: bk._run_fast(scal, probe, stabs, cand3, lb2, LB=LEN,
                                   ntab=ntab, bw=1, interpret=interpret)
         pairs_per_s, _ = _rate(fn, B, interpret)
-        print(json.dumps({"pairs_per_s": pairs_per_s}))
-        return
-
-    if phase == "damerau":
-        # O(N*M) Zhao-Sahni kernel: much smaller batch, own corpus layout
-        from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
-        Bd = 1 << 16 if not interpret else 1 << 10
-        rngd = np.random.default_rng(7)
-        chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
-        bt, lt, seg = dk.prepare_corpus_cols(chars,
-                                             np.full(Bd, LEN, np.int32))
-        btd = jax.block_until_ready(jax.device_put(jnp.asarray(bt)))
-        ltd = jax.device_put(jnp.asarray(lt))
-        fn = lambda: dk.damerau_1v_many(query, btd, ltd, seg=seg,
-                                        interpret=interpret)
-        pairs_per_s, _ = _rate(fn, Bd, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return
 
