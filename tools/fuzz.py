@@ -1,0 +1,193 @@
+"""Differential fuzzer: device batch paths vs the scalar/oracle path.
+
+The reference ships six cargo-fuzz/libFuzzer targets that throw
+arbitrary UTF-8 at one-shot + BatchComparator and rely on the library's
+internal assertions (``/root/reference/fuzz/fuzz_targets/*.rs``).  This
+is the TPU framework's analogue as a standalone tool: mutation-based
+generation from a seed corpus, every metric checked FOUR ways per input
+(scalar(a,b), scalar(b,a), batch one-vs-many, cutoff-masked batch)
+against the C++ oracle, failures shrunk to minimal reproducers.
+
+Run:  python tools/fuzz.py [--seconds 60] [--seed 0] [--metric lev ...]
+CI runs a short budget (see .github/workflows/ci.yml); longer local runs
+explore further.  Exit code 1 on any divergence, printing a paste-able
+reproducer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+def _pick_platform():
+    # default CPU: querying a wedged axon tunnel blocks indefinitely, and
+    # the differential properties are platform-independent.  Opt into the
+    # device with FUZZ_PLATFORM=axon,cpu.
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ.get("FUZZ_PLATFORM", "cpu"))
+
+
+SEEDS = [
+    "", "a", "ab", "ba", "abc", "kitten", "sitting", "aaaa", "aaab",
+    "CA", "ABC", "Иванко", "Петрунко", "不丁丙", "001", "220",
+    "this is a test", "a" * 33, "ab" * 40, "￿\U0010ffff",
+]
+
+ALPHABETS = [
+    list("ab"), list("abcdefgh"),
+    [chr(c) for c in range(0x400, 0x420)],          # Cyrillic
+    [chr(c) for c in (0x4e0d, 0x4e01, 0x4e19, 0x61, 0x20)],  # CJK + ascii
+    [chr(c) for c in (0x1F600, 0x1F601, 0x61)],     # astral plane
+]
+
+
+def mutate(rng: random.Random, s: str) -> str:
+    ops = rng.randint(1, 4)
+    out = list(s)
+    alpha = rng.choice(ALPHABETS)
+    for _ in range(ops):
+        k = rng.randint(0, 5)
+        if k == 0 and out:
+            del out[rng.randrange(len(out))]
+        elif k == 1:
+            out.insert(rng.randint(0, len(out)), rng.choice(alpha))
+        elif k == 2 and out:
+            out[rng.randrange(len(out))] = rng.choice(alpha)
+        elif k == 3 and len(out) >= 2:
+            i = rng.randrange(len(out) - 1)
+            out[i], out[i + 1] = out[i + 1], out[i]
+        elif k == 4:
+            out = out + list(rng.choice(SEEDS))
+        else:
+            i = rng.randint(0, len(out))
+            out = out[:i] + list(reversed(out[i:]))
+    return "".join(out[:300])
+
+
+def check_pair(mod_name: str, s1: str, s2: str) -> str | None:
+    """Return a divergence description or None."""
+    from rapidfuzz_tpu.distance import (damerau_levenshtein, hamming,
+                                        indel, jaro, jaro_winkler, lcs_seq,
+                                        levenshtein, osa, postfix, prefix)
+    mods = dict(levenshtein=levenshtein, indel=indel, lcs_seq=lcs_seq,
+                osa=osa, damerau_levenshtein=damerau_levenshtein,
+                jaro=jaro, jaro_winkler=jaro_winkler, prefix=prefix,
+                postfix=postfix, hamming=hamming)
+    mod = mods[mod_name]
+    kw = {"pad": True} if mod_name == "hamming" else {}
+    f64 = mod_name in ("jaro", "jaro_winkler")
+    tol = 1e-9 if f64 else 0
+
+    d12 = mod.distance(s1, s2, **kw)
+    d21 = mod.distance(s2, s1, **kw)
+    if abs(d12 - d21) > tol:
+        return f"symmetry: {d12} vs {d21}"
+    batch = mod.distance_many([s1], [s2], **kw).values[0]
+    if abs(batch - d12) > tol:
+        return f"batch != scalar: {batch} vs {d12}"
+    # cutoff mask agrees with the scalar Option semantics, straddling d12
+    for cut in ({max(0.0, d12 - 1), d12, d12 + 1} if f64
+                else {max(0, int(d12) - 1), int(d12), int(d12) + 1}):
+        got = mod.distance(s1, s2, score_cutoff=cut, **kw)
+        res = mod.distance_many([s1], [s2], score_cutoff=cut, **kw)
+        want = d12 if d12 <= cut + (1e-12 if f64 else 0) else None
+        got_b = res.values[0] if res.valid[0] else None
+        if (got is None) != (want is None) or (got_b is None) != (want is None):
+            return f"cutoff {cut}: scalar {got}, batch {got_b}, want {want}"
+    # normalized similarity in range + consistent
+    ns = mod.normalized_similarity(s1, s2, **kw)
+    if not (0.0 - 1e-12 <= ns <= 1.0 + 1e-12):
+        return f"normalized_similarity out of range: {ns}"
+    # editops replay (alignment metrics only)
+    if mod_name in ("levenshtein", "indel", "lcs_seq") and len(s1) < 200 \
+            and len(s2) < 200:
+        ops = mod.editops(s1, s2)
+        if mod_name == "levenshtein" and len(ops) != d12:
+            return f"editops length {len(ops)} != distance {d12}"
+        if ops.apply(s1, s2) != s2:
+            return "editops.apply mismatch"
+    return None
+
+
+def shrink(mod_name: str, s1: str, s2: str) -> tuple[str, str]:
+    """Greedy chunk-removal shrink keeping the divergence alive."""
+    def still_fails(a, b):
+        try:
+            return check_pair(mod_name, a, b) is not None
+        except Exception:
+            return True
+
+    changed = True
+    while changed:
+        changed = False
+        for which in (0, 1):
+            s = s1 if which == 0 else s2
+            n = len(s)
+            step = max(1, n // 4)
+            while step:
+                i = 0
+                while i < len(s):
+                    cand = s[:i] + s[i + step:]
+                    a, b = (cand, s2) if which == 0 else (s1, cand)
+                    if still_fails(a, b):
+                        s = cand
+                        changed = True
+                    else:
+                        i += step
+                step //= 2
+            if which == 0:
+                s1 = s
+            else:
+                s2 = s
+    return s1, s2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metric", action="append", default=None)
+    args = ap.parse_args()
+
+    _pick_platform()
+    metrics = args.metric or [
+        "levenshtein", "indel", "lcs_seq", "osa", "damerau_levenshtein",
+        "jaro", "jaro_winkler", "prefix", "postfix", "hamming"]
+
+    rng = random.Random(args.seed)
+    corpus = list(SEEDS)
+    deadline = time.time() + args.seconds
+    n = 0
+    while time.time() < deadline:
+        s1 = mutate(rng, rng.choice(corpus))
+        s2 = (mutate(rng, s1) if rng.random() < 0.6
+              else mutate(rng, rng.choice(corpus)))
+        if rng.random() < 0.3:
+            corpus.append(s1)
+            if len(corpus) > 200:
+                corpus.pop(rng.randrange(len(corpus)))
+        m = rng.choice(metrics)
+        try:
+            err = check_pair(m, s1, s2)
+        except Exception as e:  # crashes are findings too
+            err = f"exception: {type(e).__name__}: {e}"
+        n += 1
+        if err:
+            s1m, s2m = shrink(m, s1, s2)
+            print(f"FAIL[{m}] after {n} execs: {err}")
+            print(f"  reproducer: check_pair({m!r}, {s1m!r}, {s2m!r})")
+            sys.exit(1)
+    print(f"ok: {n} execs, {len(corpus)} corpus entries, "
+          f"{len(metrics)} metrics")
+
+
+if __name__ == "__main__":
+    main()
