@@ -127,6 +127,8 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
          interpret=False):
     assert LB % CHUNK == 0, (LB, CHUNK)
     nblocks = cand3.shape[1] // sub
+    assert nblocks * sub == cand3.shape[1] and nblocks > 0, \
+        (cand3.shape, sub)
     nchunks = LB // CHUNK
     kern = functools.partial(_kernel, CH=CHUNK, W=W, ntab=ntab,
                              unroll=unroll, sub=sub, nchunks=nchunks)
@@ -261,6 +263,8 @@ def _lcs_run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
              interpret=False):
     assert LB % CHUNK == 0, (LB, CHUNK)
     nblocks = cand3.shape[1] // sub
+    assert nblocks * sub == cand3.shape[1] and nblocks > 0, \
+        (cand3.shape, sub)
     nchunks = LB // CHUNK
     kern = functools.partial(_lcs_kernel, CH=CHUNK, W=W, ntab=ntab,
                              unroll=unroll, sub=sub, nchunks=nchunks)
@@ -299,4 +303,164 @@ def lcs_stream_1v_many(query: np.ndarray, cand3, lb2, *,
     tabs = (staged[1] if staged is not None
             else jnp.asarray(build_pm_tables(q, mode)))
     return _lcs_run(tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                    unroll=pick_unroll(LB), interpret=interpret)
+
+
+# ------------------------------------------------------------- OSA stream
+
+def _osa_kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref,
+                dist_ref, vp_ref, vn_ref, d0_ref, pm_ref, *, CH: int,
+                W: int, ntab: int, unroll: int, sub: int, nchunks: int):
+    """OSA over streamed text chunks: the :mod:`osa_kernel` recurrence
+    (``osa.rs:156-227``) with the transposition history (previous step's
+    d0 and pm per word) carried in VMEM scratch alongside the Myers
+    state; restores long-candidate OSA on TPU (the reference's
+    multi-word block kernel handles any length)."""
+    j = pl.program_id(1)
+    la = la_ref[0]
+    lb = lb_ref[:, :]
+    last_bit = ((la - 1) & 31).astype(jnp.uint32)
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[:, :] = jnp.broadcast_to(la, (sub, LANE)).astype(jnp.int32)
+        vp_ref[:, :, :] = jnp.full((W, sub, LANE), 0xFFFFFFFF, jnp.uint32)
+        vn_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+        d0_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+        pm_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+
+    base = j * CH
+
+    def one_char(row, u, jg, dist, vp, vn, d0p, pmp):
+        c = unpack_byte(row, u)
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        hp_c = jnp.ones((sub, LANE), jnp.uint32)
+        hn_c = jnp.zeros((sub, LANE), jnp.uint32)
+        nvp, nvn, nd0, npm = list(vp), list(vn), list(d0p), list(pmp)
+        pms = []
+        delta = None
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pmw = jnp.where(chi, t1, t0)
+            else:
+                pmw = t0
+            pms.append(pmw)
+            tr = (~d0p[w] & pmw) << 1
+            if w > 0:
+                tr = tr | ((~d0p[w - 1] & pms[w - 1]) >> 31)
+            tr = tr & pmp[w]
+            x = pmw | hn_c
+            vpw, vnw = vp[w], vn[w]
+            d0 = ((((x & vpw) + vpw) ^ vpw) | x | vnw) | tr
+            hp = vnw | ~(d0 | vpw)
+            hn = d0 & vpw
+            if w == W - 1:
+                delta = (((hp >> last_bit) & 1).astype(jnp.int32)
+                         - ((hn >> last_bit) & 1).astype(jnp.int32))
+            hp_out = hp >> 31
+            hn_out = hn >> 31
+            hp_s = (hp << 1) | hp_c
+            hn_s = (hn << 1) | hn_c
+            nvp[w] = hn_s | ~(d0 | hp_s)
+            nvn[w] = hp_s & d0
+            nd0[w] = d0
+            npm[w] = pmw
+            hp_c, hn_c = hp_out, hn_out
+        dist = jnp.where(jg < lb, dist + delta, dist)
+        return dist, nvp, nvn, nd0, npm
+
+    def body(jj, state):
+        dist, *rest = state
+        vp = list(rest[:W])
+        vn = list(rest[W:2 * W])
+        d0p = list(rest[2 * W:3 * W])
+        pmp = list(rest[3 * W:])
+        row = None
+        for u in range(unroll):
+            if u % 4 == 0:
+                row = cand_ref[jj * (unroll // 4) + u // 4]
+            dist, vp, vn, d0p, pmp = one_char(row, u, base + jj * unroll + u,
+                                              dist, vp, vn, d0p, pmp)
+        return (dist, *vp, *vn, *d0p, *pmp)
+
+    state = (dist_ref[:, :],) \
+        + tuple(vp_ref[w] for w in range(W)) \
+        + tuple(vn_ref[w] for w in range(W)) \
+        + tuple(d0_ref[w] for w in range(W)) \
+        + tuple(pm_ref[w] for w in range(W))
+    rem = jnp.max(lb) - base
+    trips = jnp.clip((rem + (unroll - 1)) // unroll, 0, CH // unroll)
+    state = jax.lax.fori_loop(0, trips, body, state)
+    dist_ref[:, :] = state[0]
+    for w in range(W):
+        vp_ref[w] = state[1 + w]
+        vn_ref[w] = state[1 + W + w]
+        d0_ref[w] = state[1 + 2 * W + w]
+        pm_ref[w] = state[1 + 3 * W + w]
+
+    @pl.when(j == nchunks - 1)
+    def _emit():
+        out_ref[:, :] = dist_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _osa_run(la, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+             interpret=False):
+    assert LB % CHUNK == 0, (LB, CHUNK)
+    nblocks = cand3.shape[1] // sub
+    assert nblocks * sub == cand3.shape[1] and nblocks > 0, \
+        (cand3.shape, sub)
+    nchunks = LB // CHUNK
+    kern = functools.partial(_osa_kernel, CH=CHUNK, W=W, ntab=ntab,
+                             unroll=unroll, sub=sub, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 4, sub, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(la, tabs, cand3, lb2)
+
+
+def osa_stream_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
+                       staged=None, interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many OSA distances for long candidate buckets."""
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        return jnp.broadcast_to(lb2, lb2.shape).astype(jnp.int32)
+    LB = int(cand3.shape[0]) * 4
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    return _osa_run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
                     unroll=pick_unroll(LB), interpret=interpret)

@@ -190,10 +190,12 @@ class CorpusScanner:
         mesh_tpu = tpu_backend() and all(
             getattr(d, "platform", "") not in ("cpu", "gpu", "rocm")
             for d in mesh.devices.flat)
-        # levenshtein/indel/lcs buckets beyond the VMEM cap stream the
+        # levenshtein/indel/lcs/osa buckets beyond the VMEM cap stream the
         # text as a second Pallas grid dimension (stream_kernel; the
-        # reference's long-text block kernel, levenshtein.rs:769-1019)
-        self._stream = (metric in ("levenshtein", "indel", "lcs_seq")
+        # reference's long-text block kernels, levenshtein.rs:769-1019 /
+        # osa.rs:156-227)
+        self._stream = (metric in ("levenshtein", "indel", "lcs_seq",
+                                   "osa")
                         and self._weights is None
                         and chars.shape[1] > 1024
                         and chars.shape[1] % 512 == 0)
@@ -474,6 +476,12 @@ class CorpusScanner:
                     out = out * self._wscale
                 return out.reshape(-1)
             if self.metric == "osa":
+                if self._stream:
+                    from ..ops.pallas import stream_kernel as _sk
+                    out = _sk.osa_stream_1v_many(qk, cand3, self.lb2,
+                                                 mode=mode,
+                                                 interpret=self._interpret)
+                    return out.reshape(-1)
                 from ..ops.pallas import osa_kernel as _ok
                 out = _ok.osa_1v_many(qk, cand3, self.lb2, mode=mode,
                                       interpret=self._interpret)
@@ -598,8 +606,13 @@ class CorpusScanner:
             out = out.reshape(-1)
             return out * self._wscale if self._wscale != 1 else out
         if self.metric == "osa":
+            if self._stream:
+                from ..ops.pallas import stream_kernel as _sk
+                run_fn = _sk._osa_run
+            else:
+                run_fn = _ok._run
             out = self._pallas_sharded(
-                _ok._run, scal, tabs,
+                run_fn, scal, tabs,
                 dict(LB=LB, W=W, ntab=ntab, unroll=unroll,
                      interpret=self._interpret), cand3=cand3)
             return out.reshape(-1)

@@ -272,3 +272,36 @@ def test_nq_multi_query_kernel():
     with pytest.raises(ValueError):
         lk.lev_nq_many([np.zeros(10, np.int32), np.zeros(40, np.int32)],
                        cand3, lb2)
+
+
+def test_osa_stream_kernel_long_candidates():
+    """OSA streaming kernel: transposition history (prev d0/pm) carried in
+    VMEM scratch across text-chunk grid steps (the reference's multi-word
+    OSA block kernel, ``osa.rs:156-227``, handles any length)."""
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+
+    rng = np.random.default_rng(13)
+    Bs, LB, qlen = 4096, 1536, 48        # 3 chunks of 512
+    q = rng.integers(97, 105, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    lens[0] = 0
+    lens[1] = LB
+    chars = rng.integers(97, 105, (Bs, LB)).astype(np.int32)
+    # plant transpositions right at a chunk boundary (chars 511/512) so
+    # the carried d0/pm history is exercised across the seam
+    chars[2, :qlen] = q
+    chars[2, qlen:] = -1
+    lens[2] = qlen
+    chars[3, :] = chars[1, :]
+    chars[3, 511], chars[3, 512] = chars[1, 512], chars[1, 511]
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    mode = lk.pick_mode(q, int(chars.max()))
+    out = np.asarray(sk.osa_stream_1v_many(
+        q, cand3, lb2, mode=mode, interpret=True)).reshape(-1)
+    for i in list(range(0, Bs, 331)) + [0, 1, 2, 3]:
+        exp = oracle.osa(q.astype(np.int64),
+                         chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)

@@ -531,6 +531,16 @@ def test_stream_scanner_routing(monkeypatch):
     for s, g in zip(corpus, d2):
         assert g == indel_mod.distance(q, s), (s[:20], g)
 
+    # OSA rides its streamed kernel (transposition history carried
+    # across chunks) on the same buckets
+    from rapidfuzz_tpu.distance import osa as osa_mod
+    swapped = base[:700] + base[701] + base[700] + base[702:]
+    sc_osa = CorpusScanner(corpus + [swapped], metric="osa", mesh=m1)
+    assert sc_osa._pallas and sc_osa._stream
+    d_osa = sc_osa.distances(q)
+    for s, g in zip(corpus + [swapped], d_osa):
+        assert g == osa_mod.distance(q, s), (s[:20], g)
+
     # and over the 8-device mesh
     mesh8 = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
     sc3 = CorpusScanner(corpus, metric="lcs_seq", mesh=mesh8)
@@ -539,3 +549,8 @@ def test_stream_scanner_routing(monkeypatch):
     d3 = sc3.distances(q)
     for s, g in zip(corpus, d3):
         assert g == lcs_mod.distance(q, s), (s[:20], g)
+    sc4 = CorpusScanner(corpus, metric="osa", mesh=mesh8)
+    assert sc4._pallas and sc4._stream and sc4._ndev == 8
+    d4 = sc4.distances(q)
+    for s, g in zip(corpus, d4):
+        assert g == osa_mod.distance(q, s), (s[:20], g)
