@@ -21,6 +21,15 @@ Endpoints (JSON):
   (rides ``CorpusScanner.scan_many`` — eligible query streams share
   kernel dispatches in groups of 8, the sustained-throughput serving
   path)
+* ``POST /editops`` body ``{"s1": str, "s2"?: str, "index"?: int}``
+                                  -> ``{"distance", "editops", "opcodes"}``
+  (alignment of two strings, or of ``s1`` vs corpus entry ``index``)
+* ``POST /extract`` body ``{"query": str, "scorer"?: str, "limit"?: int,
+                            "score_cutoff"?: num}``
+                                  -> ``{"results": [[string, score, idx]]}``
+  (any registered scorer incl. the fuzz family — WRatio, partial_ratio,
+  token_*; fuzz scorers score pairwise on host, meant for modest corpora
+  or re-ranking)
 
 Run::
 
@@ -96,6 +105,31 @@ class ScanService:
                 "strings": [[self.corpus[i] if i >= 0 else None
                              for i in row] for row in np.asarray(ids)]}
 
+    def editops(self, s1: str, s2=None, index=None):
+        """Alignment between two strings (or query vs a corpus entry)."""
+        if s2 is None:
+            s2 = self.corpus[int(index)]
+        from .distance import levenshtein
+        ops = self._timed(lambda: levenshtein.editops(s1, s2))
+        oc = ops.as_opcodes()
+        return {
+            "distance": len(ops),
+            "editops": [[o.tag, o.src_pos, o.dest_pos] for o in ops],
+            "opcodes": [[o.tag, o.src_start, o.src_end, o.dest_start,
+                         o.dest_end] for o in oc],
+        }
+
+    def extract(self, query: str, scorer: str, limit: int,
+                score_cutoff=None):
+        """process.extract over the corpus with any registered scorer
+        (incl. the fuzz family; those score pairwise on host — meant for
+        modest corpora or re-ranking, not the bulk scan path)."""
+        from .models import process
+        res = self._timed(lambda: process.extract(
+            query, self.corpus, scorer=scorer, limit=limit,
+            score_cutoff=score_cutoff))
+        return {"results": [[s, v, i] for s, v, i in res]}
+
 
 def make_server(service: ScanService, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
@@ -138,6 +172,13 @@ def make_server(service: ScanService, host: str = "127.0.0.1",
                     k = req.get("k")
                     out = service.batch(list(req["queries"]),
                                         k=None if k is None else int(k))
+                elif self.path == "/editops":
+                    out = service.editops(req["s1"], req.get("s2"),
+                                          req.get("index"))
+                elif self.path == "/extract":
+                    out = service.extract(
+                        req["query"], req.get("scorer", "levenshtein"),
+                        int(req.get("limit", 5)), score_cutoff=cutoff)
                 else:
                     return self._reply(404, {"error": "unknown path"})
                 self._reply(200, out)

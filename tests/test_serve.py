@@ -70,5 +70,19 @@ def test_scan_service_http():
         assert out["strings"][1][0] == "grape" and out["values"][1][0] == 0
         st = _get(port, "/stats")
         assert st["queries"] == 7 and st["pairs"] == 7 * len(corpus)
+
+        # alignment endpoint: pair form and corpus-index form
+        out = _post(port, "/editops", {"s1": "kitten", "s2": "sitting"})
+        assert out["distance"] == 3
+        assert out["editops"][0] == ["replace", 0, 0]
+        assert out["opcodes"][-1] == ["insert", 6, 6, 6, 7]
+        out = _post(port, "/editops", {"s1": "apples", "index": 0})
+        assert out["distance"] == lev.distance("apples", corpus[0])
+
+        # extract endpoint with a fuzz-family scorer
+        out = _post(port, "/extract", {"query": "appel", "scorer": "WRatio",
+                                       "limit": 2})
+        assert out["results"][0][0] in ("apple", "apply")
+        assert 0.0 < out["results"][0][1] <= 1.0
     finally:
         server.shutdown()
