@@ -312,3 +312,213 @@ def QRatio(s1, s2, *, processor: Optional[Callable] = None,
     ``QRatio``)."""
     s1, s2 = _processed(s1, s2, processor)
     return ratio(s1, s2, score_cutoff=score_cutoff)
+
+
+# ------------------------------------------------- one-vs-many batch forms
+
+def _aligned_ratio(arrs1, arrs2) -> np.ndarray:
+    """Elementwise indel normalized similarity of two aligned encoded
+    groups (device batch)."""
+    from .ops import lcs as _lcs_ops
+    c1, l1, c2, l2 = _codec.encode_pair_batch(arrs1, arrs2)
+    sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
+    mx = l1.astype(np.int64) + l2.astype(np.int64)
+    dist = mx - 2 * sim.astype(np.int64)
+    return 1.0 - np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+
+
+def ratio_many(s1, choices, *, processor: Optional[Callable] = None,
+               score_cutoff: Optional[float] = None
+               ) -> _dispatch.BatchResult:
+    """One-vs-many ``ratio`` (device batch)."""
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    vals = _aligned_ratio([_codec.encode_one(s1)],
+                          [_codec.encode_one(c) for c in choices])
+    return _dispatch.BatchResult(*_c.mask_similarity(vals, score_cutoff))
+
+
+def partial_ratio_many(s1, choices, *,
+                       processor: Optional[Callable] = None,
+                       score_cutoff: Optional[float] = None
+                       ) -> _dispatch.BatchResult:
+    """One-vs-many ``partial_ratio``: every choice's clipped windows are
+    flattened into shared device batches (one dispatch per ~4M chars)
+    instead of one scan per pair."""
+    from .ops import lcs as _lcs_ops
+
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    uq = _codec.encode_one(s1)
+    m = int(uq.size)
+    ucs = [_codec.encode_one(c) for c in choices]
+    out = np.zeros(len(ucs), np.float64)
+
+    # pairs where the query is the (weakly) shorter side vs where the
+    # choice is strictly shorter (roles swap: query windows vs choice)
+    lefts, rights, owner = [], [], []
+    for ci, uc in enumerate(ucs):
+        n = int(uc.size)
+        if min(m, n) == 0:
+            out[ci] = 1.0 if max(m, n) == 0 else 0.0
+            continue
+        if m <= n:
+            short, long_ = uq, uc
+        else:
+            short, long_ = uc, uq
+        sm, ln = int(short.size), int(long_.size)
+        for i in range(1, ln + sm):
+            lefts.append(short)
+            rights.append(long_[max(0, i - sm):min(ln, i)])
+            owner.append(ci)
+    chunk = max(256, (1 << 22) // max(m, 1))
+    for lo in range(0, len(lefts), chunk):
+        r = _aligned_ratio(lefts[lo:lo + chunk], rights[lo:lo + chunk])
+        for k, v in zip(owner[lo:lo + chunk], r):
+            if v > out[k]:
+                out[k] = v
+    return _dispatch.BatchResult(*_c.mask_similarity(out, score_cutoff))
+
+
+def token_sort_ratio_many(s1, choices, *,
+                          processor: Optional[Callable] = None,
+                          score_cutoff: Optional[float] = None
+                          ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    return ratio_many(_token_sorted(s1),
+                      [_token_sorted(c) for c in choices],
+                      score_cutoff=score_cutoff)
+
+
+def token_set_ratio_many(s1, choices, *,
+                         processor: Optional[Callable] = None,
+                         score_cutoff: Optional[float] = None
+                         ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    inters, j1s, j2s = [], [], []
+    for c in choices:
+        inter, _, _, j1, j2 = _token_set_parts(s1, c)
+        inters.append(inter)
+        j1s.append(j1)
+        j2s.append(j2)
+    e = _codec.encode_one
+    best = _aligned_ratio([e(a) for a in j1s], [e(b) for b in j2s])
+    has = np.array([bool(i) for i in inters])
+    if has.any():
+        r1 = _aligned_ratio([e(i) for i in inters], [e(a) for a in j1s])
+        r2 = _aligned_ratio([e(i) for i in inters], [e(b) for b in j2s])
+        best = np.where(has, np.maximum(best, np.maximum(r1, r2)), best)
+    return _dispatch.BatchResult(*_c.mask_similarity(best, score_cutoff))
+
+
+def token_ratio_many(s1, choices, *,
+                     processor: Optional[Callable] = None,
+                     score_cutoff: Optional[float] = None
+                     ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    a = token_sort_ratio_many(s1, choices).values
+    b = token_set_ratio_many(s1, choices).values
+    return _dispatch.BatchResult(*_c.mask_similarity(np.maximum(a, b),
+                                                     score_cutoff))
+
+
+def partial_token_sort_ratio_many(s1, choices, *,
+                                  processor: Optional[Callable] = None,
+                                  score_cutoff: Optional[float] = None
+                                  ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    return partial_ratio_many(_token_sorted(s1),
+                              [_token_sorted(c) for c in choices],
+                              score_cutoff=score_cutoff)
+
+
+def partial_token_set_ratio_many(s1, choices, *,
+                                 processor: Optional[Callable] = None,
+                                 score_cutoff: Optional[float] = None
+                                 ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    d1s, d2s, has = [], [], []
+    for c in choices:
+        inter, d1, d2, _, _ = _token_set_parts(s1, c)
+        has.append(bool(inter))
+        d1s.append(d1)
+        d2s.append(d2)
+    has = np.array(has)
+    vals = np.ones(len(choices), np.float64)
+    if (~has).any():
+        # the diff strings differ per pair, so no shared window batch;
+        # score those pairs through the scalar path (still the device
+        # LCS kernel per call)
+        for k in np.flatnonzero(~has):
+            vals[k] = partial_ratio(d1s[k], d2s[k])
+    return _dispatch.BatchResult(*_c.mask_similarity(vals, score_cutoff))
+
+
+def partial_token_ratio_many(s1, choices, *,
+                             processor: Optional[Callable] = None,
+                             score_cutoff: Optional[float] = None
+                             ) -> _dispatch.BatchResult:
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    a = partial_token_sort_ratio_many(s1, choices).values
+    b = partial_token_set_ratio_many(s1, choices).values
+    return _dispatch.BatchResult(*_c.mask_similarity(np.maximum(a, b),
+                                                     score_cutoff))
+
+
+def WRatio_many(s1, choices, *, processor: Optional[Callable] = None,
+                score_cutoff: Optional[float] = None
+                ) -> _dispatch.BatchResult:
+    """One-vs-many ``WRatio``: the end ratio and token combinations run
+    as device batches; partial scorers run only for the long-branch
+    subset (``len_ratio >= 1.5``)."""
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    UNBASE_SCALE = 0.95
+    l1 = len(_codec.encode_one(s1))
+    lens = np.array([len(_codec.encode_one(c)) for c in choices],
+                    np.int64)
+    vals = np.zeros(len(choices), np.float64)
+    both = (lens > 0) & (l1 > 0)
+    vals[(lens == 0) & (l1 == 0)] = 1.0
+    if both.any():
+        end_r = ratio_many(s1, choices).values
+        len_ratio = np.maximum(l1, lens) / np.maximum(
+            np.minimum(l1, lens), 1)
+        short = both & (len_ratio < 1.5)
+        if short.any():
+            tr = token_ratio_many(s1, choices).values
+            vals = np.where(short, np.maximum(end_r, tr * UNBASE_SCALE),
+                            vals)
+        long_ = both & ~short
+        if long_.any():
+            idx = np.flatnonzero(long_)
+            subset = [choices[i] for i in idx]
+            pr = partial_ratio_many(s1, subset).values
+            ptr = partial_token_ratio_many(s1, subset).values
+            scale = np.where(len_ratio[idx] < 8.0, 0.9, 0.6)
+            vals[idx] = np.maximum(
+                end_r[idx],
+                np.maximum(pr * scale, ptr * UNBASE_SCALE * scale))
+    return _dispatch.BatchResult(*_c.mask_similarity(vals, score_cutoff))
+
+
+def QRatio_many(s1, choices, *, processor: Optional[Callable] = None,
+                score_cutoff: Optional[float] = None
+                ) -> _dispatch.BatchResult:
+    return ratio_many(s1, choices, processor=processor,
+                      score_cutoff=score_cutoff)

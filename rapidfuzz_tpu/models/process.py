@@ -48,6 +48,14 @@ def _fuzz_scorers():
     }
 
 
+def _fuzz_many(scorer):
+    """One-vs-many batch form of a fuzz scorer (by function or name)."""
+    from .. import fuzz
+    name = scorer if isinstance(scorer, str) else getattr(
+        scorer, "__name__", None)
+    return getattr(fuzz, f"{name}_many", None) if name else None
+
+
 def _resolve(scorer):
     if isinstance(scorer, str):
         mod = _SCORERS.get(scorer)
@@ -67,9 +75,13 @@ def _pairwise_scores(scorer, queries: Sequence, choices: Sequence,
             raise ValueError(
                 f"scorer {getattr(mod, '__name__', mod)!r} only yields "
                 "normalized_similarity")
+        many = _fuzz_many(scorer if isinstance(scorer, str) else mod)
         for qi, q in enumerate(queries):
-            for ci, c in enumerate(choices):
-                out[qi, ci] = mod(q, c)
+            if many is not None:
+                out[qi] = many(q, choices).values
+            else:
+                for ci, c in enumerate(choices):
+                    out[qi, ci] = mod(q, c)
         return out
     many = {
         "normalized_similarity": getattr(mod, "normalized_similarity_many",

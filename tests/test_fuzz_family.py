@@ -149,3 +149,55 @@ def test_long_needle_chunked_windows():
     assert fuzz.partial_ratio(mid, s1) == 1.0
     got = fuzz.partial_ratio(s2, s1)
     assert 0.0 < got <= 1.0
+
+
+def test_many_forms_match_scalar():
+    """Every *_many batch form equals the scalar scorer elementwise."""
+    rng = np.random.default_rng(21)
+    words = ["new", "york", "jets", "giants", "dallas", "cowboys", "a",
+             "яблоко", "test!!!"]
+    choices = []
+    for _ in range(17):
+        n = rng.integers(0, 5)
+        choices.append(" ".join(rng.choice(words, n)))
+    choices += ["", "new york jets", "jets  new\tyork"]
+    queries = ["jets new york", "", "dallas", "яблоко test!!! a",
+               "completely different string altogether"]
+    for scalar, many in [
+            (fuzz.ratio, fuzz.ratio_many),
+            (fuzz.partial_ratio, fuzz.partial_ratio_many),
+            (fuzz.token_sort_ratio, fuzz.token_sort_ratio_many),
+            (fuzz.token_set_ratio, fuzz.token_set_ratio_many),
+            (fuzz.token_ratio, fuzz.token_ratio_many),
+            (fuzz.partial_token_sort_ratio,
+             fuzz.partial_token_sort_ratio_many),
+            (fuzz.partial_token_set_ratio,
+             fuzz.partial_token_set_ratio_many),
+            (fuzz.partial_token_ratio, fuzz.partial_token_ratio_many),
+            (fuzz.WRatio, fuzz.WRatio_many),
+            (fuzz.QRatio, fuzz.QRatio_many)]:
+        for q in queries:
+            got = many(q, choices).values
+            exp = [scalar(q, c) for c in choices]
+            assert np.allclose(got, exp, atol=1e-12), (
+                scalar.__name__, q,
+                [(c, g, e) for c, g, e in zip(choices, got, exp)
+                 if abs(g - e) > 1e-12][:3])
+
+
+def test_many_cutoff_and_processor():
+    res = fuzz.WRatio_many("new york", ["new york", "boston"],
+                           score_cutoff=0.9)
+    assert res.valid.tolist() == [True, False]
+    res = fuzz.token_sort_ratio_many("Fuzzy...Wuzzy", ["wuzzy fuzzy"],
+                                     processor=fuzz.default_process)
+    assert res.values[0] == 1.0
+
+
+def test_process_uses_many_forms():
+    choices = ["new york jets", "new york giants", "dallas cowboys"]
+    res = process.cdist(["jets new york"], choices, scorer="WRatio")
+    exp = [fuzz.WRatio("jets new york", c) for c in choices]
+    assert np.allclose(res.values[0], exp)
+    best = process.extract_one("jets", choices, scorer=fuzz.partial_ratio)
+    assert best[0] == "new york jets" and best[1] == 1.0
