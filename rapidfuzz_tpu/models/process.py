@@ -138,9 +138,16 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
 
 def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
           score_kind: str = "normalized_similarity",
-          score_cutoff: Optional[float] = None):
-    """Many-vs-many score matrix (+ validity mask under a cutoff)."""
+          score_cutoff: Optional[float] = None, processor=None):
+    """Many-vs-many score matrix (+ validity mask under a cutoff).
+
+    ``processor`` (a callable, e.g. ``fuzz.default_process``) is applied
+    to every query and choice before scoring.
+    """
     queries, choices = list(queries), list(choices)
+    if processor is not None:
+        queries = [processor(q) for q in queries]
+        choices = [processor(c) for c in choices]
     if scorer == "ratio":
         scorer = "indel"    # fuzz.ratio == indel normalized_similarity
     if (isinstance(scorer, str) and scorer in _SCANNER_METRICS
@@ -159,11 +166,11 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
 
 def extract(query, choices: Sequence, *, scorer="levenshtein",
             score_kind: str = "normalized_similarity", limit: int = 5,
-            score_cutoff: Optional[float] = None):
+            score_cutoff: Optional[float] = None, processor=None):
     """Best ``limit`` choices as (choice, score, index), best first."""
     choices = list(choices)
     scores = cdist([query], choices, scorer=scorer,
-                   score_kind=score_kind).values[0]
+                   score_kind=score_kind, processor=processor).values[0]
     descending = not score_kind.endswith("distance")
     order = np.argsort(-scores if descending else scores, kind="stable")
     out = []
@@ -181,3 +188,18 @@ def extract(query, choices: Sequence, *, scorer="levenshtein",
 def extract_one(query, choices: Sequence, **kw):
     res = extract(query, choices, limit=1, **kw)
     return res[0] if res else None
+
+
+def extract_iter(query, choices: Sequence, *, scorer="levenshtein",
+                 score_kind: str = "normalized_similarity",
+                 score_cutoff: Optional[float] = None, processor=None):
+    """Yield ``(choice, score, index)`` in CHOICE order (not ranked),
+    skipping cutoff-filtered entries — the ecosystem's lazy variant.
+    Scores are computed in one batch up front (the device path), so this
+    is an ordering/filtering convenience, not a streaming evaluator."""
+    choices = list(choices)
+    res = cdist([query], choices, scorer=scorer, score_kind=score_kind,
+                score_cutoff=score_cutoff, processor=processor)
+    for i, (v, ok) in enumerate(zip(res.values[0], res.valid[0])):
+        if ok:
+            yield (choices[i], float(v), i)

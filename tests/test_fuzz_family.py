@@ -201,3 +201,15 @@ def test_process_uses_many_forms():
     assert np.allclose(res.values[0], exp)
     best = process.extract_one("jets", choices, scorer=fuzz.partial_ratio)
     assert best[0] == "new york jets" and best[1] == 1.0
+
+
+def test_extract_iter_and_processor():
+    choices = ["New York Jets!!", "new york giants", "dallas cowboys"]
+    hits = list(process.extract_iter(
+        "jets NEW york", choices, scorer="token_sort_ratio",
+        score_cutoff=0.9, processor=fuzz.default_process))
+    assert hits == [("New York Jets!!", 1.0, 0)]
+    res = process.cdist(["C++ great"], ["c   great"],
+                        scorer="token_sort_ratio",
+                        processor=fuzz.default_process)
+    assert res.values[0, 0] == 1.0
