@@ -349,15 +349,21 @@ def _fast_kernel(scal_ref, probe_ref, tab_ref, cand_ref, lb_ref, out_ref,
                 state = one_step(jj * 4 + u, row, u, state)
         dist, _, _ = state
     else:
+        # unroll several packed rows per trip: the per-iteration fixed
+        # cost (trip bookkeeping + dynamic leading-dim table loads) is
+        # what makes the fori form ~2x the flat form per step
+        ur = 16 if LB % 16 == 0 else 4
+
         def body(jj, state):
             dist, vp, vn = state
-            row = cand_ref[jj]
-            for u in range(4):
-                dist, vp, vn = one_step(jj * 4 + u, row, u,
-                                        (dist, vp, vn))
+            for r in range(ur // 4):
+                row = cand_ref[jj * (ur // 4) + r]
+                for u in range(4):
+                    dist, vp, vn = one_step(jj * ur + r * 4 + u, row, u,
+                                            (dist, vp, vn))
             return dist, vp, vn
 
-        trips = (jnp.max(lb) + 3) // 4
+        trips = (jnp.max(lb) + (ur - 1)) // ur
         dist, _, _ = jax.lax.fori_loop(0, trips, body, (dist0, vp0, vn0))
 
     dist = jnp.where(lb == 0, la, dist)
