@@ -464,3 +464,282 @@ def osa_stream_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
         jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
     return _osa_run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
                     unroll=pick_unroll(LB), interpret=interpret)
+
+
+# ------------------------------------------------------------ Jaro stream
+
+def _jaro_kernel(la_ref, tab_ref, cand_ref, lb_ref, common_ref,
+                 trans_ref, pref_ref, wm_ref, pf_ref, tf_ref, rem_ref,
+                 tc_ref, *, CH: int, W: int, TW: int, ntab: int, sub: int,
+                 nchunks: int):
+    """Jaro components over streamed text chunks.
+
+    The chunk grid axis is DOUBLED: steps ``[0, nchunks)`` run the greedy
+    flag pass (``jaro.rs:147-190`` semantics, window mask shifted
+    incrementally, claims into ``pf``/``tf`` scratch), steps
+    ``[nchunks, 2*nchunks)`` replay the text against the final claimed
+    set counting transpositions (``jaro.rs:339-368``).  Unlike
+    :mod:`jaro_kernel` (fully unrolled, static flag-word indices), text
+    flags live in a ``(ceil(LB/32), sub, LANE)`` scratch ref indexed
+    dynamically, and the common-prefix test compares against the query
+    chars in SMEM instead of a PM-word probe — so the loop body is a
+    ``fori_loop`` and LB is bounded only by the flag scratch (~LB/32
+    words), not by flat-body compile time.
+    """
+    jg = pl.program_id(1)
+    phase2 = jg >= nchunks
+    la = la_ref[0]
+    lb = lb_ref[:, :]
+    zeros = jnp.zeros((sub, LANE), jnp.uint32)
+
+    longer = jnp.maximum(la, lb)
+    bound = jnp.maximum(longer // 2 - 1, 0)
+    len1 = jnp.minimum(la, lb + bound)
+    len2 = jnp.minimum(lb, la + bound)
+    lenmask = [_mask_below_lane(len1 - 32 * w) for w in range(W)]
+
+    @pl.when(jg == 0)
+    def _init():
+        pref_ref[:, :] = jnp.zeros((sub, LANE), jnp.int32)
+        wm_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+        pf_ref[:, :, :] = jnp.zeros((W, sub, LANE), jnp.uint32)
+        tf_ref[:, :, :] = jnp.zeros((TW, sub, LANE), jnp.uint32)
+
+    @pl.when(jg == nchunks)
+    def _init2():
+        for w in range(W):
+            rem_ref[w] = pf_ref[w]
+        tc_ref[:, :] = jnp.zeros((sub, LANE), jnp.int32)
+
+    base = (jg - jnp.where(phase2, nchunks, 0)) * CH
+
+    def gather_pm(c):
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        pm = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo,
+                                         axis=1)
+                pm.append(jnp.where(chi, t1, t0))
+            else:
+                pm.append(t0)
+        return pm
+
+    def flag_char(row, u, j, pref, wmask, pflag):
+        c = unpack_byte(row, u)
+        pm = gather_pm(c)
+
+        # initial window [0, bound] at j == 0, else slide both ends up
+        init = [(_mask_below_lane(bound + 1 - 32 * w)) for w in range(W)]
+        nw = []
+        c_in = zeros
+        for w in range(W):
+            shifted = (wmask[w] << 1) | c_in
+            c_in = wmask[w] >> 31
+            nw.append(shifted)
+        # while j <= bound the lower end is clamped at pattern position 0
+        keep_low = jnp.where(j <= bound, jnp.uint32(1), jnp.uint32(0))
+        nw[0] = nw[0] | keep_low
+        is0 = j == 0
+        wmask = [jnp.where(is0, iw, sw) & lenmask[w]
+                 for w, (iw, sw) in enumerate(zip(init, nw))]
+
+        # prefix step: compare with the query char directly (SMEM;
+        # la_ref[0] is la, la_ref[1 + k] is query char k, padded -3)
+        qc = la_ref[1 + jnp.minimum(j, jnp.int32(W * 32 - 1))]
+        in_pref = ((pref == j) & (c == qc) & (j < len1) & (j < len2)
+                   & (j < la))
+        pref = pref + in_pref.astype(jnp.int32)
+        jw = j // 32
+        jbit = jnp.uint32(1) << (j % 32).astype(jnp.uint32)
+        npflag = list(pflag)
+        for w in range(W):
+            npflag[w] = npflag[w] | jnp.where(in_pref & (jw == w), jbit,
+                                              jnp.uint32(0))
+
+        avail = [pm[w] & wmask[w] & ~npflag[w] for w in range(W)]
+        act = (pref <= j) & (j < len2)
+        found = None
+        low = []
+        for w in range(W):
+            lw = avail[w] & (jnp.uint32(0) - avail[w])
+            nz = avail[w] != 0
+            if found is None:
+                low.append(lw)
+                found = nz
+            else:
+                low.append(jnp.where(found, jnp.uint32(0), lw))
+                found = found | nz
+        hit = found & act
+        for w in range(W):
+            npflag[w] = npflag[w] | jnp.where(hit, low[w], jnp.uint32(0))
+
+        flagged = hit | in_pref
+        tf_ref[jw] = tf_ref[jw] | jnp.where(flagged, jbit, jnp.uint32(0))
+        return pref, wmask, npflag
+
+    def trans_char(row, u, j, rem, t):
+        actb = (tf_ref[j // 32]
+                & (jnp.uint32(1) << (j % 32).astype(jnp.uint32))) != 0
+        pm = gather_pm(unpack_byte(row, u))
+        found = None
+        low = []
+        for w in range(W):
+            lw = rem[w] & (jnp.uint32(0) - rem[w])
+            nz = rem[w] != 0
+            if found is None:
+                low.append(lw)
+                found = nz
+            else:
+                low.append(jnp.where(found, jnp.uint32(0), lw))
+                found = found | nz
+        match = zeros != 0
+        nrem = list(rem)
+        for w in range(W):
+            match = match | ((pm[w] & low[w]) != 0)
+            nrem[w] = jnp.where(actb, rem[w] & ~low[w], rem[w])
+        t = t + (actb & ~match).astype(jnp.int32)
+        return nrem, t
+
+    def body1(jj, state):
+        pref, *rest = state
+        wmask = list(rest[:W])
+        pflag = list(rest[W:])
+        row = cand_ref[jj]
+        for u in range(4):
+            pref, wmask, pflag = flag_char(row, u, base + jj * 4 + u,
+                                           pref, wmask, pflag)
+        return (pref, *wmask, *pflag)
+
+    def body2(jj, state):
+        t, *rem = state
+        rem = list(rem)
+        row = cand_ref[jj]
+        for u in range(4):
+            rem, t = trans_char(row, u, base + jj * 4 + u, rem, t)
+        return (t, *rem)
+
+    # text truncates at len2 <= (la + lb)/2-ish; beyond it nothing flags
+    rem_steps = jnp.max(jnp.minimum(lb, len2)) - base
+    trips = jnp.clip((rem_steps + 3) // 4, 0, CH // 4)
+
+    @pl.when(~phase2)
+    def _pass1():
+        state = (pref_ref[:, :],) \
+            + tuple(wm_ref[w] for w in range(W)) \
+            + tuple(pf_ref[w] for w in range(W))
+        state = jax.lax.fori_loop(0, trips, body1, state)
+        pref_ref[:, :] = state[0]
+        for w in range(W):
+            wm_ref[w] = state[1 + w]
+            pf_ref[w] = state[1 + W + w]
+
+    @pl.when(phase2)
+    def _pass2():
+        state = (tc_ref[:, :],) + tuple(rem_ref[w] for w in range(W))
+        state = jax.lax.fori_loop(0, trips, body2, state)
+        tc_ref[:, :] = state[0]
+        for w in range(W):
+            rem_ref[w] = state[1 + w]
+
+    @pl.when(jg == 2 * nchunks - 1)
+    def _emit():
+        common = jnp.zeros((sub, LANE), jnp.int32)
+        for w in range(W):
+            common = common + jax.lax.population_count(
+                pf_ref[w]).astype(jnp.int32)
+        common_ref[:, :] = common
+        trans_ref[:, :] = tc_ref[:, :]
+
+
+def _mask_below_lane(n):
+    """Bits 0..n-1 set for per-lane n in [0, 32]; negative n -> 0."""
+    nc = jnp.clip(n, 0, 31).astype(jnp.uint32)
+    m = (np.uint32(1) << nc) - np.uint32(1)
+    m = jnp.where(n >= 32, np.uint32(0xFFFFFFFF), m)
+    return jnp.where(n <= 0, np.uint32(0), m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "sub", "interpret"))
+def _jaro_run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB,
+              interpret=False):
+    """``scal`` is ``[la, q_0..q_{W*32-1}]`` int32 (SMEM) — one array so
+    the signature matches the sharded 4-arg runner convention."""
+    assert LB % CHUNK == 0, (LB, CHUNK)
+    nblocks = cand3.shape[1] // sub
+    assert nblocks * sub == cand3.shape[1] and nblocks > 0, \
+        (cand3.shape, sub)
+    nchunks = LB // CHUNK
+    TW = -(-LB // 32)
+    kern = functools.partial(_jaro_kernel, CH=CHUNK, W=W, TW=TW,
+                             ntab=ntab, sub=sub, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, 2 * nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 4, sub, LANE),
+                         lambda i, j: (j % nchunks, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+            jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),          # pref
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),      # window mask
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),      # pattern flags
+            pltpu.VMEM((TW, SUB, LANE), jnp.uint32),     # text flags
+            pltpu.VMEM((W, SUB, LANE), jnp.uint32),      # pass-2 remaining
+            pltpu.VMEM((SUB, LANE), jnp.int32),          # transpositions
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scal, tabs, cand3, lb2)
+
+
+#: flag-scratch budget: TW * sub * LANE * 4 bytes (~2 MB at LB=4096)
+JARO_STREAM_MAX_LB = 4096
+
+
+def jaro_stream_1v_many(query: np.ndarray, cand3, lb2, *,
+                        mode: str = "byte", staged=None,
+                        interpret: bool = False):
+    """One-vs-many Jaro (common, transpositions) for long candidate
+    buckets (up to ``JARO_STREAM_MAX_LB`` chars)."""
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        z = jnp.zeros(lb2.shape, jnp.int32)
+        return z, z
+    LB = int(cand3.shape[0]) * 4
+    if LB > JARO_STREAM_MAX_LB:
+        raise ValueError(f"jaro stream bucket cap {JARO_STREAM_MAX_LB}")
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    scal = np.full(1 + W * 32, -3, np.int32)  # pad: never matches
+    scal[0] = la
+    scal[1:1 + la] = q.astype(np.int32)
+    tabs = (staged[1] if staged is not None
+            else jnp.asarray(build_pm_tables(q, mode)))
+    return _jaro_run(jnp.asarray(scal), tabs, cand3, lb2,
+                     LB=LB, W=W, ntab=ntab, interpret=interpret)

@@ -193,12 +193,17 @@ class CorpusScanner:
         # levenshtein/indel/lcs/osa buckets beyond the VMEM cap stream the
         # text as a second Pallas grid dimension (stream_kernel; the
         # reference's long-text block kernels, levenshtein.rs:769-1019 /
-        # osa.rs:156-227)
+        # osa.rs:156-227); jaro/jaro_winkler stream too, up to the
+        # text-flag scratch budget
         self._stream = (metric in ("levenshtein", "indel", "lcs_seq",
                                    "osa")
                         and self._weights is None
                         and chars.shape[1] > 1024
                         and chars.shape[1] % 512 == 0)
+        if metric in _F64_METRICS:
+            from ..ops.pallas.stream_kernel import JARO_STREAM_MAX_LB
+            self._stream = (1024 < chars.shape[1] <= JARO_STREAM_MAX_LB
+                            and chars.shape[1] % 512 == 0)
         self._pallas = ((mesh_tpu or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
                         and (chars.shape[1] <= 1024 or self._stream))
@@ -487,11 +492,16 @@ class CorpusScanner:
                                       interpret=self._interpret)
                 return out.reshape(-1)
             if self.metric in _F64_METRICS:
-                from ..ops.pallas import jaro_kernel as _jk
-                common, trans = _jk.jaro_1v_many(qk.astype(np.int32),
-                                                 cand3, self.lb2,
-                                                 mode=mode,
-                                                 interpret=self._interpret)
+                if self._stream:
+                    from ..ops.pallas import stream_kernel as _sk
+                    common, trans = _sk.jaro_stream_1v_many(
+                        qk.astype(np.int32), cand3, self.lb2, mode=mode,
+                        interpret=self._interpret)
+                else:
+                    from ..ops.pallas import jaro_kernel as _jk
+                    common, trans = _jk.jaro_1v_many(
+                        qk.astype(np.int32), cand3, self.lb2, mode=mode,
+                        interpret=self._interpret)
                 return self._jaro_finish(common.reshape(-1),
                                          trans.reshape(-1), q)
             if self._stream:
@@ -617,10 +627,22 @@ class CorpusScanner:
                      interpret=self._interpret), cand3=cand3)
             return out.reshape(-1)
         if self.metric in _F64_METRICS:
-            common, trans = self._pallas_sharded(
-                _jk._run, scal, tabs,
-                dict(LB=LB, W=W, ntab=ntab, interpret=self._interpret),
-                nouts=2, cand3=cand3)
+            if self._stream:
+                from ..ops.pallas import stream_kernel as _sk
+                scal_q = np.full(1 + W * 32, -3, np.int32)
+                scal_q[0] = la
+                scal_q[1:1 + la] = np.asarray(q32, np.int32)
+                common, trans = self._pallas_sharded(
+                    _sk._jaro_run, jnp.asarray(scal_q), tabs,
+                    dict(LB=LB, W=W, ntab=ntab,
+                         interpret=self._interpret),
+                    nouts=2, cand3=cand3)
+            else:
+                common, trans = self._pallas_sharded(
+                    _jk._run, scal, tabs,
+                    dict(LB=LB, W=W, ntab=ntab,
+                         interpret=self._interpret),
+                    nouts=2, cand3=cand3)
             return self._jaro_finish(np.asarray(common).reshape(-1),
                                      np.asarray(trans).reshape(-1),
                                      q_finish)

@@ -305,3 +305,38 @@ def test_osa_stream_kernel_long_candidates():
         exp = oracle.osa(q.astype(np.int64),
                          chars[i, : lens[i]].astype(np.int64))
         assert out[i] == exp, (i, out[i], exp)
+
+
+def test_jaro_stream_kernel_long_candidates():
+    """Streaming Jaro kernel: doubled chunk axis (flag pass, then
+    transposition pass over the final claimed set), window/flag state in
+    VMEM scratch, dynamic text-flag word indexing.  Exact components vs
+    the oracle, including matches straddling chunk seams."""
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+    from rapidfuzz_tpu.distance.jaro import sim_from_components
+
+    rng = np.random.default_rng(17)
+    Bs, LB, qlen = 4096, 1536, 40        # 3 chunks of 512
+    q = rng.integers(97, 103, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    lens[0] = 0
+    lens[1] = LB
+    chars = rng.integers(97, 103, (Bs, LB)).astype(np.int32)
+    chars[2, :qlen] = q                   # prefix case
+    chars[3, :qlen] = q[::-1]             # heavy transpositions
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    mode = lk.pick_mode(q, int(chars.max()))
+    common, trans = sk.jaro_stream_1v_many(q, cand3, lb2, mode=mode,
+                                           interpret=True)
+    common = np.asarray(common).reshape(-1)
+    trans = np.asarray(trans).reshape(-1)
+    for i in list(range(0, Bs, 331)) + [0, 1, 2, 3]:
+        exp = oracle.jaro(q.astype(np.int64),
+                          chars[i, : lens[i]].astype(np.int64))
+        got = float(sim_from_components(
+            np.int64(common[i]), np.int64(trans[i]),
+            np.int64(qlen), np.int64(lens[i])))
+        assert abs(got - exp) < 1e-12, (i, got, exp, common[i], trans[i])

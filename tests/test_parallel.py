@@ -554,3 +554,32 @@ def test_stream_scanner_routing(monkeypatch):
     d4 = sc4.distances(q)
     for s, g in zip(corpus, d4):
         assert g == osa_mod.distance(q, s), (s[:20], g)
+
+
+def test_jaro_stream_scanner_routing(monkeypatch):
+    """jaro/jaro_winkler buckets in (1024, 4096] stream through the Jaro
+    chunk kernel (previously XLA fallback); f64 finish unchanged."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance import jaro as jaro_mod
+    from rapidfuzz_tpu.distance import jaro_winkler as jw_mod
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(23)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 8, 1400))
+    corpus = [base, base[:700] + base[701] + base[700] + base[702:],
+              base[:1100], "short", ""]
+    q = base[:48]
+    for metric, mod in [("jaro", jaro_mod), ("jaro_winkler", jw_mod)]:
+        m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+        sc = CorpusScanner(corpus, metric=metric, mesh=m1)
+        assert sc._pallas and sc._stream and sc._LB == 2048
+        d = sc.distances(q)
+        for s, g in zip(corpus, d):
+            assert abs(g - mod.distance(q, s)) < 1e-12, (metric, s[:20])
+    # sharded form over the 8-device mesh
+    mesh8 = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    sc8 = CorpusScanner(corpus, metric="jaro", mesh=mesh8)
+    assert sc8._stream and sc8._ndev == 8
+    d8 = sc8.distances(q)
+    for s, g in zip(corpus, d8):
+        assert abs(g - jaro_mod.distance(q, s)) < 1e-12, s[:20]
