@@ -151,14 +151,6 @@ class CorpusScanner:
                 self._wscale = ins
             else:
                 self._weights = (ins, dele, sub)
-        arrs = [_codec.encode_one(s) for s in corpus]
-        # corpus fingerprint: checkpoints must refuse to resume against a
-        # different corpus of the same shape (silent result splicing)
-        h = hashlib.sha1()
-        for a in arrs:
-            h.update(a.tobytes())
-            h.update(b";")
-        self._fingerprint = h.hexdigest()
         # corpora whose elements exceed int32 are remapped through a dense
         # vocabulary; queries must then go through the *same* vocabulary
         # (pattern_match_vector.rs:104-154 overflow-hashmap equivalent).
@@ -166,13 +158,31 @@ class CorpusScanner:
         # the out-of-domain query sentinel (cmax+1 clipped to int32.max)
         # would otherwise collide with that real corpus char.
         self._vocab = None
-        if _codec._needs_remap(arrs) or any(
-                a.size and a.max() == np.iinfo(np.int32).max for a in arrs):
-            flat = (np.concatenate(arrs) if arrs else np.empty(0, np.int64))
-            self._vocab = np.unique(flat)
-            arrs = [np.searchsorted(self._vocab, a).astype(np.int32)
-                    for a in arrs]
-        chars, lens = _codec.pad_batch(arrs, bucket)
+        if corpus and all(type(s) is str for s in corpus):
+            # vectorized ingestion: codepoints are always < 0x110000, so
+            # neither the remap nor the int32.max-collision case can occur
+            chars, lens = _codec.encode_batch(corpus, bucket)
+        else:
+            arrs = [_codec.encode_one(s) for s in corpus]
+            if _codec._needs_remap(arrs) or any(
+                    a.size and a.max() == np.iinfo(np.int32).max
+                    for a in arrs):
+                flat = (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+                self._vocab = np.unique(flat)
+                arrs = [np.searchsorted(self._vocab, a).astype(np.int32)
+                        for a in arrs]
+            chars, lens = _codec.pad_batch(arrs, bucket)
+        # corpus fingerprint: checkpoints must refuse to resume against a
+        # different corpus of the same shape (silent result splicing).
+        # chars+lens+vocab uniquely determine the original elements (the
+        # vocab inverts the remap), so hashing the padded form is exact.
+        h = hashlib.sha1()
+        h.update(chars.tobytes())
+        h.update(lens.tobytes())
+        if self._vocab is not None:
+            h.update(self._vocab.tobytes())
+        self._fingerprint = h.hexdigest()
         n = len(lens)
         self.lengths = lens[:n].copy()     # host lengths, corpus order
         ndev = len(mesh.devices.flat)

