@@ -743,3 +743,142 @@ def jaro_stream_1v_many(query: np.ndarray, cand3, lb2, *,
             else jnp.asarray(build_pm_tables(q, mode)))
     return _jaro_run(jnp.asarray(scal), tabs, cand3, lb2,
                      LB=LB, W=W, ntab=ntab, interpret=interpret)
+
+
+# ------------------------------------------------- weighted Lev stream
+
+def _wlev_kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, row_ref,
+                 *, CH: int, LA: int, W: int, ntab: int, sub: int,
+                 nchunks: int):
+    """Weighted Wagner-Fischer over streamed text chunks: the DP row
+    (``LA + 1`` tiles, :mod:`wlev_kernel` layout) carried in VMEM scratch
+    across chunk grid steps — weighted scans on long candidate buckets
+    stay on device."""
+    jg = pl.program_id(1)
+    la = scal_ref[0]
+    ins = scal_ref[1]
+    dele = scal_ref[2]
+    subc = scal_ref[3]
+    lb = lb_ref[:, :]
+    BIG = jnp.int32(1 << 29)
+
+    pidx = [jnp.full((sub, LANE), p, jnp.int32) for p in range(LA + 1)]
+
+    @pl.when(jg == 0)
+    def _init():
+        for p in range(LA + 1):
+            row_ref[p] = jnp.where(pidx[p] <= la, pidx[p] * dele, BIG)
+
+    base = jg * CH
+
+    def body(j, state):
+        row = list(state)
+        prow = cand_ref[j // 4]
+        c = ((prow >> (8 * (j % 4)).astype(jnp.uint32))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        pm = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo,
+                                         axis=1)
+                pm.append(jnp.where(chi, t1, t0))
+            else:
+                pm.append(t0)
+
+        active = (base + j) < lb
+        diag = row[0]
+        row0 = row[0] + jnp.where(active, ins, 0)
+        nrow = [row0]
+        prev = row0
+        for p in range(1, LA + 1):
+            eq = (pm[(p - 1) // 32] >> jnp.uint32((p - 1) % 32)) & 1
+            s = diag + jnp.where(eq != 0, 0, subc)
+            d = jnp.minimum(jnp.minimum(row[p] + ins, prev + dele), s)
+            d = jnp.where(active, d, row[p])
+            diag = row[p]
+            nrow.append(d)
+            prev = d
+        return tuple(nrow)
+
+    row = tuple(row_ref[p] for p in range(LA + 1))
+    rem = jnp.max(lb) - base
+    trips = jnp.clip(rem, 0, CH)
+    row = jax.lax.fori_loop(0, trips, body, row)
+    for p in range(LA + 1):
+        row_ref[p] = row[p]
+
+    @pl.when(jg == nchunks - 1)
+    def _emit():
+        out = jnp.full((sub, LANE), BIG, jnp.int32)
+        for p in range(LA + 1):
+            out = jnp.where(pidx[p] == la, row_ref[p], out)
+        out_ref[:, :] = out
+
+
+#: row-scratch budget (LA+1, sub, LANE) i32 -> ~4 MB at LA=256
+WLEV_STREAM_MAX_LA = 256
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LA", "LB", "W", "ntab", "sub",
+                                    "interpret"))
+def _wlev_run(scal, tabs, cand3, lb2, *, LA, LB, W, ntab, sub=SUB,
+              interpret=False):
+    assert LB % CHUNK == 0, (LB, CHUNK)
+    nblocks = cand3.shape[1] // sub
+    assert nblocks * sub == cand3.shape[1] and nblocks > 0, \
+        (cand3.shape, sub)
+    nchunks = LB // CHUNK
+    kern = functools.partial(_wlev_kernel, CH=CHUNK, LA=LA, W=W,
+                             ntab=ntab, sub=sub, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 4, sub, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LA + 1, SUB, LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scal, tabs, cand3, lb2)
+
+
+def wlev_stream_1v_many(query: np.ndarray, cand3, lb2, *, ins: int,
+                        dele: int, sub_cost: int, mode: str = "byte",
+                        interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many weighted Levenshtein for long candidate buckets
+    (pattern up to ``WLEV_STREAM_MAX_LA`` chars)."""
+    q = np.asarray(query)
+    la = int(q.size)
+    LB = int(cand3.shape[0]) * 4
+    if la * max(dele, sub_cost, 1) + LB * max(ins, sub_cost, 1) >= 2 ** 31:
+        raise ValueError("weight table too large for the int32 device DP")
+    if la == 0:
+        return (jnp.broadcast_to(lb2, lb2.shape)
+                * np.int32(ins)).astype(jnp.int32)
+    W = max(1, -(-la // 32))
+    LA = W * 32
+    if LA > WLEV_STREAM_MAX_LA:
+        raise ValueError(f"wlev stream pattern cap {WLEV_STREAM_MAX_LA}")
+    ntab = 2 if mode == "byte" else 1
+    tabs = build_pm_tables(q, mode)
+    scal = jnp.array([la, ins, dele, sub_cost], jnp.int32)
+    return _wlev_run(scal, jnp.asarray(tabs), cand3, lb2, LA=LA, LB=LB,
+                     W=W, ntab=ntab, interpret=interpret)

@@ -214,6 +214,12 @@ class CorpusScanner:
             from ..ops.pallas.stream_kernel import JARO_STREAM_MAX_LB
             self._stream = (1024 < chars.shape[1] <= JARO_STREAM_MAX_LB
                             and chars.shape[1] % 512 == 0)
+        if metric == "levenshtein" and self._weights is not None:
+            # weighted scans stream the DP row across text chunks
+            # (wlev_stream; over-cap queries fall back to the XLA scan
+            # on the unpacked device corpus at query time)
+            self._stream = (chars.shape[1] > 1024
+                            and chars.shape[1] % 512 == 0)
         self._pallas = ((mesh_tpu or bool(force))
                         and metric in _PALLAS_METRICS + _F64_METRICS
                         and (chars.shape[1] <= 1024 or self._stream))
@@ -432,6 +438,26 @@ class CorpusScanner:
             if self._ndev > 1:
                 return self._dist_pallas_mesh(qk, mode, cand3, q_finish=q)
             if self.metric == "levenshtein":
+                if self._weights is not None:
+                    ins, dele, sub = self._weights
+                    if self._stream:
+                        from ..ops.pallas import stream_kernel as _sk
+                        W = max(1, -(-int(q.size) // 32))
+                        if W * 32 <= _sk.WLEV_STREAM_MAX_LA:
+                            out = _sk.wlev_stream_1v_many(
+                                qk.astype(np.int32), cand3, self.lb2,
+                                ins=ins, dele=dele, sub_cost=sub,
+                                mode=mode, interpret=self._interpret)
+                            return out.reshape(-1)
+                        # pattern beyond the row-scratch cap: XLA scan
+                        # over the unpacked device corpus
+                        return self._wide_xla_fallback(q)
+                    from ..ops.pallas import wlev_kernel as _wk
+                    out = _wk.wlev_1v_many(qk.astype(np.int32), cand3,
+                                           self.lb2, ins=ins, dele=dele,
+                                           sub_cost=sub, mode=mode,
+                                           interpret=self._interpret)
+                    return out.reshape(-1)
                 if self._stream:
                     from ..ops.pallas import stream_kernel as _sk
                     out = _sk.lev_stream_1v_many(qk, cand3, self.lb2,
@@ -439,14 +465,6 @@ class CorpusScanner:
                                                  interpret=self._interpret)
                     out = out.reshape(-1)
                     return out * self._wscale if self._wscale != 1 else out
-                if self._weights is not None:
-                    from ..ops.pallas import wlev_kernel as _wk
-                    ins, dele, sub = self._weights
-                    out = _wk.wlev_1v_many(qk.astype(np.int32), cand3,
-                                           self.lb2, ins=ins, dele=dele,
-                                           sub_cost=sub, mode=mode,
-                                           interpret=self._interpret)
-                    return out.reshape(-1)
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
@@ -558,9 +576,19 @@ class CorpusScanner:
         if chars_bl is None:
             # [LB, B/128, 128] kernel layout -> the [B, LB] the XLA
             # kernels take; built once, only when this rare path runs
-            LB = self._chars_dev.shape[0]
-            chars_bl = jnp.transpose(
-                self._chars_dev.reshape(LB, -1), (1, 0))
+            cd = getattr(self, "_chars_dev", None)
+            if cd is None:
+                # byte-packed pallas corpus: unpack [LB/4, R, 128] u32
+                # to [LB, R, 128] chars (pads are 0 but sit past each
+                # candidate's length, which the XLA kernels mask)
+                c4 = self.cand3
+                parts = [((c4 >> jnp.uint32(8 * u))
+                          & jnp.uint32(0xFF)).astype(jnp.int32)
+                         for u in range(4)]
+                cd = jnp.stack(parts, axis=1).reshape(
+                    self._LB, *c4.shape[1:])
+            LB = cd.shape[0]
+            chars_bl = jnp.transpose(cd.reshape(LB, -1), (1, 0))
             self._wide_chars_bl = chars_bl = jax.device_put(
                 chars_bl, NamedSharding(self.mesh, P("data", None)))
         qc, ql = _codec.pad_batch([q])
@@ -598,6 +626,15 @@ class CorpusScanner:
         if self.metric == "levenshtein" and self._weights is not None:
             ins, dele, sub = self._weights
             scal4 = jnp.array([la, ins, dele, sub], jnp.int32)
+            if self._stream:
+                from ..ops.pallas import stream_kernel as _sk
+                if W * 32 > _sk.WLEV_STREAM_MAX_LA:
+                    return self._wide_xla_fallback(q_finish)
+                out = self._pallas_sharded(
+                    _sk._wlev_run, scal4, tabs,
+                    dict(LA=W * 32, LB=LB, W=W, ntab=ntab,
+                         interpret=self._interpret), cand3=cand3)
+                return out.reshape(-1)
             out = self._pallas_sharded(
                 _wk._run, scal4, tabs,
                 dict(LA=W * 32, LB=LB, W=W, ntab=ntab,

@@ -583,3 +583,37 @@ def test_jaro_stream_scanner_routing(monkeypatch):
     d8 = sc8.distances(q)
     for s, g in zip(corpus, d8):
         assert abs(g - jaro_mod.distance(q, s)) < 1e-12, s[:20]
+
+
+def test_wlev_stream_scanner_routing(monkeypatch):
+    """Weighted Levenshtein buckets > 1024 stream the DP row across text
+    chunks (wlev_stream); queries beyond the row-scratch cap fall back to
+    the XLA scan on the unpacked packed corpus."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(29)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 10, 1200))
+    corpus = [base, base[:600] + "zz" + base[602:], base[:200], "ab", ""]
+    w = WeightTable(2, 3, 5)
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1, weights=w)
+    assert sc._pallas and sc._stream
+    q = base[:40]
+    d = sc.distances(q)
+    for s, g in zip(corpus, d):
+        assert g == lev.distance(q, s, weights=w), (s[:20], g)
+    # over-cap query (> 256 chars) -> XLA fallback, same results
+    q2 = base[:300]
+    d2 = sc.distances(q2)
+    for s, g in zip(corpus, d2):
+        assert g == lev.distance(q2, s, weights=w), (s[:20], g)
+    # sharded form
+    mesh8 = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    sc8 = CorpusScanner(corpus, metric="levenshtein", mesh=mesh8,
+                        weights=w)
+    assert sc8._stream and sc8._ndev == 8
+    d8 = sc8.distances(q)
+    for s, g in zip(corpus, d8):
+        assert g == lev.distance(q, s, weights=w), (s[:20], g)
