@@ -409,7 +409,7 @@ class CorpusScanner:
             sim = np.where(sim > 0.7, boosted, sim)
         return 1.0 - sim     # distance; host f64, exact
 
-    def _distances_dev(self, query, score_cutoff=None):
+    def _distances_dev(self, query, score_cutoff=None, score_hint=None):
         q = self._encode_query(query)
         if self._zero:
             return np.zeros(int(np.prod(self.lb2.shape))
@@ -468,6 +468,13 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 eff_cut = (None if score_cutoff is None or self._wscale != 1
                            else score_cutoff)
+                if (eff_cut is None and score_hint is not None
+                        and self._wscale == 1 and not self._stream
+                        and self._ndev == 1):
+                    out = self._lev_hint_scan(qk, mode, cand3,
+                                              int(score_hint))
+                    if out is not None:
+                        return out
                 # cutoff-banded routing: the static table-driven kernel
                 # costs ~0.57x a full W=2 step per band word (flat form)
                 # or ~1.2x (fori form for longer buckets), while the full
@@ -552,6 +559,48 @@ class CorpusScanner:
             return self._jaro_finish(common, trans, q)
         d = self._fn(qc, ql, self.chars, self.lens)
         return d * self._wscale if self._wscale != 1 else d
+
+    def _lev_hint_scan(self, qk, mode, cand3, hint):
+        """Two-pass hint scan (the reference's score-hint ladder,
+        ``levenshtein.rs:1069-1088``, in device form): pass 1 runs the
+        cheap banded kernel at the hint; candidates the band rejected are
+        compacted into a small dense batch for one full-kernel pass, so a
+        good hint resolves almost the whole corpus at the band rate while
+        every returned distance stays exact.  Returns None when the hint
+        isn't band-eligible (caller falls through to the full kernel)."""
+        from ..ops.pallas import band_kernel as _bk
+        from ..ops.pallas import lev_kernel as _lk
+
+        q = np.asarray(qk)
+        cut = max(1, min(int(hint), _bk.MAX_CUTOFF_FAST))
+        bw = _bk.band_words(cut)
+        LBp = int(cand3.shape[0]) * 4
+        Wq = max(1, -(-int(q.size) // 32))
+        if not (cut < q.size and q.size > 16 * bw - 1
+                and LBp <= _bk.FAST_MAX_LB and Wq >= 2 * bw):
+            return None
+        band = np.array(_bk.lev_banded_1v_many(
+            q.astype(np.int32), cand3, self.lb2, cutoff=cut, mode=mode,
+            interpret=self._interpret)).reshape(-1)
+        idx = np.flatnonzero(band >= _bk.BIG)
+        if idx.size == 0:
+            return band
+        # compact the stragglers: gather their packed columns into a
+        # dense sub-corpus (padded to a whole 4096-candidate tile)
+        n = max(4096, int(-(-idx.size // 4096) * 4096))
+        idx_pad = np.full(n, int(idx[0]), np.int64)
+        idx_pad[: idx.size] = idx
+        ip = jnp.asarray(idx_pad)
+        R = cand3.shape[1] * 128
+        c2d = cand3.reshape(cand3.shape[0], R)
+        sub_c3 = jnp.take(c2d, ip, axis=1).reshape(cand3.shape[0],
+                                                   n // 128, 128)
+        sub_lb = jnp.take(self.lb2.reshape(-1), ip).reshape(n // 128, 128)
+        full = np.asarray(_lk.lev_1v_many(
+            q, sub_c3, sub_lb, mode=mode,
+            interpret=self._interpret)).reshape(-1)
+        band[idx] = full[: idx.size]
+        return band
 
     def _wide_xla_fallback(self, q):
         """XLA-kernel scan for wide-alphabet queries with > 127 distinct
@@ -702,18 +751,22 @@ class CorpusScanner:
             return d * self._wscale if self._wscale != 1 else d
         return jnp.maximum(la, lens) - sim               # lcs_seq
 
-    def distances(self, query, *, score_cutoff=None):
+    def distances(self, query, *, score_cutoff=None, score_hint=None):
         """Distances to every corpus string.
 
         Without ``score_cutoff``: a plain array.  With it: a
         ``(values, valid)`` :class:`BatchResult` — the batch rendering of
         the reference's ``Option`` results (``common.rs:33-46``); on TPU a
-        small integer cutoff runs the banded kernel.
+        small integer cutoff runs the banded kernel.  ``score_hint``
+        (uniform Levenshtein, no cutoff) never changes results but routes
+        a two-pass banded-then-compact scan — the device form of the
+        reference's hint ladder (``levenshtein.rs:1069-1088``).
         """
         from ..ops import dispatch as _dispatch
         from .. import common as _c
 
-        d = np.asarray(self._distances_dev(query, score_cutoff))
+        d = np.asarray(self._distances_dev(query, score_cutoff,
+                                           score_hint))
         if self._order is not None:
             # every device path on the sorted route must return the padded
             # length (== the sort permutation's size) for the unsort to be

@@ -85,10 +85,11 @@ class ScanService:
             "strings": [self.corpus[i] for i in np.asarray(ids)],
         }
 
-    def distances(self, query: str, score_cutoff=None):
+    def distances(self, query: str, score_cutoff=None, score_hint=None):
         res = self._timed(
             lambda: self.scanner.distances(query,
-                                           score_cutoff=score_cutoff))
+                                           score_cutoff=score_cutoff,
+                                           score_hint=score_hint))
         if score_cutoff is None:
             return {"values": np.asarray(res).tolist()}
         return {"values": np.asarray(res.values).tolist(),
@@ -167,7 +168,9 @@ def make_server(service: ScanService, host: str = "127.0.0.1",
                                        score_cutoff=cutoff)
                 elif self.path == "/distances":
                     out = service.distances(req["query"],
-                                            score_cutoff=cutoff)
+                                            score_cutoff=cutoff,
+                                            score_hint=req.get(
+                                                "score_hint"))
                 elif self.path == "/batch":
                     k = req.get("k")
                     out = service.batch(list(req["queries"]),

@@ -617,3 +617,35 @@ def test_wlev_stream_scanner_routing(monkeypatch):
     d8 = sc8.distances(q)
     for s, g in zip(corpus, d8):
         assert g == lev.distance(q, s, weights=w), (s[:20], g)
+
+
+def test_hint_ladder_scan(monkeypatch):
+    """score_hint routes the two-pass banded-then-compact scan and never
+    changes results (hint contract, ``levenshtein.rs:2153-2160``)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(31)
+    q = "".join(chr(97 + c) for c in rng.integers(0, 6, 64))
+    corpus = []
+    for _ in range(600):            # mostly near the query (inside hint)
+        s = list(q)
+        for _ in range(int(rng.integers(0, 5))):
+            s[rng.integers(0, 64)] = chr(97 + rng.integers(0, 6))
+        corpus.append("".join(s))
+    for _ in range(100):            # far beyond any hint (stragglers)
+        corpus.append("".join(chr(110 + c)
+                              for c in rng.integers(0, 6,
+                                                    rng.integers(10, 90))))
+    corpus += ["", q]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1)
+    base = sc.distances(q)
+    for hint in (4, 15, 31, 200, 0):
+        got = sc.distances(q, score_hint=hint)
+        np.testing.assert_array_equal(got, base), hint
+    # hint composes with an explicit cutoff path untouched
+    res = sc.distances(q, score_cutoff=3, score_hint=5)
+    exp = sc.distances(q, score_cutoff=3)
+    np.testing.assert_array_equal(res.values[res.valid],
+                                  exp.values[exp.valid])
