@@ -59,6 +59,23 @@ def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
     budget = float(os.environ.get("BENCH_BUDGET", 900))
     deadline = time.time() + budget
+
+    # pre-flight: the axon relay has been observed to go down for hours
+    # (e.g. after a child was killed mid-remote-compile); a dead tunnel
+    # makes every phase time out, so probe cheaply and wait for recovery
+    # instead of burning the budget on doomed 4-minute attempts
+    while True:
+        try:
+            _run_phase("ping", 90.0)
+            break
+        except (subprocess.TimeoutExpired, RuntimeError) as e:
+            left = deadline - time.time()
+            print(f"[bench] tunnel ping failed ({str(e)[:80]}); "
+                  f"{left:.0f}s budget left", file=sys.stderr)
+            if left < 400.0:
+                raise SystemExit("bench failed: TPU tunnel unreachable "
+                                 "(ping timed out until budget floor)")
+            time.sleep(45.0)
     profile_argv = ()
     if "--profile" in sys.argv:
         profile_argv = ("--profile", sys.argv[sys.argv.index("--profile") + 1])
@@ -214,6 +231,11 @@ def _measure(phase: str):
     jax = _setup_jax()
     import numpy as np
     import jax.numpy as jnp
+
+    if phase == "ping":
+        x = jax.jit(lambda a: a.sum())(jnp.ones((8, 128)))
+        print(json.dumps({"pairs_per_s": 0.0, "ping": float(x)}))
+        return
 
     from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
     from rapidfuzz_tpu.ops.pallas import tpu_backend
