@@ -14,12 +14,17 @@ the reference's u64 words become 2x u32 with explicit carries; see
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 WORD = 32
-FULL = jnp.uint32(0xFFFFFFFF)
-ONE = jnp.uint32(1)
-ZERO = jnp.uint32(0)
+# plain numpy scalars: module-level jnp.uint32(...) would CREATE A DEVICE
+# ARRAY AT IMPORT TIME, initializing the XLA backend before the user can
+# call jax.distributed.initialize (observed: multi-process init rejected
+# after a mere `import rapidfuzz_tpu`)
+FULL = np.uint32(0xFFFFFFFF)
+ONE = np.uint32(1)
+ZERO = np.uint32(0)
 
 
 def eq_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -20,9 +20,10 @@ min-plus prefix scan (log depth), as in the weighted Levenshtein kernel.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-BIG = jnp.int32(1 << 28)
+BIG = np.int32(1 << 28)   # numpy: keep import free of device ops
 
 
 def damerau_distance(a, la, b, lb):

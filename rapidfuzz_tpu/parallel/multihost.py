@@ -122,8 +122,19 @@ def main(argv=None):
     p.add_argument("--length", type=int, default=64)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--metric", default="levenshtein")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' — used for the "
+                        "2-process CPU validation of the multi-host path)")
     args = p.parse_args(argv)
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.coordinator:
+            # cross-process collectives on the CPU backend need an
+            # explicit implementation (gloo ships with jaxlib)
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
     initialize(args.coordinator, args.num_processes, args.process_id)
     stats = global_scan_bench(args.corpus_size, args.length, args.iters,
                               args.metric)

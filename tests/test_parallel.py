@@ -649,3 +649,42 @@ def test_hint_ladder_scan(monkeypatch):
     exp = sc.distances(q, score_cutoff=3)
     np.testing.assert_array_equal(res.values[res.valid],
                                   exp.values[exp.valid])
+
+
+def test_multihost_two_process_cpu():
+    """REAL 2-process jax.distributed run (CPU backend, gloo collectives):
+    each process holds only its corpus shard; the planted exact match
+    lives on process 0 only, so both processes reporting top1 == 0 proves
+    the cross-process top-k merge (BASELINE's 2-host config, validated
+    without TPU hardware)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # strip the axon plugin: its get_backend hook would dial the TPU
+    # tunnel during distributed init
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    port = 19600 + (os.getpid() % 200)
+    args = [sys.executable, "-m", "rapidfuzz_tpu.parallel.multihost",
+            f"--coordinator=127.0.0.1:{port}", "--num-processes=2",
+            "--corpus-size=16384", "--iters=2", "--platform", "cpu"]
+    p1 = subprocess.Popen(args + ["--process-id=1"], env=env,
+                          stdout=subprocess.PIPE, text=True)
+    try:
+        p0 = subprocess.run(args + ["--process-id=0"], env=env,
+                            capture_output=True, text=True, timeout=240)
+        out1, _ = p1.communicate(timeout=240)
+    finally:
+        p1.kill()
+    s0 = json.loads([l for l in p0.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    s1 = json.loads([l for l in out1.splitlines() if l.startswith("{")][-1])
+    for s in (s0, s1):
+        assert s["hosts"] == 2 and s["devices"] == 8
+        assert s["top1"] == 0.0          # planted match, found across DCN
+        assert s["corpus"] == 16384
