@@ -49,11 +49,17 @@ def _fuzz_scorers():
 
 
 def _fuzz_many(scorer):
-    """One-vs-many batch form of a fuzz scorer (by function or name)."""
+    """One-vs-many batch form of a fuzz scorer — only when the scorer IS
+    the fuzz module's own function (a user callable that merely shares a
+    name must keep being called pairwise)."""
     from .. import fuzz
     name = scorer if isinstance(scorer, str) else getattr(
         scorer, "__name__", None)
-    return getattr(fuzz, f"{name}_many", None) if name else None
+    if not name:
+        return None
+    if not isinstance(scorer, str) and getattr(fuzz, name, None) is not scorer:
+        return None
+    return getattr(fuzz, f"{name}_many", None)
 
 
 def _resolve(scorer):
@@ -109,10 +115,11 @@ _SCANNER_METRICS = frozenset({
 
 
 def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
-                    score_kind: str) -> np.ndarray:
+                    score_kind: str, scanner=None) -> np.ndarray:
     from ..parallel.scan import CorpusScanner
 
-    scanner = CorpusScanner(choices, metric=name)
+    if scanner is None:
+        scanner = CorpusScanner(choices, metric=name)
     lens2 = scanner.lengths.astype(np.int64)
     out = np.empty((len(queries), len(choices)), np.float64)
     for qi, q in enumerate(queries):
@@ -138,11 +145,14 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
 
 def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
           score_kind: str = "normalized_similarity",
-          score_cutoff: Optional[float] = None, processor=None):
+          score_cutoff: Optional[float] = None, processor=None,
+          _scanner=None):
     """Many-vs-many score matrix (+ validity mask under a cutoff).
 
     ``processor`` (a callable, e.g. ``fuzz.default_process``) is applied
-    to every query and choice before scoring.
+    to every query and choice before scoring.  ``_scanner`` lets a caller
+    that already holds a device-resident :class:`CorpusScanner` over
+    ``choices`` (the serving layer) reuse it instead of rebuilding one.
     """
     queries, choices = list(queries), list(choices)
     if processor is not None:
@@ -151,8 +161,9 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
     if scorer == "ratio":
         scorer = "indel"    # fuzz.ratio == indel normalized_similarity
     if (isinstance(scorer, str) and scorer in _SCANNER_METRICS
-            and len(choices) >= 2):
-        scores = _scanner_scores(scorer, queries, choices, score_kind)
+            and (len(choices) >= 2 or _scanner is not None)):
+        scores = _scanner_scores(scorer, queries, choices, score_kind,
+                                 scanner=_scanner)
     else:
         scores = _pairwise_scores(scorer, queries, choices, score_kind)
     if score_cutoff is None:
@@ -166,11 +177,13 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
 
 def extract(query, choices: Sequence, *, scorer="levenshtein",
             score_kind: str = "normalized_similarity", limit: int = 5,
-            score_cutoff: Optional[float] = None, processor=None):
+            score_cutoff: Optional[float] = None, processor=None,
+            _scanner=None):
     """Best ``limit`` choices as (choice, score, index), best first."""
     choices = list(choices)
     scores = cdist([query], choices, scorer=scorer,
-                   score_kind=score_kind, processor=processor).values[0]
+                   score_kind=score_kind, processor=processor,
+                   _scanner=_scanner).values[0]
     descending = not score_kind.endswith("distance")
     order = np.argsort(-scores if descending else scores, kind="stable")
     out = []

@@ -28,8 +28,11 @@ Endpoints (JSON):
                             "score_cutoff"?: num}``
                                   -> ``{"results": [[string, score, idx]]}``
   (any registered scorer incl. the fuzz family — WRatio, partial_ratio,
-  token_*; fuzz scorers score pairwise on host, meant for modest corpora
-  or re-ranking)
+  token_*.  Scores are normalized SIMILARITIES in [0, 1], so its
+  ``score_cutoff`` is a similarity floor — unlike /topk and /distances,
+  whose cutoff bounds the metric's distance.  The service's own metric
+  reuses the device-resident scanner; other metric scorers build one per
+  scorer on first use)
 
 Run::
 
@@ -64,6 +67,7 @@ class ScanService:
                                      bucket=bucket, **scanner_kw)
         self.metric = metric
         self._lock = threading.Lock()
+        self._extra_scanners: dict = {}
         self.stats = {"queries": 0, "pairs": 0, "device_seconds": 0.0}
 
     def _timed(self, fn, nq: int = 1):
@@ -122,13 +126,28 @@ class ScanService:
 
     def extract(self, query: str, scorer: str, limit: int,
                 score_cutoff=None):
-        """process.extract over the corpus with any registered scorer
-        (incl. the fuzz family; those score pairwise on host — meant for
-        modest corpora or re-ranking, not the bulk scan path)."""
+        """process.extract over the corpus with any registered scorer.
+
+        Scores are ``normalized_similarity`` in [0, 1] (best first) — a
+        ``score_cutoff`` here is a similarity floor, NOT the distance
+        bound that /topk and /distances use.  When the requested scorer
+        is this service's own metric, the device-resident scanner is
+        reused; the fuzz family batches through the device kernels; any
+        other callable scores pairwise (modest corpora / re-ranking).
+        """
         from .models import process
+        from .models.process import _SCANNER_METRICS
+        scanner = None
+        if scorer == self.metric:
+            scanner = self.scanner
+        elif scorer in _SCANNER_METRICS:
+            scanner = self._extra_scanners.get(scorer)
+            if scanner is None:
+                scanner = CorpusScanner(self.corpus, metric=scorer)
+                self._extra_scanners[scorer] = scanner
         res = self._timed(lambda: process.extract(
             query, self.corpus, scorer=scorer, limit=limit,
-            score_cutoff=score_cutoff))
+            score_cutoff=score_cutoff, _scanner=scanner))
         return {"results": [[s, v, i] for s, v, i in res]}
 
 

@@ -131,14 +131,39 @@ def remap_to_vocab(arrs: Sequence[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
+def _scatter_pad(flat: np.ndarray, lens: np.ndarray,
+                 bucket: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """Scatter concatenated elements into a PAD-filled ``[B, L]`` matrix.
+
+    ``flat`` holds every element back-to-back, ``lens`` the per-row
+    counts; one fancy-index write replaces the per-row Python loop that
+    dominated large-corpus ingestion.  Shared by :func:`pad_batch` and
+    :func:`encode_batch`'s str fast path — the two ingestion routes must
+    stay byte-identical (CorpusScanner fingerprints the output).
+    """
+    lens = lens.astype(np.int32)
+    B = len(lens)
+    maxlen = int(lens.max()) if B else 0
+    L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
+    if maxlen > L:
+        raise ValueError(f"bucket {L} too small for max length {maxlen}")
+    out = np.full((B, L), PAD, np.int32)
+    if maxlen:
+        l64 = lens.astype(np.int64)
+        rows = np.repeat(np.arange(B, dtype=np.int64), l64)
+        ends = np.cumsum(l64)
+        cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            ends - l64, l64)
+        out[rows, cols] = flat.astype(np.int32)
+    return out, lens
+
+
 def pad_batch(arrs: Sequence[np.ndarray], bucket: int | None = None
               ) -> tuple[np.ndarray, np.ndarray]:
     """Pad a group of int arrays into ``(chars[B, L], lens[B])`` int32.
 
     Elements outside int32 (or negative) are remapped through a shared
-    vocabulary first, preserving equality within the batch.  Fully
-    vectorized (one concatenate + one fancy-index scatter): the previous
-    per-row Python loop dominated large-corpus ingestion.
+    vocabulary first, preserving equality within the batch.
     """
     arrs = [np.asarray(a, np.int64) for a in arrs]
     if _needs_remap(arrs):
@@ -147,20 +172,9 @@ def pad_batch(arrs: Sequence[np.ndarray], bucket: int | None = None
         arrs32 = [a.astype(np.int32) for a in arrs]
     lens = np.fromiter((a.size for a in arrs32), np.int32,
                        count=len(arrs32))
-    maxlen = int(lens.max()) if len(lens) else 0
-    L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
-    if maxlen > L:
-        raise ValueError(f"bucket {L} too small for max length {maxlen}")
-    B = len(arrs32)
-    out = np.full((B, L), PAD, np.int32)
-    if maxlen:
-        flat = np.concatenate(arrs32) if B else np.empty(0, np.int32)
-        rows = np.repeat(np.arange(B, dtype=np.int64), lens)
-        ends = np.cumsum(lens.astype(np.int64))
-        cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
-            ends - lens, lens)
-        out[rows, cols] = flat
-    return out, lens
+    flat = (np.concatenate(arrs32) if arrs32
+            else np.empty(0, np.int32))
+    return _scatter_pad(flat, lens, bucket)
 
 
 def encode_batch(seqs: Iterable, bucket: int | None = None
@@ -173,26 +187,13 @@ def encode_batch(seqs: Iterable, bucket: int | None = None
     """
     seqs = seqs if isinstance(seqs, list) else list(seqs)
     if seqs and all(type(s) is str for s in seqs):
-        lens = np.fromiter((len(s) for s in seqs), np.int64,
+        lens = np.fromiter((len(s) for s in seqs), np.int32,
                            count=len(seqs))
         joined = "".join(seqs)
         # codepoints are < 0x110000, always inside int32: no remap path
         flat = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-                .astype(np.int64) if joined else np.empty(0, np.int64))
-        B = len(seqs)
-        maxlen = int(lens.max()) if B else 0
-        L = bucket if bucket is not None else bucket_len(max(maxlen, 1))
-        if maxlen > L:
-            raise ValueError(f"bucket {L} too small for max length "
-                             f"{maxlen}")
-        out = np.full((B, L), PAD, np.int32)
-        if maxlen:
-            rows = np.repeat(np.arange(B, dtype=np.int64), lens)
-            ends = np.cumsum(lens)
-            cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
-                ends - lens, lens)
-            out[rows, cols] = flat.astype(np.int32)
-        return out, lens.astype(np.int32)
+                .astype(np.int32) if joined else np.empty(0, np.int32))
+        return _scatter_pad(flat, lens, bucket)
     arrs = [encode_one(s) for s in seqs]
     return pad_batch(arrs, bucket)
 

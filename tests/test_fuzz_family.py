@@ -213,3 +213,12 @@ def test_extract_iter_and_processor():
                         scorer="token_sort_ratio",
                         processor=fuzz.default_process)
     assert res.values[0, 0] == 1.0
+
+
+def test_user_callable_shadowing_fuzz_name():
+    """A user scorer that merely shares a fuzz function's name must NOT
+    be hijacked by the batch *_many shortcut (review regression)."""
+    def partial_ratio(s1, s2):          # noqa: shadows fuzz.partial_ratio
+        return 0.5
+    res = process.cdist(["a"], ["a", "b"], scorer=partial_ratio)
+    assert res.values.tolist() == [[0.5, 0.5]]
