@@ -602,6 +602,35 @@ class CorpusScanner:
         band[idx] = full[: idx.size]
         return band
 
+    def _band_auto_cut(self, query):
+        """Cheapest band cutoff the routing would actually accelerate for
+        this query, or None (mirrors the banded conditions in
+        ``_distances_dev``)."""
+        if not (self._pallas and self._ndev == 1 and not self._stream
+                and self.metric == "levenshtein"
+                and self._weights is None and self._wscale == 1
+                and not self._dam_pallas):
+            return None
+        from ..ops.pallas import band_kernel as _bk
+        qsize = int(_codec.encode_one(query).size)
+        if self._wide and qsize > 127:
+            # query may exceed the 128-entry local-remap vocab and drop
+            # to the XLA fallback, where a band pre-pass buys nothing
+            return None
+        LBp = self._LB
+        Wq = max(1, -(-qsize // 32))
+        for cut in (_bk.MAX_CUTOFF, 31, _bk.MAX_CUTOFF_FAST):
+            bw = _bk.band_words(cut)
+            if not (cut < qsize and qsize > 16 * bw - 1
+                    and LBp <= _bk.FAST_MAX_LB):
+                continue
+            if LBp * bw <= _bk.FLAT_MAX_STEPS:
+                if Wq >= 2 * bw:
+                    return cut
+            elif Wq >= 2 * bw + 1:
+                return cut
+        return None
+
     def _wide_xla_fallback(self, q):
         """XLA-kernel scan for wide-alphabet queries with > 127 distinct
         symbols (the query-local remap needs a 128-entry table); runs on
@@ -949,10 +978,21 @@ class CorpusScanner:
             k = min(k, int(valid.sum()))
             if k == 0:
                 return np.empty(0, vals.dtype), np.empty(0, np.int32)
-            ids = np.argpartition(d, k - 1)[:k] if k < d.size \
-                else np.arange(d.size)
-            ids = ids[np.lexsort((ids, d[ids]))]
+            ids = self._topk_host(d, np.arange(d.size), k)
             return vals[ids], ids.astype(np.int32)
+        # auto-band: top-k only needs the NEAREST candidates, so try the
+        # ~1.8x banded kernel first; if >= k candidates land under the
+        # band, nothing outside it can displace them (exact), otherwise
+        # fall through to the full scan
+        cut = self._band_auto_cut(query)
+        if cut is not None:
+            res = self.distances(query, score_cutoff=cut)
+            nv = int(res.valid.sum())
+            if nv >= min(k, self.n):
+                d = np.where(res.valid, res.values.astype(np.float64),
+                             np.inf)
+                ids = self._topk_host(d, np.arange(d.size), min(k, nv))
+                return res.values[ids], ids.astype(np.int32)
         dist = self._distances_dev(query)
         if self._order is not None:
             # sorted space: mask padding rows, host top-k, map ids back

@@ -688,3 +688,40 @@ def test_multihost_two_process_cpu():
         assert s["hosts"] == 2 and s["devices"] == 8
         assert s["top1"] == 0.0          # planted match, found across DCN
         assert s["corpus"] == 16384
+
+
+def test_topk_auto_band(monkeypatch):
+    """Without a cutoff, topk first tries the banded kernel; results must
+    equal the full-scan top-k both when the band suffices (near matches)
+    and when it falls through (all candidates far away)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(33)
+    q = "".join(chr(97 + c) for c in rng.integers(0, 6, 64))
+    near = []
+    for _ in range(40):
+        s = list(q)
+        for _ in range(int(rng.integers(0, 6))):
+            s[rng.integers(0, 64)] = chr(97 + rng.integers(0, 6))
+        near.append("".join(s))
+    far = ["".join(chr(110 + c) for c in rng.integers(0, 6, 64))
+           for _ in range(30)]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+
+    sc = CorpusScanner(near + far, metric="levenshtein", mesh=m1)
+    assert sc._band_auto_cut(q) == 15
+    vals, ids = sc.topk(q, k=5)           # band pass suffices
+    d_all = sc.distances(q)
+    exp_ids = sc._topk_host(np.asarray(d_all, np.float64),
+                            np.arange(len(near) + len(far)), 5)
+    np.testing.assert_array_equal(ids, exp_ids)
+    np.testing.assert_array_equal(vals, np.asarray(d_all)[ids])
+
+    sc2 = CorpusScanner(far, metric="levenshtein", mesh=m1)
+    vals2, ids2 = sc2.topk(q, k=5)        # fallback: nothing under band
+    d2 = sc2.distances(q)
+    exp2 = sc2._topk_host(np.asarray(d2, np.float64),
+                          np.arange(len(far)), 5)
+    np.testing.assert_array_equal(ids2, exp2)
+    np.testing.assert_array_equal(vals2, np.asarray(d2)[ids2])
