@@ -220,3 +220,193 @@ def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
     summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
     # segments with an empty candidate never hit jcol == lb: dist = la
     return jnp.where(jnp.asarray(lens) == 0, la, summed)
+
+
+# ------------------------------------------------- long candidates (>128)
+
+def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
+                 k_ref, fr_ref, *, sub: int, nb: int):
+    """Zhao-Sahni rows over NB 128-lane column blocks per candidate.
+
+    Same per-block math as :func:`_kernel` (seg == LANE), with the four
+    row structures stored per block in VMEM scratch and the three
+    loop-carried quantities chained across blocks left-to-right each row:
+    the last-match packed scan value, the min-plus running prefix, and
+    the last (two) lanes of D_{i-1}/D_{i-2} feeding the cross-block
+    shifts.  Extends the lane-column kernel to candidates up to
+    ``nb * 128`` chars; O(N * M) like the reference
+    (``damerau_levenshtein.rs:111-168``).
+    """
+    la = la_ref[0]
+    local = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    # columns need 10 bits here (jcol up to nb*128 <= 512), so the packed
+    # (value << 10 | col) scan uses a smaller infinity that still fits
+    # int32 after the shift; values are clamped to it before packing
+    PBIG = jnp.int32(1 << 20)
+    SENT = jnp.int32((1 << 20) << 10)
+    shifts = [1, 2, 4, 8, 16, 32, 64]
+    lb = lb_ref[:, :]                        # per-candidate length, bcast
+
+    def shift1(x, fill):
+        r = pltpu.roll(x, 1, 1)
+        return jnp.where(local >= 1, r, fill)
+
+    def last_lane(x):
+        return jnp.sum(jnp.where(local == LANE - 1, x, 0), axis=1,
+                       keepdims=True)
+
+    def lane_at(x, pos):
+        return jnp.sum(jnp.where(local == pos, x, 0), axis=1,
+                       keepdims=True)
+
+    for b in range(nb):
+        d1_ref[b] = jax.lax.broadcasted_iota(
+            jnp.int32, (sub, LANE), 1) + b * LANE + 1   # D[0][j] = j
+        d2_ref[b] = jnp.full((sub, LANE), BIG, jnp.int32)
+        k_ref[b] = jnp.zeros((sub, LANE), jnp.int32)
+        fr_ref[b] = jnp.full((sub, LANE), BIG, jnp.int32)
+
+    def row(i, carry):
+        ai = q_ref[i - 1]
+        d2fill = jnp.where(i >= 2, i - 2, BIG)
+        c_d2 = jnp.full((sub, 1), 0, jnp.int32) + d2fill   # D_{i-2}[.]
+        c_d1a = jnp.full((sub, 1), i - 1, jnp.int32)       # dim1 last
+        c_d1b = jnp.full((sub, 1), BIG, jnp.int32)         # dim1 last-1
+        c_e = jnp.full((sub, 1), SENT, jnp.int32)
+        c_min = jnp.full((sub, 1), BIG, jnp.int32)
+        for b in range(nb):
+            jcol = local + (b * LANE + 1)
+            dim1 = d1_ref[b]
+            dim2 = d2_ref[b]
+            K = k_ref[b]
+            FR = fr_ref[b]
+            b_tile = b_ref[:, b * LANE:(b + 1) * LANE]
+            eq_i = b_tile == ai
+
+            dim2_up = shift1(dim2, c_d2)
+            d2p = jnp.minimum(dim2_up, PBIG)
+            e = jnp.where(eq_i, (d2p << 10) | jcol, SENT)
+            for sh in shifts:
+                r = pltpu.roll(e, sh, 1)
+                r = jnp.where(local >= sh, r, SENT)
+                e = jnp.where((e & 1023) > 0, e, r)
+            e = jnp.where((e & 1023) > 0, e, c_e)          # prior blocks
+            es = shift1(e, c_e)            # last match strictly < jcol
+            L = es & 1023
+            t = jnp.where(L >= 1, es >> 10, BIG)
+
+            diag = shift1(dim1, c_d1a)     # D_{i-1}[jcol-1]
+            cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
+            cand = jnp.minimum(diag + cost, dim1 + 1)
+            case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
+            case2 = jnp.where((i - K == 1) & (jcol - L != 1),
+                              t + (jcol - L), BIG)
+            tr = jnp.minimum(case1, case2)
+            cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
+            cand = jnp.minimum(cand, i + jcol)   # boundary D[i][0] = i
+
+            y = cand - jcol
+            for sh in shifts:
+                r = pltpu.roll(y, sh, 1)
+                r = jnp.where(local >= sh, r, BIG)
+                y = jnp.minimum(y, r)
+            y = jnp.minimum(y, c_min)
+            new = y + jcol
+
+            # D_{i-1}[jcol-2]: two-lane cross-block shift
+            r2 = pltpu.roll(dim1, 2, 1)
+            dim1_m2 = jnp.where(
+                local >= 2, r2,
+                jnp.where(local == 1, c_d1a, c_d1b))
+
+            # cross-block carries for the NEXT block (original dim1/dim2)
+            n_d1a = last_lane(dim1)
+            n_d1b = lane_at(dim1, LANE - 2)
+            c_d2 = last_lane(dim2)
+            c_e = last_lane(e)
+            c_min = jnp.min(y, axis=1, keepdims=True)
+            c_d1a, c_d1b = n_d1a, n_d1b
+
+            fr_ref[b] = jnp.where(eq_i, dim1_m2, FR)
+            k_ref[b] = jnp.maximum(K, jnp.where(eq_i, i, 0))
+            d2_ref[b] = dim1
+            d1_ref[b] = new
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+    acc = jnp.zeros((sub, LANE), jnp.int32)
+    for b in range(nb):
+        jcol = local + (b * LANE + 1)
+        acc = acc + jnp.where(jcol == lb, d1_ref[b], 0)
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "nb", "interpret"))
+def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
+    nblocks = b_tiles.shape[0] // sub
+    kern = functools.partial(_kernel_long, sub=sub, nb=nb)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, nb * LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_tiles.shape[0], LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nb, sub, LANE), jnp.int32)
+                        for _ in range(4)],
+        interpret=interpret,
+    )(q, la, b_tiles, lb_tiles)
+
+
+MAX_TEXT_LONG = 512    # NB * sub scratch budget (~4 MB at sub=512, NB=4)
+
+
+def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
+                        sub: int | None = None):
+    """[B, 128<LB<=512] i32 corpus -> full-lane-row tiles for the long
+    Damerau kernel.  Candidate ``c`` occupies row ``c``; char ``j``
+    (1-based) at flat lane ``j - 1``; padding holds -2.  ``B`` must be a
+    multiple of ``sub``.  Returns ``(b_tiles [B, NB*128],
+    lb_tiles [B, 128], nb, sub)``."""
+    B, LB = chars.shape
+    if LB > MAX_TEXT_LONG:
+        raise ValueError(f"candidates longer than {MAX_TEXT_LONG} need "
+                         "the XLA Damerau path")
+    nb = max(1, -(-LB // LANE))
+    if sub is None:
+        sub = pick_sub(B)
+        while sub * nb > 2048 and sub > 8:
+            sub //= 2
+    b = np.full((B, nb * LANE), -2, np.int32)
+    b[:, :LB] = np.where(chars < 0, -2, chars)
+    lbt = np.broadcast_to(lens.astype(np.int32).reshape(B, 1),
+                          (B, LANE)).copy()
+    return b, lbt, nb, sub
+
+
+def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
+                         sub: int, interpret: bool = False) -> jnp.ndarray:
+    """One-vs-many unrestricted Damerau for 128 < candidates <= 512
+    chars -> int32[B]."""
+    q = np.asarray(query, np.int64)
+    la = int(q.size)
+    lens = np.asarray(lb_tiles)[:, 0]
+    if la == 0:
+        return jnp.asarray(lens.astype(np.int32))
+    if q.max(initial=0) > np.iinfo(np.int32).max or q.min(initial=0) < -1:
+        q = np.where((q < 0) | (q > np.iinfo(np.int32).max), -3, q)
+    LQ = -(-la // 32) * 32
+    qpad = np.full(LQ, -3, np.int32)
+    qpad[:la] = q.astype(np.int32)
+    out = _run_long(jnp.asarray(qpad), jnp.array([la], jnp.int32),
+                    jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+                    sub=sub, nb=nb, interpret=interpret)
+    summed = jnp.sum(out, axis=1)
+    return jnp.where(jnp.asarray(lens) == 0, la, summed)

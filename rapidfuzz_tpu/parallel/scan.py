@@ -230,17 +230,22 @@ class CorpusScanner:
         self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
-        # per tile
+        # per tile; 128 < LB <= 512 uses the multi-block long form with
+        # cross-block scan carries
         self._dam_pallas = ((mesh_tpu or bool(force)) and ndev == 1
                             and metric == "damerau_levenshtein"
-                            and chars.shape[1] <= 128)
+                            and chars.shape[1] <= 512)
+        self._dam_long = self._dam_pallas and chars.shape[1] > 128
         self._ndev = ndev
         self._smap_cache = {}
         if self._pallas:
             align = 4096 * ndev
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dkm
-            align = 32 * (128 // _dkm.pick_seg(chars.shape[1]))
+            if self._dam_long:
+                align = 8     # long form tiles divide any multiple of 8
+            else:
+                align = 32 * (128 // _dkm.pick_seg(chars.shape[1]))
         else:
             align = ndev
         padded = -(-max(n, 1) // align) * align
@@ -319,7 +324,12 @@ class CorpusScanner:
                 self._chars4 = chars[:, :4].copy()
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
-            bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars, lens)
+            if self._dam_long:
+                bt, lt, self._dam_nb, self._dam_sub = \
+                    _dk.prepare_corpus_long(chars, lens)
+            else:
+                bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars,
+                                                                lens)
             self._dam_b = jax.block_until_ready(jnp.asarray(bt))
             self._dam_lb = jnp.asarray(lt)
             self.lens = jax.device_put(lens, shard1)
@@ -415,6 +425,12 @@ class CorpusScanner:
             return np.zeros(int(np.prod(self.lb2.shape))
                             if self._pallas else self.lens.shape[0],
                             np.int64)
+        if self._dam_pallas and self._dam_long:
+            from ..ops.pallas import damerau_kernel as _dk
+            return _dk.damerau_long_1v_many(q, self._dam_b, self._dam_lb,
+                                            nb=self._dam_nb,
+                                            sub=self._dam_sub,
+                                            interpret=self._interpret)
         if self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
             return _dk.damerau_1v_many(q, self._dam_b, self._dam_lb,

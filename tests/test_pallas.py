@@ -340,3 +340,31 @@ def test_jaro_stream_kernel_long_candidates():
             np.int64(common[i]), np.int64(trans[i]),
             np.int64(qlen), np.int64(lens[i])))
         assert abs(got - exp) < 1e-12, (i, got, exp, common[i], trans[i])
+
+
+def test_damerau_long_kernel():
+    """Long-candidate Damerau kernel (128 < LB <= 512): per-block scans
+    with cross-block carries — exact vs the oracle, including
+    transpositions straddling the 128-lane block seams."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(41)
+    Bs, LB, qlen = 256, 300, 48
+    q = rng.integers(97, 103, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    lens[:3] = [0, LB, qlen]
+    chars = rng.integers(97, 103, (Bs, LB)).astype(np.int32)
+    chars[2, :qlen] = q
+    # transposition exactly across the 128-lane seam
+    chars[3, :] = chars[1, :LB]
+    chars[3, 127], chars[3, 128] = chars[1, 128], chars[1, 127]
+    lens[3] = LB
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    bt, lt, nb, sub = dk.prepare_corpus_long(chars, lens, sub=8)
+    out = np.asarray(dk.damerau_long_1v_many(q, bt, lt, nb=nb, sub=sub,
+                                             interpret=True))
+    for i in list(range(0, Bs, 29)) + [0, 1, 2, 3]:
+        exp = oracle.damerau(
+            q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)

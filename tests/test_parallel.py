@@ -725,3 +725,26 @@ def test_topk_auto_band(monkeypatch):
                           np.arange(len(far)), 5)
     np.testing.assert_array_equal(ids2, exp2)
     np.testing.assert_array_equal(vals2, np.asarray(d2)[ids2])
+
+
+def test_damerau_long_scanner(monkeypatch):
+    """Damerau corpora of 128 < LB <= 512 chars ride the multi-block
+    lane-column kernel (previously the XLA path)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu.distance import damerau_levenshtein as dl
+
+    rng = np.random.default_rng(43)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 6, 300))
+    swapped = base[:150] + base[151] + base[150] + base[152:]
+    corpus = [base, swapped, base[:40], "", base[:299] + "z"]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein", mesh=m1)
+    assert sc._dam_pallas and sc._dam_long
+    q = base[:64]
+    d = sc.distances(q)
+    for s, g in zip(corpus, d):
+        assert g == dl.distance(q, s), (s[:20], g)
+    vals, ids = sc.topk(q, k=2)
+    assert corpus[ids[0]] == base[:64] or vals[0] == dl.distance(
+        q, corpus[ids[0]])
