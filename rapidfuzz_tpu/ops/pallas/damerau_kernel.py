@@ -191,32 +191,61 @@ def prepare_corpus_cols(chars: np.ndarray, lens: np.ndarray,
     return b.reshape(R, LANE), lbt.reshape(R, LANE).copy(), seg
 
 
-def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
-                    interpret: bool = False) -> jnp.ndarray:
-    """One-vs-many unrestricted Damerau distances -> int32[B].
-
-    ``b_tiles``/``lb_tiles``/``seg`` from :func:`prepare_corpus_cols`;
-    the query may be any length (row loop runs exactly ``len(query)``
-    steps).
-    """
+def _encode_query_rows(query: np.ndarray):
+    """(qpad int32, la) — row-loop query prep shared by both forms."""
     q = np.asarray(query, np.int64)
     la = int(q.size)
-    nsegs = LANE // seg
-    lens = np.asarray(lb_tiles)[:, ::seg].reshape(-1)
-    if la == 0:
-        return jnp.asarray(lens.astype(np.int32))
-    if q.max(initial=0) > np.iinfo(np.int32).max or q.min(initial=0) < -1:
+    if q.size and (q.max() > np.iinfo(np.int32).max or q.min() < -1):
         # out-of-domain query chars can never match (host sentinel)
         q = np.where((q < 0) | (q > np.iinfo(np.int32).max), -3, q)
     # pad the query to a 32-multiple so compilations are keyed per bucket;
     # the row loop stops at the true length
-    LQ = -(-la // 32) * 32
+    LQ = -(-max(la, 1) // 32) * 32
     qpad = np.full(LQ, -3, np.int32)
     qpad[:la] = q.astype(np.int32)
-    out = _run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-               jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
-               sub=pick_sub(int(b_tiles.shape[0])), seg=seg,
-               interpret=interpret)
+    return qpad, la
+
+
+def _sharded(run_fn, mesh, statics: dict):
+    """shard_map a damerau ``_run`` over the candidate-row axis."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def local(qq, la, b, lb):
+        return run_fn(qq, la, b, lb, **statics)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P("data", None), P("data", None)),
+        out_specs=P("data", None), check_vma=False))
+
+
+def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
+                    interpret: bool = False, mesh=None) -> jnp.ndarray:
+    """One-vs-many unrestricted Damerau distances -> int32[B].
+
+    ``b_tiles``/``lb_tiles``/``seg`` from :func:`prepare_corpus_cols`;
+    the query may be any length (row loop runs exactly ``len(query)``
+    steps).  With a multi-device ``mesh``, the kernel runs per corpus
+    shard via ``shard_map`` (rows pre-sharded ``P("data", None)``).
+    """
+    nsegs = LANE // seg
+    lens = np.asarray(lb_tiles)[:, ::seg].reshape(-1)
+    qpad, la = _encode_query_rows(query)
+    if la == 0:
+        return jnp.asarray(lens.astype(np.int32))
+    ndev = len(mesh.devices.flat) if mesh is not None else 1
+    rows = int(b_tiles.shape[0])
+    if ndev > 1:
+        f = _sharded(_run, mesh,
+                     dict(sub=pick_sub(rows // ndev), seg=seg,
+                          interpret=interpret))
+        out = f(jnp.asarray(qpad), jnp.array([la], jnp.int32), b_tiles,
+                lb_tiles)
+    else:
+        out = _run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
+                   jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+                   sub=pick_sub(rows), seg=seg, interpret=interpret)
     summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
     # segments with an empty candidate never hit jcol == lb: dist = la
     return jnp.where(jnp.asarray(lens) == 0, la, summed)
@@ -392,21 +421,28 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
 
 
 def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
-                         sub: int, interpret: bool = False) -> jnp.ndarray:
+                         sub: int, interpret: bool = False,
+                         mesh=None) -> jnp.ndarray:
     """One-vs-many unrestricted Damerau for 128 < candidates <= 512
-    chars -> int32[B]."""
-    q = np.asarray(query, np.int64)
-    la = int(q.size)
+    chars -> int32[B].  With a multi-device ``mesh``, per-shard via
+    ``shard_map`` (``sub`` must divide the per-shard row count)."""
     lens = np.asarray(lb_tiles)[:, 0]
+    qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.asarray(lens.astype(np.int32))
-    if q.max(initial=0) > np.iinfo(np.int32).max or q.min(initial=0) < -1:
-        q = np.where((q < 0) | (q > np.iinfo(np.int32).max), -3, q)
-    LQ = -(-la // 32) * 32
-    qpad = np.full(LQ, -3, np.int32)
-    qpad[:la] = q.astype(np.int32)
-    out = _run_long(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-                    jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
-                    sub=sub, nb=nb, interpret=interpret)
+    ndev = len(mesh.devices.flat) if mesh is not None else 1
+    if ndev > 1:
+        rows = int(b_tiles.shape[0]) // ndev
+        s_loc = sub
+        while s_loc > 8 and rows % s_loc:
+            s_loc //= 2
+        f = _sharded(_run_long, mesh,
+                     dict(sub=s_loc, nb=nb, interpret=interpret))
+        out = f(jnp.asarray(qpad), jnp.array([la], jnp.int32), b_tiles,
+                lb_tiles)
+    else:
+        out = _run_long(jnp.asarray(qpad), jnp.array([la], jnp.int32),
+                        jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+                        sub=sub, nb=nb, interpret=interpret)
     summed = jnp.sum(out, axis=1)
     return jnp.where(jnp.asarray(lens) == 0, la, summed)

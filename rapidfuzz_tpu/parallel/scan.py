@@ -232,7 +232,7 @@ class CorpusScanner:
         # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
         # per tile; 128 < LB <= 512 uses the multi-block long form with
         # cross-block scan carries
-        self._dam_pallas = ((mesh_tpu or bool(force)) and ndev == 1
+        self._dam_pallas = ((mesh_tpu or bool(force))
                             and metric == "damerau_levenshtein"
                             and chars.shape[1] <= 512)
         self._dam_long = self._dam_pallas and chars.shape[1] > 128
@@ -243,9 +243,9 @@ class CorpusScanner:
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dkm
             if self._dam_long:
-                align = 8     # long form tiles divide any multiple of 8
+                align = 8 * ndev   # long tiles divide any multiple of 8
             else:
-                align = 32 * (128 // _dkm.pick_seg(chars.shape[1]))
+                align = 32 * (128 // _dkm.pick_seg(chars.shape[1])) * ndev
         else:
             align = ndev
         padded = -(-max(n, 1) // align) * align
@@ -330,8 +330,10 @@ class CorpusScanner:
             else:
                 bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars,
                                                                 lens)
-            self._dam_b = jax.block_until_ready(jnp.asarray(bt))
-            self._dam_lb = jnp.asarray(lt)
+            dam_shard = NamedSharding(mesh, P("data", None))
+            self._dam_b = jax.block_until_ready(
+                jax.device_put(jnp.asarray(bt), dam_shard))
+            self._dam_lb = jax.device_put(jnp.asarray(lt), dam_shard)
             self.lens = jax.device_put(lens, shard1)
         elif metric in _F64_METRICS:
             self.chars = jax.device_put(chars, shard)
@@ -427,15 +429,16 @@ class CorpusScanner:
                             np.int64)
         if self._dam_pallas and self._dam_long:
             from ..ops.pallas import damerau_kernel as _dk
-            return _dk.damerau_long_1v_many(q, self._dam_b, self._dam_lb,
-                                            nb=self._dam_nb,
-                                            sub=self._dam_sub,
-                                            interpret=self._interpret)
+            return _dk.damerau_long_1v_many(
+                q, self._dam_b, self._dam_lb, nb=self._dam_nb,
+                sub=self._dam_sub, interpret=self._interpret,
+                mesh=self.mesh if self._ndev > 1 else None)
         if self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
-            return _dk.damerau_1v_many(q, self._dam_b, self._dam_lb,
-                                       seg=self._dam_seg,
-                                       interpret=self._interpret)
+            return _dk.damerau_1v_many(
+                q, self._dam_b, self._dam_lb, seg=self._dam_seg,
+                interpret=self._interpret,
+                mesh=self.mesh if self._ndev > 1 else None)
         if self._pallas:
             from ..ops.pallas import lev_kernel as _lk
             from ..ops.pallas import lcs_kernel as _ck

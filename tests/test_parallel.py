@@ -748,3 +748,29 @@ def test_damerau_long_scanner(monkeypatch):
     vals, ids = sc.topk(q, k=2)
     assert corpus[ids[0]] == base[:64] or vals[0] == dl.distance(
         q, corpus[ids[0]])
+
+
+def test_damerau_sharded_mesh(mesh, monkeypatch):
+    """Damerau rides the lane-column kernels on multi-device meshes
+    (short and long forms, rows sharded over the data axis)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.distance import damerau_levenshtein as dl
+
+    rng = np.random.default_rng(47)
+    corpus = ["abcd", "abdc", "xxxx", "ab", "", "badc"] * 50
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein", mesh=mesh,
+                       bucket=32)
+    assert sc._dam_pallas and sc._ndev == 8 and not sc._dam_long
+    d = sc.distances("abcd")
+    for s, g in zip(corpus, d):
+        assert g == dl.distance("abcd", s), (s, g)
+
+    base = "".join(chr(97 + c) for c in rng.integers(0, 6, 200))
+    swapped = base[:90] + base[91] + base[90] + base[92:]
+    corpus2 = [base, swapped, base[:10], ""] * 4
+    sc2 = CorpusScanner(corpus2, metric="damerau_levenshtein", mesh=mesh)
+    assert sc2._dam_pallas and sc2._dam_long and sc2._ndev == 8
+    q = base[:48]
+    d2 = sc2.distances(q)
+    for s, g in zip(corpus2, d2):
+        assert g == dl.distance(q, s), (s[:20], g)
