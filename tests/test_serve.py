@@ -42,6 +42,10 @@ def test_scan_service_http():
         assert out["values"] == [lev.distance("apple", s) for s in corpus]
 
         out = _post(port, "/distances", {"query": "apple",
+                                         "score_hint": 3})
+        assert out["values"] == [lev.distance("apple", s) for s in corpus]
+
+        out = _post(port, "/distances", {"query": "apple",
                                          "score_cutoff": 2})
         masked = [lev.distance("apple", s, score_cutoff=2) for s in corpus]
         for v, ok, exp in zip(out["values"], out["valid"], masked):
@@ -57,7 +61,7 @@ def test_scan_service_http():
             assert "error" in json.loads(e.read())
 
         st = _get(port, "/stats")
-        assert st["queries"] == 3 and st["pairs"] == 3 * len(corpus)
+        assert st["queries"] == 4 and st["pairs"] == 4 * len(corpus)
 
         # /batch rides scan_many (grouped multi-query dispatches)
         out = _post(port, "/batch", {"queries": ["apple", "grape"]})
@@ -69,7 +73,7 @@ def test_scan_service_http():
         assert out["strings"][0][0] == "apple" and out["values"][0][0] == 0
         assert out["strings"][1][0] == "grape" and out["values"][1][0] == 0
         st = _get(port, "/stats")
-        assert st["queries"] == 7 and st["pairs"] == 7 * len(corpus)
+        assert st["queries"] == 8 and st["pairs"] == 8 * len(corpus)
 
         # alignment endpoint: pair form and corpus-index form
         out = _post(port, "/editops", {"s1": "kitten", "s2": "sitting"})
