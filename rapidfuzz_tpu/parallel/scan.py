@@ -331,9 +331,11 @@ class CorpusScanner:
                 bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars,
                                                                 lens)
             dam_shard = NamedSharding(mesh, P("data", None))
+            # device_put straight from numpy: shards host->device without
+            # staging the full array on device 0 first
             self._dam_b = jax.block_until_ready(
-                jax.device_put(jnp.asarray(bt), dam_shard))
-            self._dam_lb = jax.device_put(jnp.asarray(lt), dam_shard)
+                jax.device_put(bt, dam_shard))
+            self._dam_lb = jax.device_put(lt, dam_shard)
             self.lens = jax.device_put(lens, shard1)
         elif metric in _F64_METRICS:
             self.chars = jax.device_put(chars, shard)

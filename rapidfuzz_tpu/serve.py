@@ -66,6 +66,10 @@ class ScanService:
         self.scanner = CorpusScanner(self.corpus, metric=metric, mesh=mesh,
                                      bucket=bucket, **scanner_kw)
         self.metric = metric
+        # /extract may only reuse this scanner when it scores the plain
+        # metric: weights/prefix_weight would leak into the [0, 1]
+        # normalized-similarity contract
+        self._scanner_parameterized = bool(scanner_kw)
         self._lock = threading.Lock()
         self._extra_scanners: dict = {}
         self.stats = {"queries": 0, "pairs": 0, "device_seconds": 0.0}
@@ -137,17 +141,23 @@ class ScanService:
         """
         from .models import process
         from .models.process import _SCANNER_METRICS
-        scanner = None
-        if scorer == self.metric:
-            scanner = self.scanner
-        elif scorer in _SCANNER_METRICS:
-            scanner = self._extra_scanners.get(scorer)
-            if scanner is None:
-                scanner = CorpusScanner(self.corpus, metric=scorer)
-                self._extra_scanners[scorer] = scanner
-        res = self._timed(lambda: process.extract(
-            query, self.corpus, scorer=scorer, limit=limit,
-            score_cutoff=score_cutoff, _scanner=scanner))
+
+        def run():
+            # scanner selection/construction stays inside the lock: all
+            # device dispatch (including compiles) is serialized by design
+            scanner = None
+            if scorer == self.metric and not self._scanner_parameterized:
+                scanner = self.scanner
+            elif scorer in _SCANNER_METRICS:
+                scanner = self._extra_scanners.get(scorer)
+                if scanner is None:
+                    scanner = CorpusScanner(self.corpus, metric=scorer)
+                    self._extra_scanners[scorer] = scanner
+            return process.extract(
+                query, self.corpus, scorer=scorer, limit=limit,
+                score_cutoff=score_cutoff, _scanner=scanner)
+
+        res = self._timed(run)
         return {"results": [[s, v, i] for s, v, i in res]}
 
 

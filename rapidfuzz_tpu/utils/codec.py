@@ -154,7 +154,7 @@ def _scatter_pad(flat: np.ndarray, lens: np.ndarray,
         ends = np.cumsum(l64)
         cols = np.arange(flat.size, dtype=np.int64) - np.repeat(
             ends - l64, l64)
-        out[rows, cols] = flat.astype(np.int32)
+        out[rows, cols] = flat.astype(np.int32, copy=False)
     return out, lens
 
 
