@@ -122,8 +122,13 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
         scanner = CorpusScanner(choices, metric=name)
     lens2 = scanner.lengths.astype(np.int64)
     out = np.empty((len(queries), len(choices)), np.float64)
+    # eligible query batches share grouped multi-query kernel dispatches
+    # (scan_many packs 16 queries per dispatch); others scan one by one
+    dmat = (np.asarray(scanner.scan_many(queries))
+            if len(queries) > 1 and scanner._nq_eligible() else None)
     for qi, q in enumerate(queries):
-        d = np.asarray(scanner.distances(q))
+        d = (dmat[qi] if dmat is not None
+             else np.asarray(scanner.distances(q)))
         if name in ("jaro", "jaro_winkler"):
             # scanner yields f64 distance = 1 - similarity; maximum = 1.0
             out[qi] = 1.0 - d if score_kind.endswith("similarity") else d

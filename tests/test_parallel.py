@@ -774,3 +774,23 @@ def test_damerau_sharded_mesh(mesh, monkeypatch):
     d2 = sc2.distances(q)
     for s, g in zip(corpus2, d2):
         assert g == dl.distance(q, s), (s[:20], g)
+
+
+def test_cdist_grouped_dispatches(mesh, monkeypatch):
+    """cdist with several queries rides scan_many's grouped multi-query
+    dispatches and matches the per-query scan exactly."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from jax.sharding import Mesh
+
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""] * 8
+    queries = ["apple", "grape", "", "zzz"]
+    m1 = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+    # route through a single-device scanner (the nq kernel path)
+    from rapidfuzz_tpu.models import process as proc
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=m1)
+    got = proc._scanner_scores("levenshtein", queries, corpus,
+                               "distance", scanner=sc)
+    for qi, q in enumerate(queries):
+        exp = [lev.distance(q, s) for s in corpus]
+        np.testing.assert_array_equal(got[qi], exp), q
