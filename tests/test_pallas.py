@@ -368,3 +368,34 @@ def test_damerau_long_kernel():
         exp = oracle.damerau(
             q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
         assert out[i] == exp, (i, out[i], exp)
+
+
+def test_jaro_stream_multiword_query():
+    """Jaro stream with a multi-word query (W > 1): cross-word window
+    shifts and claim chains under the fori form."""
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+    from rapidfuzz_tpu.distance.jaro import sim_from_components
+
+    rng = np.random.default_rng(53)
+    Bs, LB, qlen = 4096, 1536, 200        # W = 7 pattern words
+    q = rng.integers(97, 103, qlen).astype(np.int32)
+    lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+    lens[0] = qlen
+    chars = rng.integers(97, 103, (Bs, LB)).astype(np.int32)
+    chars[0, :qlen] = q[::-1]
+    for i, l in enumerate(lens):
+        chars[i, l:] = -1
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    mode = lk.pick_mode(q, int(chars.max()))
+    common, trans = sk.jaro_stream_1v_many(q, cand3, lb2, mode=mode,
+                                           interpret=True)
+    common = np.asarray(common).reshape(-1)
+    trans = np.asarray(trans).reshape(-1)
+    for i in list(range(0, Bs, 613)) + [0]:
+        exp = oracle.jaro(q.astype(np.int64),
+                          chars[i, : lens[i]].astype(np.int64))
+        got = float(sim_from_components(
+            np.int64(common[i]), np.int64(trans[i]),
+            np.int64(qlen), np.int64(lens[i])))
+        assert abs(got - exp) < 1e-12, (i, got, exp)
