@@ -150,11 +150,56 @@ def shrink(mod_name: str, s1: str, s2: str) -> tuple[str, str]:
     return s1, s2
 
 
+def check_scanner(rng: random.Random, corpus: list) -> str | None:
+    """Differential check of the CorpusScanner routing layer (bucketing,
+    length sort, cutoff masks, top-k) against the scalar API."""
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+    from rapidfuzz_tpu.distance import (damerau_levenshtein, indel, jaro,
+                                        lcs_seq, levenshtein, osa)
+    mods = dict(levenshtein=levenshtein, indel=indel, lcs_seq=lcs_seq,
+                osa=osa, damerau_levenshtein=damerau_levenshtein,
+                jaro=jaro)
+    name = rng.choice(list(mods))
+    mod = mods[name]
+    sample = [rng.choice(corpus) for _ in range(rng.randint(1, 24))]
+    q = mutate(rng, rng.choice(sample))
+    f64 = name == "jaro"
+    tol = 1e-9 if f64 else 0
+    try:
+        sc = CorpusScanner(sample, metric=name)
+        d = sc.distances(q)
+        for s, g in zip(sample, d):
+            exp = mod.distance(q, s)
+            if abs(float(g) - exp) > tol:
+                return (f"scanner[{name}] {g} != scalar {exp} "
+                        f"for q={q!r} s={s!r}")
+        cut = float(d[0]) if f64 else int(d[0])
+        res = sc.distances(q, score_cutoff=cut)
+        for s, v, ok in zip(sample, res.values, res.valid):
+            exp = mod.distance(q, s, score_cutoff=cut)
+            if ok != (exp is not None) or (ok and abs(v - exp) > tol):
+                return (f"scanner[{name}] cutoff {cut}: ({v}, {ok}) vs "
+                        f"{exp} for q={q!r} s={s!r}")
+        vals, ids = sc.topk(q, k=3)
+        base = sorted(
+            (mod.distance(q, s), i) for i, s in enumerate(sample))
+        if len(vals) and abs(float(vals[0]) - base[0][0]) > tol:
+            return (f"scanner[{name}] topk {vals[0]} != best "
+                    f"{base[0][0]} for q={q!r}")
+    except Exception as e:
+        return f"scanner[{name}] exception: {type(e).__name__}: {e}"
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metric", action="append", default=None)
+    ap.add_argument("--scanner-every", type=int, default=0,
+                    help="also fuzz the CorpusScanner routing layer every "
+                         "N executions (0 = off; scanner builds are "
+                         "slow, use ~200)")
     args = ap.parse_args()
 
     _pick_platform()
@@ -180,7 +225,13 @@ def main():
         except Exception as e:  # crashes are findings too
             err = f"exception: {type(e).__name__}: {e}"
         n += 1
+        if not err and args.scanner_every and n % args.scanner_every == 0:
+            err = check_scanner(rng, corpus)
+            m = "scanner"
         if err:
+            if m == "scanner":   # reproducer is in the message itself
+                print(f"FAIL[scanner] after {n} execs: {err}")
+                sys.exit(1)
             s1m, s2m = shrink(m, s1, s2)
             print(f"FAIL[{m}] after {n} execs: {err}")
             print(f"  reproducer: check_pair({m!r}, {s1m!r}, {s2m!r})")
