@@ -37,7 +37,9 @@ from ..ops import dispatch as _dispatch
 from ..utils import codec as _codec
 
 __all__ = ["Editop", "Editops", "Opcode", "Opcodes", "MatchingBlock",
-           "levenshtein_editops", "lcs_editops", "indel_editops"]
+           "levenshtein_editops", "lcs_editops", "indel_editops",
+           "levenshtein_editops_many", "lcs_editops_many",
+           "indel_editops_many"]
 
 #: Recording a pair needs 2 * ceil(len1/32) * len2 words; refuse beyond
 #: this many bytes (~16k x 16k chars) instead of silently thrashing.
@@ -253,8 +255,13 @@ def levenshtein_editops(s1, s2) -> Editops:
 
     from ..ops import levenshtein as _lev_ops
     dist, vps, vns = _record_pair(_lev_ops.uniform_distance_record, u1, u2)
-    vps, vns = vps[:, 0], vns[:, 0]             # [LB, W]
-    d = int(dist[0])
+    return _lev_traceback(u1, u2, vps[:, 0], vns[:, 0], int(dist[0]))
+
+
+def _lev_traceback(u1: np.ndarray, u2: np.ndarray, vps: np.ndarray,
+                   vns: np.ndarray, d: int) -> Editops:
+    """Walk recorded (VP, VN) bit-rows ([LB, W]) back into an edit script."""
+    m, n = int(u1.size), int(u2.size)
 
     def cell(i: int, j: int) -> int:
         if j == 0:
@@ -313,7 +320,13 @@ def lcs_editops(s1, s2) -> Editops:
 
     from ..ops import lcs as _lcs_ops
     _, rows = _record_pair(_lcs_ops.lcs_record, u1, u2)
-    rows = rows[:, 0]                           # [LB, W]
+    return _lcs_traceback(u1, u2, rows[:, 0])
+
+
+def _lcs_traceback(u1: np.ndarray, u2: np.ndarray,
+                   rows: np.ndarray) -> Editops:
+    """Walk recorded ``S`` bit-rows ([LB, W]) back into an indel script."""
+    m, n = int(u1.size), int(u2.size)
 
     def lcell(i: int, j: int) -> int:
         if j == 0 or i == 0:
@@ -345,3 +358,83 @@ def lcs_editops(s1, s2) -> Editops:
 
 
 indel_editops = lcs_editops
+
+
+# ------------------------------------------------------------ batch forms
+
+def _trivial_ops(m: int, n: int) -> Editops:
+    if m == 0:
+        return Editops([Editop("insert", 0, j) for j in range(n)], m, n)
+    return Editops([Editop("delete", i, 0) for i in range(m)], m, n)
+
+
+def _record_many(record_fn, s1, choices):
+    """One recording dispatch over a whole candidate batch.
+
+    The recording kernels are natively batched over candidates
+    (``uniform_distance_record`` returns ``[LB, B, W]`` rows), so a
+    one-vs-many alignment scan is a single device call: the query is
+    replicated along the batch axis, the candidates padded into one
+    bucket.  Returns ``(u1, us2, outs)`` where ``outs`` are numpy kernel
+    outputs; candidates are NOT reordered.
+    """
+    u1 = _codec.encode_one(s1)
+    us2 = [_codec.encode_one(c) for c in choices]
+    nz = [i for i, u in enumerate(us2) if u.size]
+    if u1.size == 0 or not nz:
+        return u1, us2, None
+    import jax
+    sub = [choices[i] for i in nz]
+    c1, l1, c2, l2 = _codec.encode_pair_batch([s1] * len(sub), sub)
+    w_bytes = 2 * (c1.shape[-1] // 32) * c2.shape[-1] * len(sub) * 4
+    if w_bytes > _MAX_RECORD_BYTES:
+        raise ValueError(
+            f"editops recording for {len(sub)} candidates of bucket "
+            f"{c2.shape[-1]} x query {u1.size} needs {w_bytes >> 20} MiB "
+            f"of bit-rows (cap {_MAX_RECORD_BYTES >> 20} MiB); batch fewer "
+            "candidates")
+    fn = _dispatch.jit_kernel(record_fn)
+    out = fn(c1, l1, c2, l2)
+    outs = [np.asarray(jax.device_get(o)) for o in out]
+    return u1, us2, (nz, outs)
+
+
+def levenshtein_editops_many(s1, choices) -> List[Editops]:
+    """Minimal edit scripts from ``s1`` to every choice, one device scan.
+
+    Equivalent to ``[levenshtein_editops(s1, c) for c in choices]`` but
+    the bit-row recording runs as a single batched dispatch (the
+    one-vs-many analogue of the pair recording kernel); only the
+    traceback is per-hit host work.
+    """
+    from ..ops import levenshtein as _lev_ops
+    u1, us2, rec = _record_many(_lev_ops.uniform_distance_record, s1, choices)
+    out: List[Editops] = [None] * len(us2)
+    for i, u2 in enumerate(us2):
+        if u1.size == 0 or u2.size == 0:
+            out[i] = _trivial_ops(int(u1.size), int(u2.size))
+    if rec is not None:
+        nz, (dist, vps, vns) = rec
+        for bi, i in enumerate(nz):
+            out[i] = _lev_traceback(u1, us2[i], vps[:, bi], vns[:, bi],
+                                    int(dist[bi]))
+    return out
+
+
+def lcs_editops_many(s1, choices) -> List[Editops]:
+    """Indel/LCS edit scripts from ``s1`` to every choice, one device scan
+    (see :func:`levenshtein_editops_many`)."""
+    from ..ops import lcs as _lcs_ops
+    u1, us2, rec = _record_many(_lcs_ops.lcs_record, s1, choices)
+    out: List[Editops] = [None] * len(us2)
+    for i, u2 in enumerate(us2):
+        if u1.size == 0 or u2.size == 0:
+            out[i] = _trivial_ops(int(u1.size), int(u2.size))
+    if rec is not None:
+        nz, (_, rows) = rec
+        for bi, i in enumerate(nz):
+            out[i] = _lcs_traceback(u1, us2[i], rows[:, bi])
+    return out
+
+
+indel_editops_many = lcs_editops_many

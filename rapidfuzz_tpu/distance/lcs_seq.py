@@ -53,9 +53,21 @@ def editops(s1, s2):
     return lcs_editops(s1, s2)
 
 
+def editops_many(s1, choices):
+    """LCS edit scripts from ``s1`` to every choice, one batched recording
+    dispatch (``list[Editops]``).
+
+    >>> from rapidfuzz_tpu.distance import lcs_seq
+    >>> [len(o) for o in lcs_seq.editops_many("ab", ["abc", "b"])]
+    [1, 1]
+    """
+    from ._editops import lcs_editops_many
+    return lcs_editops_many(s1, choices)
+
+
 def opcodes(s1, s2):
     """difflib-style grouped edit operations for the LCS alignment."""
     return editops(s1, s2).as_opcodes()
 
 
-__all__ += ["editops", "opcodes"]
+__all__ += ["editops", "opcodes", "editops_many"]

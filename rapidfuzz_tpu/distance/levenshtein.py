@@ -35,6 +35,7 @@ __all__ = [
     "normalized_similarity", "distance_with_args", "similarity_with_args",
     "normalized_distance_with_args", "normalized_similarity_with_args",
     "BatchComparator", "distance_many", "maximum", "editops", "opcodes",
+    "editops_many",
 ]
 
 
@@ -53,6 +54,19 @@ def editops(s1, s2):
     """
     from ._editops import levenshtein_editops
     return levenshtein_editops(s1, s2)
+
+
+def editops_many(s1, choices):
+    """Edit scripts from ``s1`` to every choice via ONE batched recording
+    dispatch (the one-vs-many alignment scan); returns ``list[Editops]``.
+
+    >>> from rapidfuzz_tpu.distance import levenshtein
+    >>> [len(o) for o in levenshtein.editops_many("kitten",
+    ...                                           ["sitting", "mitten"])]
+    [3, 1]
+    """
+    from ._editops import levenshtein_editops_many
+    return levenshtein_editops_many(s1, choices)
 
 
 def opcodes(s1, s2):

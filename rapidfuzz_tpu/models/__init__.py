@@ -8,4 +8,5 @@ drivers on top of them.  This package provides the TPU-native equivalents:
 sharded corpora.
 """
 
-from .process import cdist, extract, extract_iter, extract_one  # noqa: F401
+from .process import (cdist, extract, extract_editops, extract_iter,  # noqa: F401
+                      extract_one)

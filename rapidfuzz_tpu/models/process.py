@@ -208,6 +208,47 @@ def extract_one(query, choices: Sequence, **kw):
     return res[0] if res else None
 
 
+#: scorers whose alignment the recording kernels can reconstruct
+_EDITOPS_SCORERS = {
+    "levenshtein": "levenshtein", "indel": "lcs", "lcs_seq": "lcs",
+    "ratio": "lcs",
+}
+
+
+def extract_editops(query, choices: Sequence, *, scorer="levenshtein",
+                    score_kind: str = "normalized_similarity",
+                    limit: int = 5, score_cutoff: Optional[float] = None,
+                    processor=None, _scanner=None):
+    """:func:`extract`, plus the edit script for every returned hit:
+    ``(choice, score, index, Editops)`` tuples, best first.
+
+    Two device phases: the ranking scan (same as ``extract``), then ONE
+    batched bit-row recording dispatch over just the surviving ``limit``
+    hits (``distance/_editops.py:levenshtein_editops_many``) — alignments
+    cost a single extra kernel call, not one per hit.  Supported scorers:
+    levenshtein (replace/insert/delete scripts), indel / lcs_seq / ratio
+    (insert/delete scripts).
+    """
+    kind = _EDITOPS_SCORERS.get(scorer if isinstance(scorer, str) else "")
+    if kind is None:
+        raise ValueError(
+            f"scorer {scorer!r} has no alignment form; pick one of "
+            f"{sorted(_EDITOPS_SCORERS)}")
+    hits = extract(query, choices, scorer=scorer, score_kind=score_kind,
+                   limit=limit, score_cutoff=score_cutoff,
+                   processor=processor, _scanner=_scanner)
+    if not hits:
+        return []
+    from ..distance._editops import (lcs_editops_many,
+                                     levenshtein_editops_many)
+    q = processor(query) if processor is not None else query
+    docs = [processor(h[0]) if processor is not None else h[0] for h in hits]
+    many = (levenshtein_editops_many if kind == "levenshtein"
+            else lcs_editops_many)
+    ops = many(q, docs)
+    return [(c, s, i, o) for (c, s, i), o in zip(hits, ops)]
+
+
 def extract_iter(query, choices: Sequence, *, scorer="levenshtein",
                  score_kind: str = "normalized_similarity",
                  score_cutoff: Optional[float] = None, processor=None):

@@ -149,3 +149,60 @@ def test_container_dunders():
     oc = ops.as_opcodes()
     assert oc[0] == Opcode("replace", 0, 1, 0, 1)
     assert "replace" in repr(ops) and "equal" in repr(oc)
+
+
+# ------------------------------------------------------------ batch forms
+
+def test_editops_many_matches_pairwise():
+    """One-vs-many recording scan == per-pair editops (lev + lcs)."""
+    q = "levenshtein"
+    choices = ["lewenstein", "", "levenshtein", "frankenstein",
+               "l", "x" * 40, "einstein"]
+    many = levenshtein.editops_many(q, choices)
+    for c, ops in zip(choices, many):
+        assert list(ops) == list(levenshtein.editops(q, c)), c
+        assert ops.apply(q, c) == c
+    many_i = indel.editops_many(q, choices)
+    for c, ops in zip(choices, many_i):
+        assert list(ops) == list(indel.editops(q, c)), c
+        assert ops.apply(q, c) == c
+
+
+def test_editops_many_empty_query():
+    many = levenshtein.editops_many("", ["ab", ""])
+    assert [o.tag for o in many[0]] == ["insert", "insert"]
+    assert len(many[1]) == 0
+    assert lcs_seq.editops_many("", ["ab"])[0].apply("", "ab") == "ab"
+
+
+def test_extract_editops():
+    from rapidfuzz_tpu.models import extract, extract_editops
+    corpus = ["sitting", "mitten", "kitchen", "bitter", "written",
+              "smitten", "kittens"]
+    hits = extract_editops("kitten", corpus, scorer="levenshtein", limit=3)
+    plain = extract("kitten", corpus, scorer="levenshtein", limit=3)
+    assert [(c, s, i) for c, s, i, _ in hits] == plain
+    for c, _, _, ops in hits:
+        assert list(ops) == list(levenshtein.editops("kitten", c))
+        assert ops.apply("kitten", c) == c
+    # indel alignment flavor + cutoff filtering + unsupported scorer
+    hits = extract_editops("kitten", corpus, scorer="indel", limit=2)
+    for c, _, _, ops in hits:
+        assert all(o.tag in ("insert", "delete") for o in ops)
+        assert ops.apply("kitten", c) == c
+    assert extract_editops("zzzz", corpus, scorer="levenshtein",
+                           score_cutoff=0.99) == []
+    with pytest.raises(ValueError, match="alignment"):
+        extract_editops("kitten", corpus, scorer="jaro")
+
+
+def test_extract_editops_processor():
+    from rapidfuzz_tpu import fuzz
+    from rapidfuzz_tpu.models import extract_editops
+    hits = extract_editops("KITTEN!", ["sitting", "MITTEN"], limit=2,
+                           scorer="levenshtein",
+                           processor=fuzz.default_process)
+    for c, _, _, ops in hits:
+        # alignment is over the processed forms
+        assert ops.apply(fuzz.default_process("KITTEN!"),
+                         fuzz.default_process(c)) == fuzz.default_process(c)
