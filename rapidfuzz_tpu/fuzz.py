@@ -339,13 +339,76 @@ def ratio_many(s1, choices, *, processor: Optional[Callable] = None,
     return _dispatch.BatchResult(*_c.mask_similarity(vals, score_cutoff))
 
 
+#: widest query the windowed Pallas kernel serves (W <= 2 keeps the
+#: flat body within the band kernel's compile budget)
+_WINDOW_KERNEL_MAX_Q = 64
+#: widest candidate bucket (VMEM cap, matches the scanner's)
+_WINDOW_KERNEL_MAX_LB = 1024
+
+
+def _window_scan_scores(uq: np.ndarray, ucs) -> Optional[np.ndarray]:
+    """``partial_ratio`` scores via the windowed Pallas kernel
+    (``ops/pallas/partial_kernel.py``) — one device dispatch for the
+    whole window sweep.  Returns ``None`` when the kernel can't serve
+    (off-TPU, wide alphabet, query too long, bucket too wide);
+    candidates shorter than the query (whose window roles swap) are
+    re-scored through the host path."""
+    import os
+
+    m = int(uq.size)
+    if not (1 <= m <= _WINDOW_KERNEL_MAX_Q):
+        return None
+    interpret = os.environ.get("RAPIDFUZZ_TPU_FORCE_PALLAS") == "interpret"
+    if not interpret:
+        from .ops.pallas import tpu_backend
+        if not tpu_backend():
+            return None
+    if int(uq.min()) < 0 or int(uq.max()) > 255:
+        return None
+    lens = np.array([int(u.size) for u in ucs], np.int64)
+    nz = [u for u in ucs if u.size]
+    if nz and (min(int(u.min()) for u in nz) < 0
+               or max(int(u.max()) for u in nz) > 255):
+        return None
+    LB = max(32, -(-int(lens.max(initial=0)) // 32) * 32)
+    if LB > _WINDOW_KERNEL_MAX_LB:
+        return None
+
+    import jax.numpy as jnp
+
+    from .ops.pallas import lev_kernel as _lk
+    from .ops.pallas import partial_kernel as _pk
+
+    B = len(ucs)
+    Bp = -(-max(B, 1) // 4096) * 4096
+    chars = np.full((Bp, LB), -1, np.int32)
+    for i, u in enumerate(ucs):
+        chars[i, :u.size] = u
+    lensp = np.pad(lens, (0, Bp - B)).astype(np.int32)
+    cand3, lb2 = _lk.prepare_corpus(jnp.asarray(chars),
+                                    jnp.asarray(lensp), LB=LB)
+    mode = _lk.pick_mode(uq, int(chars.max()) if chars.size else 0)
+    num, den = _pk.partial_ratio_1v_many(uq, cand3, lb2, mode=mode,
+                                         interpret=interpret)
+    num = np.asarray(num).reshape(-1)[:B].astype(np.float64)
+    den = np.asarray(den).reshape(-1)[:B].astype(np.float64)
+    # same f64 expression as the host path (1 - dist/total), so scores
+    # match it bit-for-bit
+    out = 1.0 - (den - num) / den
+    for i in np.flatnonzero(lens < m):
+        out[i] = _best_window(ucs[i], uq)[0]
+    return out
+
+
 def partial_ratio_many(s1, choices, *,
                        processor: Optional[Callable] = None,
                        score_cutoff: Optional[float] = None
                        ) -> _dispatch.BatchResult:
-    """One-vs-many ``partial_ratio``: every choice's clipped windows are
-    flattened into shared device batches (one dispatch per ~4M chars)
-    instead of one scan per pair."""
+    """One-vs-many ``partial_ratio``.  On TPU the whole window sweep runs
+    in one Pallas dispatch (four window starts at a time sharing PM
+    gathers, ``ops/pallas/partial_kernel.py``); elsewhere every choice's
+    clipped windows are flattened into shared device batches (one
+    dispatch per ~4M chars) instead of one scan per pair."""
     from .ops import lcs as _lcs_ops
 
     if processor is not None:
@@ -354,6 +417,9 @@ def partial_ratio_many(s1, choices, *,
     uq = _codec.encode_one(s1)
     m = int(uq.size)
     ucs = [_codec.encode_one(c) for c in choices]
+    dev = _window_scan_scores(uq, ucs)
+    if dev is not None:
+        return _dispatch.BatchResult(*_c.mask_similarity(dev, score_cutoff))
     out = np.zeros(len(ucs), np.float64)
 
     # pairs where the query is the (weakly) shorter side vs where the

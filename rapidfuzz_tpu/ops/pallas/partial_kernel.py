@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: one-vs-many ``fuzz.partial_ratio`` (windowed LCS).
+
+``partial_ratio`` slides the query over every clipped window of each
+candidate (windows ``cand[max(0, i-m) : min(n, i)]`` for ``i`` in
+``1..n+m-1``, query length m, candidate length n) and keeps the best
+indel ratio ``2*lcs / (m + wlen)``.  The ecosystem (rapidfuzz-cpp/-py;
+absent from the reference crate, ``fuzz.rs:207-213``) computes each
+window as an independent LCS; this kernel keeps the whole window sweep
+on device:
+
+* window starts are processed FOUR at a time so the four running LCS
+  states share each char's packed-row load and its PM-table gathers
+  (the gather is the expensive step: sharing it makes the per-window
+  char cost comparable to the plain LCS kernel's per-char cost);
+* prefix windows (``[0, e)`` for ``e < m``) fold into one incremental
+  pre-pass — they are the running states of a single left-anchored
+  scan;
+* the best window is tracked exactly as an integer fraction
+  ``(num, den) = (2*lcs, m + wlen)`` compared by cross-multiplication;
+  the host converts to f64 once per candidate, so scores match the
+  host reference path bit-for-bit.
+
+Only candidates with ``n >= m`` follow these window semantics (the
+ecosystem swaps roles when the candidate is shorter, sliding IT over
+the query); the fuzz driver re-scores the ``n < m`` stragglers on the
+host path.
+
+Compilations are keyed on ``(W, LB, ntab)`` only: the true query
+length ``m`` arrives as a dynamic SMEM scalar (like the lev kernel's
+``la``), so every query length in a word class shares one compile; the
+flat TPU body pads the window span to ``M = 32*W`` chars and masks the
+tail.  Interpret mode (tests) uses fori char loops instead — flat
+bodies beyond ~56 steps blow up exponentially in the XLA-CPU
+interpreter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lev_kernel import LANE, SUB, build_pm_tables, unpack_byte
+
+
+def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
+            LB: int, W: int, ntab: int, sub: int, flat: bool):
+    m = la_ref[0]
+    lb = lb_ref[:, :]
+    M = 32 * W
+    ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+
+    def gather_pm(c):
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        pms = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pms.append(jnp.where(chi, t1, t0))
+            else:
+                pms.append(t0)
+        return pms
+
+    def lcs_step(s, pms):
+        # lcs_seq.rs:225-235: u = s & pm; s = (s + u w/ carry) | (s - u)
+        carry = None
+        new = []
+        for w in range(W):
+            sw = s[w]
+            um = sw & pms[w]
+            x1 = sw + um
+            x2 = x1 if carry is None else x1 + carry
+            if w != W - 1:
+                c1 = (x1 < sw).astype(jnp.uint32)
+                carry = c1 if carry is None else c1 | (x2 < x1).astype(
+                    jnp.uint32)
+            new.append(x2 | (sw - um))
+        return new
+
+    def popc2(s):
+        t = jnp.zeros((sub, LANE), jnp.int32)
+        for w in range(W):
+            t = t + lax.population_count(~s[w]).astype(jnp.int32)
+        return 2 * t
+
+    def better(num, den, bn, bd):
+        upd = num * bd > bn * den
+        return jnp.where(upd, num, bn), jnp.where(upd, den, bd)
+
+    def dyn_char(p, base_row):
+        """Char at dynamic in-group offset ``p`` (fori variants).  Rows
+        past the corpus block are clamped: windows near the tail read up
+        to M-1 chars beyond LB, every such lane is masked by ``< lb``
+        before any state update, so the clamped row's value is dead."""
+        row = cand_ref[jnp.minimum(base_row + p // 4, LB // 4 - 1)]
+        sh = (8 * (p % 4)).astype(jnp.uint32)
+        return ((row >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    bn0 = jnp.zeros((sub, LANE), jnp.int32)
+    bd0 = jnp.ones((sub, LANE), jnp.int32)
+
+    # ---- prefix windows [0, e) for e = 1..m-1: one incremental scan,
+    # popcounting the running state at every step
+    if flat:
+        bn, bd = bn0, bd0
+        s = [ones] * W
+        row = None
+        for p in range(M - 1):
+            if p % 4 == 0:
+                row = cand_ref[min(p // 4, LB // 4 - 1)]
+            pms = gather_pm(unpack_byte(row, p))
+            ns = lcs_step(s, pms)
+            s = [jnp.where(p < lb, a, b) for a, b in zip(ns, s)]
+            num = popc2(s)
+            den = m + jnp.minimum(p + 1, lb)
+            upd = (num * bd > bn * den) & (p + 1 < m)
+            bn = jnp.where(upd, num, bn)
+            bd = jnp.where(upd, den, bd)
+    else:
+        def pbody(p, carry):
+            bn, bd = carry[0], carry[1]
+            s = list(carry[2:])
+            pms = gather_pm(dyn_char(p, 0))
+            ns = lcs_step(s, pms)
+            s = [jnp.where(p < lb, a, b) for a, b in zip(ns, s)]
+            num = popc2(s)
+            den = m + jnp.minimum(p + 1, lb)
+            bn, bd = better(num, den, bn, bd)
+            return (bn, bd, *s)
+
+        out = lax.fori_loop(0, m - 1, pbody, (bn0, bd0) + (ones,) * W)
+        bn, bd = out[0], out[1]
+
+    # ---- all other windows [st, min(st + m, lb)), st = 0..lb-1,
+    # processed four starts per trip so loads and gathers are shared
+    def group(g, carry):
+        bn, bd = carry
+        base = g * 4
+        s4 = [[ones] * W for _ in range(4)]
+        if flat:
+            row = None
+            for p in range(M + 3):
+                if p % 4 == 0:
+                    row = cand_ref[jnp.minimum(g + p // 4, LB // 4 - 1)]
+                pms = gather_pm(unpack_byte(row, p))
+                act_t = (base + p) < lb
+                for w in range(4):
+                    if p >= w:
+                        mask = act_t & ((p - w) < m)
+                        ns = lcs_step(s4[w], pms)
+                        s4[w] = [jnp.where(mask, a, b)
+                                 for a, b in zip(ns, s4[w])]
+        else:
+            def cbody(p, state):
+                # state is a flat tuple of 4*W tiles
+                s = [list(state[w * W:(w + 1) * W]) for w in range(4)]
+                pms = gather_pm(dyn_char(p, g))
+                act_t = (base + p) < lb
+                for w in range(4):
+                    mask = act_t & (p >= w) & ((p - w) < m)
+                    ns = lcs_step(s[w], pms)
+                    s[w] = [jnp.where(mask, a, b)
+                            for a, b in zip(ns, s[w])]
+                return tuple(x for sw in s for x in sw)
+
+            state = lax.fori_loop(0, m + 3, cbody,
+                                  tuple(x for sw in s4 for x in sw))
+            s4 = [list(state[w * W:(w + 1) * W]) for w in range(4)]
+        for w in range(4):
+            wlen = jnp.clip(lb - (base + w), 0, m)
+            bn, bd = better(popc2(s4[w]), m + wlen, bn, bd)
+        return bn, bd
+
+    gmax = (jnp.max(lb) + 3) // 4
+    bn, bd = lax.fori_loop(0, gmax, group, (bn, bd))
+    num_ref[:, :] = bn
+    den_ref[:, :] = bd
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "sub", "interpret",
+                                    "flat"))
+def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False,
+         flat=None):
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, sub=sub,
+                             flat=(not interpret) if flat is None else flat)
+    out = jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32)
+    spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(la, tabs, cand3, lb2)
+
+
+def partial_ratio_1v_many(query: np.ndarray, cand3, lb2, *,
+                          mode: str = "byte", staged=None,
+                          interpret: bool = False, flat=None):
+    """Best-window fractions -> ``(num, den)`` i32 ``[B/128, 128]``.
+
+    ``score = num / den`` (f64 on host).  Candidates SHORTER than the
+    query get the un-swapped window sweep (candidate windows vs whole
+    query), which is not the ecosystem's semantics — callers re-score
+    ``lb < len(query)`` entries on the host path.
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    if la == 0:
+        raise ValueError("empty query is a host-side special case")
+    LB = int(cand3.shape[0]) * 4
+    W = max(1, -(-la // 32))
+    ntab = 2 if mode == "byte" else 1
+    la_arr, tabs = staged if staged is not None else (
+        jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    return _run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                interpret=interpret, flat=flat)

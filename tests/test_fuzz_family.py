@@ -222,3 +222,23 @@ def test_user_callable_shadowing_fuzz_name():
         return 0.5
     res = process.cdist(["a"], ["a", "b"], scorer=partial_ratio)
     assert res.values.tolist() == [[0.5, 0.5]]
+
+
+def test_partial_ratio_many_kernel_route(monkeypatch):
+    """The Pallas window-kernel route of ``partial_ratio_many`` returns
+    bit-identical scores to the host window path (incl. the short-
+    candidate role swap and empty candidates)."""
+    rng = np.random.default_rng(12)
+    letters = list("abcdefgh")
+    q = "".join(rng.choice(letters, 9))
+    choices = ["".join(rng.choice(letters, int(n)))
+               for n in rng.integers(0, 30, 120)] + ["", q, q * 3, "ab"]
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    got = fuzz.partial_ratio_many(q, choices).values
+    monkeypatch.delenv("RAPIDFUZZ_TPU_FORCE_PALLAS")
+    exp = fuzz.partial_ratio_many(q, choices).values
+    assert (got == exp).all()
+    # cutoff masking rides the same route
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    r = fuzz.partial_ratio_many(q, choices, score_cutoff=0.8)
+    assert (r.valid == (got >= 0.8)).all()

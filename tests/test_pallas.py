@@ -399,3 +399,42 @@ def test_jaro_stream_multiword_query():
             np.int64(common[i]), np.int64(trans[i]),
             np.int64(qlen), np.int64(lens[i])))
         assert abs(got - exp) < 1e-12, (i, got, exp)
+
+
+def test_partial_ratio_window_kernel():
+    """Windowed partial_ratio kernel (ops/pallas/partial_kernel.py) vs the
+    host window sweep (``fuzz._best_window``), both fori (interpret) and
+    flat (TPU) bodies, byte and local table modes, W=1 and W=2."""
+    from rapidfuzz_tpu import fuzz
+    from rapidfuzz_tpu.ops.pallas import partial_kernel as pk
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (32, 7, 97, 105, True),     # W=1, local mode, flat body
+        (32, 30, 60, 200, True),    # W=1, byte mode, flat body
+        (96, 50, 97, 105, False),   # W=2, fori body
+        (64, 64, 97, 123, False),   # W=2 at the m == LB edge
+    ]
+    for LB, qlen, lo, hi, flat in cases:
+        q = rng.integers(lo, hi, qlen).astype(np.int32)
+        lens = rng.integers(0, LB + 1, B).astype(np.int32)
+        lens[0] = 0
+        lens[1] = LB
+        lens[2] = min(qlen, LB)
+        chars = rng.integers(lo, hi, (B, LB)).astype(np.int32)
+        for i, l in enumerate(lens):
+            chars[i, l:] = -1
+        cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars),
+                                       jnp.asarray(lens), LB=LB)
+        mode = lk.pick_mode(q, int(chars.max()))
+        num, den = pk.partial_ratio_1v_many(q, cand3, lb2, mode=mode,
+                                            interpret=True, flat=flat)
+        num = np.asarray(num).reshape(-1)
+        den = np.asarray(den).reshape(-1)
+        for i in list(range(0, B, 401)) + [0, 1, 2, B - 1]:
+            n = int(lens[i])
+            if n < qlen:
+                continue  # kernel contract: host re-scores these
+            exp, _ = fuzz._best_window(q.astype(np.int64),
+                                       chars[i, :n].astype(np.int64))
+            assert abs(exp - num[i] / den[i]) < 1e-12, (LB, qlen, i)
