@@ -415,13 +415,17 @@ def partial_ratio_many(s1, choices, *,
         s1 = processor(s1)
         choices = [processor(c) for c in choices]
     uq = _codec.encode_one(s1)
-    m = int(uq.size)
     ucs = [_codec.encode_one(c) for c in choices]
     dev = _window_scan_scores(uq, ucs)
-    if dev is not None:
-        return _dispatch.BatchResult(*_c.mask_similarity(dev, score_cutoff))
-    out = np.zeros(len(ucs), np.float64)
+    out = dev if dev is not None else _host_window_scores(uq, ucs)
+    return _dispatch.BatchResult(*_c.mask_similarity(out, score_cutoff))
 
+
+def _host_window_scores(uq: np.ndarray, ucs) -> np.ndarray:
+    """Host window sweep: every choice's clipped windows flattened into
+    shared device batches (one dispatch per ~4M chars)."""
+    m = int(uq.size)
+    out = np.zeros(len(ucs), np.float64)
     # pairs where the query is the (weakly) shorter side vs where the
     # choice is strictly shorter (roles swap: query windows vs choice)
     lefts, rights, owner = [], [], []
@@ -445,7 +449,7 @@ def partial_ratio_many(s1, choices, *,
         for k, v in zip(owner[lo:lo + chunk], r):
             if v > out[k]:
                 out[k] = v
-    return _dispatch.BatchResult(*_c.mask_similarity(out, score_cutoff))
+    return out
 
 
 def token_sort_ratio_many(s1, choices, *,

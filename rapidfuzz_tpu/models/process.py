@@ -110,7 +110,7 @@ def _pairwise_scores(scorer, queries: Sequence, choices: Sequence,
 #: process API inherits the strict length check.
 _SCANNER_METRICS = frozenset({
     "levenshtein", "indel", "lcs_seq", "osa", "damerau_levenshtein",
-    "jaro", "jaro_winkler", "prefix", "postfix",
+    "jaro", "jaro_winkler", "prefix", "postfix", "partial_ratio",
 })
 
 
@@ -129,7 +129,7 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
     for qi, q in enumerate(queries):
         d = (dmat[qi] if dmat is not None
              else np.asarray(scanner.distances(q)))
-        if name in ("jaro", "jaro_winkler"):
+        if name in ("jaro", "jaro_winkler", "partial_ratio"):
             # scanner yields f64 distance = 1 - similarity; maximum = 1.0
             out[qi] = 1.0 - d if score_kind.endswith("similarity") else d
             continue

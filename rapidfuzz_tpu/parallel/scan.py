@@ -91,6 +91,7 @@ def sharded_distances(metric: str, mesh: Mesh, query, corpus_chars,
 
 _PALLAS_METRICS = ("levenshtein", "indel", "lcs_seq", "osa")
 _F64_METRICS = ("jaro", "jaro_winkler")
+_PARTIAL_METRICS = ("partial_ratio",)
 
 
 def _lcs_run(scal, tabs, cand3, lb2, **statics):
@@ -221,7 +222,8 @@ class CorpusScanner:
             self._stream = (chars.shape[1] > 1024
                             and chars.shape[1] % 512 == 0)
         self._pallas = ((mesh_tpu or bool(force))
-                        and metric in _PALLAS_METRICS + _F64_METRICS
+                        and metric in (_PALLAS_METRICS + _F64_METRICS
+                                       + _PARTIAL_METRICS)
                         and (chars.shape[1] <= 1024 or self._stream))
         self._stream = self._stream and self._pallas
         # wide alphabets (chars >= 256) ride the same kernels through a
@@ -322,6 +324,14 @@ class CorpusScanner:
             if metric in _F64_METRICS:
                 self._lens_host = lens
                 self._chars4 = chars[:, :4].copy()
+            if metric in _PARTIAL_METRICS:
+                # partial_ratio needs (a) host lengths to find candidates
+                # shorter than the query (their window roles swap) and
+                # (b) their chars for the host re-score; keep a compact
+                # copy of the sorted corpus (ids are post-vocab-remap,
+                # same domain the encoded query lives in)
+                self._lens_host = lens
+                self._pchars = self._compact_chars(chars)
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
             if self._dam_long:
@@ -344,6 +354,13 @@ class CorpusScanner:
             self._chars4 = chars[:, :4].copy()   # winkler prefix, host side
             self._fn = jax.jit(_jaro_ops.jaro_components,
                                out_shardings=(shard1, shard1))
+        elif metric in _PARTIAL_METRICS:
+            # off-TPU partial_ratio: host window sweep over a host corpus
+            # copy (windows still batch through the XLA LCS kernel)
+            self.lens = jax.device_put(lens, shard1)
+            self._lens_host = lens
+            self._pchars = self._compact_chars(chars)
+            self._fn = None
         else:
             self.chars = jax.device_put(chars, shard)
             self.lens = jax.device_put(lens, shard1)
@@ -423,6 +440,64 @@ class CorpusScanner:
             sim = np.where(sim > 0.7, boosted, sim)
         return 1.0 - sim     # distance; host f64, exact
 
+    #: widest query the windowed partial_ratio kernel serves (W <= 2)
+    _PARTIAL_MAX_Q = 64
+
+    @staticmethod
+    def _compact_chars(chars: np.ndarray) -> np.ndarray:
+        """Smallest-dtype host copy of the padded corpus (pads -> 0;
+        lengths mask them everywhere the copy is read)."""
+        mx = int(chars.max()) if chars.size else 0
+        dt = (np.uint8 if mx < 256 else
+              np.uint16 if mx < 65536 else np.int32)
+        return np.where(chars < 0, 0, chars).astype(dt)
+
+    def _partial_arrays(self, idx=None):
+        """Encoded candidate arrays reconstructed from the host copy."""
+        lens = self._lens_host
+        rng = range(lens.shape[0]) if idx is None else idx
+        return [self._pchars[i, :lens[i]].astype(np.int64) for i in rng]
+
+    def _partial_host_all(self, q: np.ndarray) -> np.ndarray:
+        from .. import fuzz as _fuzz
+        return 1.0 - _fuzz._host_window_scores(q, self._partial_arrays())
+
+    def _partial_dev(self, q, qk, mode, cand3):
+        """partial_ratio distances (= 1 - best-window ratio) through the
+        windowed Pallas kernel (``ops/pallas/partial_kernel.py``); shorter-
+        than-query candidates re-score on the host path (window roles
+        swap there), queries beyond the kernel width fall back entirely."""
+        from .. import fuzz as _fuzz
+        from ..ops.pallas import lev_kernel as _lk
+        from ..ops.pallas import partial_kernel as _pk
+
+        m = int(q.size)
+        lens = self._lens_host
+        if m == 0:
+            return (lens > 0).astype(np.float64)
+        if m > self._PARTIAL_MAX_Q:
+            return self._partial_host_all(q)
+        if self._ndev > 1:
+            W = max(1, -(-m // 32))
+            ntab = 2 if mode == "byte" else 1
+            tabs = jnp.asarray(_lk.build_pm_tables(
+                np.asarray(qk, np.int32), mode))
+            num, den = self._pallas_sharded(
+                _pk._run, jnp.array([m], jnp.int32), tabs,
+                dict(LB=self._LB, W=W, ntab=ntab,
+                     interpret=self._interpret), nouts=2, cand3=cand3)
+        else:
+            num, den = _pk.partial_ratio_1v_many(
+                qk, cand3, self.lb2, mode=mode, interpret=self._interpret)
+        num = np.asarray(num).reshape(-1).astype(np.float64)
+        den = np.asarray(den).reshape(-1).astype(np.float64)
+        d = (den - num) / den              # 1 - score, host f64
+        idx = np.flatnonzero((lens > 0) & (lens < m))
+        if idx.size:
+            d[idx] = 1.0 - _fuzz._host_window_scores(
+                q, self._partial_arrays(idx))
+        return d
+
     def _distances_dev(self, query, score_cutoff=None, score_hint=None):
         q = self._encode_query(query)
         if self._zero:
@@ -450,12 +525,16 @@ class CorpusScanner:
             if self._wide:
                 qv = _lk.query_vocab(q)
                 if qv is None:          # > 127 distinct symbols
+                    if self.metric in _PARTIAL_METRICS:
+                        return self._partial_host_all(q)
                     return self._wide_xla_fallback(q)
                 qvocab128, q_local = qv
                 cand3 = self._remap_fn(self._chars_dev,
                                        jnp.asarray(qvocab128))
                 qk = q_local
                 mode = "local"
+            if self.metric in _PARTIAL_METRICS:
+                return self._partial_dev(q, qk, mode, cand3)
             if self._ndev > 1:
                 return self._dist_pallas_mesh(qk, mode, cand3, q_finish=q)
             if self.metric == "levenshtein":
@@ -574,6 +653,8 @@ class CorpusScanner:
                 d = la + lb - 2 * sim
                 return d * self._wscale if self._wscale != 1 else d
             return jnp.maximum(la, lb) - sim            # lcs_seq
+        if self.metric in _PARTIAL_METRICS:
+            return self._partial_host_all(q)
         qc, ql = _codec.pad_batch([q])
         if self.metric in _F64_METRICS:
             common, trans = self._fn(qc, ql, self.chars, self.lens)

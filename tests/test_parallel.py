@@ -794,3 +794,59 @@ def test_cdist_grouped_dispatches(mesh, monkeypatch):
     for qi, q in enumerate(queries):
         exp = [lev.distance(q, s) for s in corpus]
         np.testing.assert_array_equal(got[qi], exp), q
+
+
+def test_partial_ratio_scanner_routing(monkeypatch):
+    """CorpusScanner(metric="partial_ratio"): the windowed Pallas kernel
+    route, the host fallback route, the wide-alphabet remap route and an
+    8-device mesh all reproduce scalar ``fuzz.partial_ratio`` exactly
+    (distance = 1 - best-window ratio)."""
+    from jax.sharding import Mesh
+    from rapidfuzz_tpu import fuzz
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(21)
+    letters = list("abcdefg")
+    corpus = ["".join(rng.choice(letters, int(n)))
+              for n in rng.integers(0, 40, 120)] + ["", "needle here"]
+    q = "needle"
+    exp = np.array([fuzz.partial_ratio(q, c) for c in corpus])
+
+    # host (non-pallas) route
+    sc_host = CorpusScanner(corpus, metric="partial_ratio")
+    np.testing.assert_array_equal(1.0 - sc_host.distances(q), exp)
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    # windowed-kernel route (+ cutoff masking in distance space)
+    sc = CorpusScanner(corpus, metric="partial_ratio")
+    d = sc.distances(q)
+    np.testing.assert_array_equal(1.0 - d, exp)
+    r = sc.distances(q, score_cutoff=0.25)
+    assert (r.valid == (d <= 0.25)).all()
+    # query longer than the kernel cap -> host path, same answers
+    lq = "".join(rng.choice(letters, 80))
+    exp_l = np.array([fuzz.partial_ratio(lq, c) for c in corpus])
+    assert np.abs((1.0 - sc.distances(lq)) - exp_l).max() < 1e-12
+    # empty query
+    np.testing.assert_array_equal(
+        1.0 - sc.distances(""),
+        [1.0 if len(c) == 0 else 0.0 for c in corpus])
+
+    # wide alphabet -> query-local remap route
+    wide = ["".join(chr(c) for c in rng.integers(0x410, 0x44F,
+                                                 rng.integers(1, 25)))
+            for _ in range(40)] + ["Иванко", ""]
+    wq = "Петрунко"
+    exp_w = np.array([fuzz.partial_ratio(wq, c) for c in wide])
+    sc_w = CorpusScanner(wide, metric="partial_ratio")
+    np.testing.assert_array_equal(1.0 - sc_w.distances(wq), exp_w)
+
+    # 8-device mesh (sharded nouts=2 kernel)
+    mesh8 = Mesh(np.array(jax.devices("cpu")), ("data",))
+    sc_m = CorpusScanner(corpus, metric="partial_ratio", mesh=mesh8)
+    np.testing.assert_array_equal(1.0 - sc_m.distances(q), exp)
+
+    # process integration: extract over the scanner metric
+    from rapidfuzz_tpu.models import extract
+    hits = extract(q, corpus, scorer="partial_ratio", limit=3)
+    assert hits[0][1] == exp.max()
