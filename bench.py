@@ -32,7 +32,7 @@ import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
-EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "damerau")
+EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "partial", "damerau")
 
 
 def _child_env():
@@ -113,7 +113,9 @@ def main():
         # and wedges every later dispatch (observed: the NEXT bench run's
         # lev phases all timed out for 13 min) — so give it a window that
         # covers the compile or skip it outright
-        need = 420.0 if phase == "damerau" else 90.0
+        # partial's flat window body (~6.6k ops) also has a long cold
+        # compile; both get windows that cover it or are skipped outright
+        need = {"damerau": 420.0, "partial": 300.0}.get(phase, 90.0)
         if remaining < need:
             extras[f"{phase}_skipped"] = "budget exhausted"
             continue
@@ -262,8 +264,10 @@ def _measure(phase: str):
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return
     # the nq phase emits an [NQ, B/128, 128] i32 result — cap its corpus
-    # so output + corpus stay well inside HBM at NQ=16
-    default_b = 16777216 if phase == "nq" else 67108864
+    # so output + corpus stay well inside HBM at NQ=16; partial does
+    # ~87 window-LCS evaluations per pair, so a smaller corpus already
+    # amortizes its dispatch cost
+    default_b = {"nq": 16777216, "partial": 8388608}.get(phase, 67108864)
     LEN, B, query, sampled, cand3, lb2, mode = _corpus(lk, interpret,
                                                        default_b)
     staged = lk.stage_query(query, mode) if not interpret else None
@@ -333,6 +337,21 @@ def _measure(phase: str):
         ntab = 2 if mode == "byte" else 1
         fn = lambda: bk._run_fast(scal, probe, stabs, cand3, lb2, LB=LEN,
                                   ntab=ntab, bw=1, interpret=interpret)
+        pairs_per_s, _ = _rate(fn, B, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
+
+    if phase == "partial":
+        # fuzz.partial_ratio corpus scan: the windowed kernel sweeps all
+        # n+m-1 clipped windows per candidate in one dispatch (24-char
+        # query -> 87 window-LCS evaluations per pair)
+        from rapidfuzz_tpu.ops.pallas import partial_kernel as pk
+        qp = np.random.default_rng(9).integers(97, 123, 24, np.int32)
+        stp = (jnp.array([24], jnp.int32),
+               jnp.asarray(lk.build_pm_tables(qp, mode)))
+        fn = lambda: pk.partial_ratio_1v_many(
+            qp, cand3, lb2, mode=mode, staged=stp,
+            interpret=interpret)[0]
         pairs_per_s, _ = _rate(fn, B, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return

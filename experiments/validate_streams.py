@@ -106,6 +106,27 @@ def main():
         bad += (g != exp) if exp <= 33 else (g <= 33)
     print(f"band fori-unroll: {'OK' if not bad else f'{bad} bad'}")
 
+    # windowed partial_ratio kernel (flat TPU body): exactness + rate
+    from rapidfuzz_tpu import fuzz
+    from rapidfuzz_tpu.ops.pallas import partial_kernel as pk
+    chars3, lens3, cand33, lb23 = corpus(B, 64, seed=3)
+    q3 = rng.integers(97, 105, 24).astype(np.int32)
+    t0 = time.time()
+    num, den = pk.partial_ratio_1v_many(q3, cand33, lb23, mode="byte")
+    num = np.asarray(num).reshape(-1)
+    den = np.asarray(den).reshape(-1)
+    print(f"partial_window compile+run {time.time()-t0:.0f}s")
+    bad = []
+    for i in list(range(0, B, 37813)) + [0, 1, 2, 3]:
+        n = int(lens3[i])
+        if n < q3.size:
+            continue
+        exp, _ = fuzz._best_window(q3.astype(np.int64),
+                                   chars3[i, :n].astype(np.int64))
+        if abs(exp - num[i] / den[i]) > 1e-12:
+            bad.append((i, exp, num[i] / den[i]))
+    print(f"partial_window: {'OK' if not bad else bad[:3]}", flush=True)
+
     # quick rates at this small B (dispatch-bound; compile sanity only)
     for name, fn in [
         ("osa_stream", lambda: sk.osa_stream_1v_many(q, cand3, lb2,
@@ -114,6 +135,8 @@ def main():
                                                        mode=mode)[0]),
         ("wlev_stream", lambda: sk.wlev_stream_1v_many(
             q, cand3, lb2, ins=2, dele=3, sub_cost=5, mode=mode)),
+        ("partial_window", lambda: pk.partial_ratio_1v_many(
+            q3, cand33, lb23, mode="byte")[0]),
     ]:
         out = fn()
         np.asarray(out[:1, :1])
