@@ -29,7 +29,7 @@ from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll, unpack_byte
 
 
 def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
-            ntab: int, unroll: int, sub: int):
+            ntab: int, unroll: int, sub: int, multiq: bool = False):
     lb = lb_ref[:, :]
     ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
 
@@ -89,7 +89,10 @@ def _kernel(tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     sim = jnp.zeros((sub, LANE), jnp.int32)
     for w in range(W):
         sim = sim + lax.population_count(~state[w]).astype(jnp.int32)
-    out_ref[:, :] = sim
+    if multiq:
+        out_ref[0] = sim
+    else:
+        out_ref[:, :] = sim
 
 
 @functools.partial(jax.jit,
@@ -117,6 +120,64 @@ def _run(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
         out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
         interpret=interpret,
     )(tabs, cand3, lb2)
+
+
+# ------------------------------------------------------------ multi-query
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _run_nq(tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+            interpret=False):
+    """NQ queries' LCS lengths in one dispatch (grid ``(nblocks, q)``
+    with the query axis innermost so consecutive grid steps share each
+    corpus tile fetch — the lev kernel's ``_run_nq`` pattern).  The LCS
+    body never reads the query length, so no per-query scalars are
+    needed; ``tabs`` stacks the NQ PM tables along axis 0."""
+    NQ = tabs.shape[0] // (W * ntab)
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
+                             sub=sub, multiq=True)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, NQ),
+        in_specs=[
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, q: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i, q: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, q: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i, q: (q, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NQ, cand3.shape[1], LANE),
+                                       jnp.int32),
+        interpret=interpret,
+    )(tabs, cand3, lb2)
+
+
+def lcs_nq_many(queries, cand3, lb2, *, mode: str = "byte", staged=None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Many-vs-many LCS lengths -> [NQ, B/128, 128] i32.
+
+    All queries must share one word bucket (equal ``ceil(len/32)``);
+    callers bucket by W (``CorpusScanner._distances_many``).  Empty
+    queries need no special case: their PM tables are all-zero, so the
+    state never changes and the popcount stays 0.
+    """
+    qs = [np.asarray(q) for q in queries]
+    Ws = {max(1, -(-q.size // 32)) for q in qs}
+    if len(Ws) != 1:
+        raise ValueError(f"queries span word buckets {sorted(Ws)}")
+    W = Ws.pop()
+    LB = int(cand3.shape[0]) * 4
+    ntab = 2 if mode == "byte" else 1
+    tabs = (staged if staged is not None
+            else jnp.asarray(np.concatenate(
+                [build_pm_tables(q, mode) for q in qs], axis=0)))
+    return _run_nq(tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                   unroll=pick_unroll(LB), interpret=interpret)
 
 
 def lcs_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",

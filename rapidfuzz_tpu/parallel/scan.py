@@ -933,11 +933,13 @@ class CorpusScanner:
 
     def _nq_eligible(self) -> bool:
         """scan_many can batch queries into one multi-query kernel dispatch
-        when the uniform-Levenshtein Pallas path is active on one device
-        (the corpus tiles are query-independent there; the wide-alphabet
-        route remaps the corpus per query and cannot share a dispatch)."""
+        when a uniform Levenshtein / indel / lcs_seq Pallas path is active
+        on one device (the corpus tiles are query-independent there; the
+        wide-alphabet route remaps the corpus per query and cannot share
+        a dispatch)."""
         return (self._pallas and self._ndev == 1 and not self._wide
-                and self.metric == "levenshtein" and self._weights is None
+                and self.metric in ("levenshtein", "indel", "lcs_seq")
+                and self._weights is None
                 and not self._stream and not self._zero
                 and not getattr(self, "_dam_pallas", False))
 
@@ -952,8 +954,10 @@ class CorpusScanner:
         queries per kernel launch.  Sustains ~1.35G pairs/s on v5e vs
         ~1.1G for one-query-per-dispatch scans.
         """
+        from ..ops.pallas import lcs_kernel as _ck
         from ..ops.pallas import lev_kernel as _lk
 
+        lev = self.metric == "levenshtein"
         enc = [self._encode_query(q) for q in queries]
         out = np.zeros((len(enc), self.n), np.int64)
         groups: dict = {}
@@ -966,10 +970,11 @@ class CorpusScanner:
                 part = idxs[s: s + self.NQ_GROUP]
                 qs = [enc[i] for i in part]
                 qs = qs + [qs[-1]] * (self.NQ_GROUP - len(qs))
-                d = _lk.lev_nq_many(qs, self.cand3, self.lb2, mode=mode,
-                                    interpret=self._interpret)
+                nq_fn = _lk.lev_nq_many if lev else _ck.lcs_nq_many
+                d = nq_fn(qs, self.cand3, self.lb2, mode=mode,
+                          interpret=self._interpret)
                 d = np.asarray(d).reshape(self.NQ_GROUP, -1)
-                if self._wscale != 1:
+                if lev and self._wscale != 1:
                     d = d * self._wscale
                 for row, i in enumerate(part):
                     r = d[row]
@@ -978,7 +983,18 @@ class CorpusScanner:
                         un = np.empty(r.shape, r.dtype)
                         un[self._order] = r
                         r = un
-                    out[i] = r[: self.n]
+                    r = r[: self.n]
+                    if not lev:
+                        # r holds LCS lengths; finish per metric on the
+                        # corpus-order host lengths
+                        la = enc[i].size
+                        if self.metric == "indel":
+                            r = la + self.lengths - 2 * r
+                            if self._wscale != 1:
+                                r = r * self._wscale
+                        else:                           # lcs_seq
+                            r = np.maximum(la, self.lengths) - r
+                    out[i] = r
         return out
 
     def _ckpt_fingerprint(self, queries) -> str:

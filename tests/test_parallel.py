@@ -795,6 +795,19 @@ def test_cdist_grouped_dispatches(mesh, monkeypatch):
         exp = [lev.distance(q, s) for s in corpus]
         np.testing.assert_array_equal(got[qi], exp), q
 
+    # indel / lcs_seq ride the lcs nq kernel (sim -> distance finish on
+    # host lengths); a 33-char query forces a second W group
+    from rapidfuzz_tpu.distance import indel as indel_mod
+    from rapidfuzz_tpu.distance import lcs_seq as lcs_mod
+    queries2 = queries + ["a" * 33]
+    for metric, mod in [("indel", indel_mod), ("lcs_seq", lcs_mod)]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=m1)
+        assert sc._nq_eligible()
+        got = np.asarray(sc.scan_many(queries2))
+        for qi, q in enumerate(queries2):
+            exp = [mod.distance(q, s) for s in corpus]
+            np.testing.assert_array_equal(got[qi], exp), (metric, q)
+
 
 def test_partial_ratio_scanner_routing(monkeypatch):
     """CorpusScanner(metric="partial_ratio"): the windowed Pallas kernel
