@@ -54,8 +54,8 @@ def _mask_below(n):
 
 
 def _kernel(la_ref, tab_ref, cand_ref, lb_ref, common_ref, trans_ref, *,
-            LB: int, W: int, ntab: int, sub: int):
-    la = la_ref[0]
+            LB: int, W: int, ntab: int, sub: int, multiq: bool = False):
+    la = la_ref[pl.program_id(1)] if multiq else la_ref[0]
     lb = lb_ref[:, :]
     zeros = jnp.zeros((sub, LANE), jnp.uint32)
 
@@ -188,8 +188,12 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, common_ref, trans_ref, *,
     for j in range(LB):
         rem, t = trans_char(j, rem, t)
 
-    common_ref[:, :] = common
-    trans_ref[:, :] = t
+    if multiq:
+        common_ref[0] = common
+        trans_ref[0] = t
+    else:
+        common_ref[:, :] = common
+        trans_ref[:, :] = t
 
 
 @functools.partial(jax.jit,
@@ -244,3 +248,57 @@ def jaro_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
         jnp.asarray(build_pm_tables(q, mode, sub)))
     return _run(la_arr, tabs, cand3, lb2,
                 LB=LB, W=W, ntab=ntab, sub=sub, interpret=interpret)
+
+
+# ------------------------------------------------------------ multi-query
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "sub", "interpret"))
+def _run_nq(las, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB,
+            interpret=False):
+    """NQ queries' Jaro components in one dispatch (query axis innermost
+    so consecutive grid steps share each corpus tile fetch)."""
+    NQ = las.shape[0]
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, sub=sub,
+                             multiq=True)
+    spec = pl.BlockSpec((1, sub, LANE), lambda i, q: (q, i, 0),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NQ, cand3.shape[1], LANE), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, NQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, q: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i, q: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, q: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(las, tabs, cand3, lb2)
+
+
+def jaro_nq_many(queries, cand3, lb2, *, mode: str = "byte", staged=None,
+                 interpret: bool = False):
+    """Many-vs-many Jaro components -> 2x [NQ, B/128, 128] i32.  All
+    queries must share one word bucket; empty queries flag nothing (their
+    PM tables and length masks are all-zero), matching the la == 0
+    convention of :func:`jaro_1v_many`."""
+    qs = [np.asarray(q) for q in queries]
+    Ws = {max(1, -(-q.size // 32)) for q in qs}
+    if len(Ws) != 1:
+        raise ValueError(f"queries span word buckets {sorted(Ws)}")
+    W = Ws.pop()
+    LB = int(cand3.shape[0]) * 4
+    ntab = 2 if mode == "byte" else 1
+    las, tabs = staged if staged is not None else (
+        jnp.array([q.size for q in qs], jnp.int32),
+        jnp.asarray(np.concatenate(
+            [build_pm_tables(q, mode) for q in qs], axis=0)))
+    return _run_nq(las, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                   interpret=interpret)

@@ -29,8 +29,8 @@ from .lev_kernel import LANE, SUB, build_pm_tables, pick_unroll, unpack_byte
 
 
 def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
-            ntab: int, unroll: int, sub: int):
-    la = la_ref[0]
+            ntab: int, unroll: int, sub: int, multiq: bool = False):
+    la = la_ref[pl.program_id(1)] if multiq else la_ref[0]
     lb = lb_ref[:, :]
     # W == ceil(la/32) per compilation, so the last word is always W-1
     last_bit = ((la - 1) & 31).astype(jnp.uint32)
@@ -100,7 +100,10 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, out_ref, *, LB: int, W: int,
     state = (dist0,) + (ones,) * W + (zeros,) * (3 * W)
     trips = (jnp.max(lb) + (unroll - 1)) // unroll
     state = jax.lax.fori_loop(0, trips, body, state)
-    out_ref[:, :] = state[0]
+    if multiq:
+        out_ref[0] = state[0]
+    else:
+        out_ref[:, :] = state[0]
 
 
 @functools.partial(jax.jit,
@@ -149,3 +152,62 @@ def osa_1v_many(query: np.ndarray, cand3, lb2, *, mode: str = "byte",
     return _run(la_arr, tabs, cand3, lb2,
                 LB=LB, W=W, ntab=ntab, unroll=pick_unroll(LB),
                 interpret=interpret)
+
+
+# ------------------------------------------------------------ multi-query
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "W", "ntab", "unroll", "sub",
+                                    "interpret"))
+def _run_nq(las, tabs, cand3, lb2, *, LB, W, ntab, unroll, sub=SUB,
+            interpret=False):
+    """NQ queries' OSA distances in one dispatch (the lev kernel's
+    ``_run_nq`` pattern: query axis innermost so consecutive grid steps
+    share each corpus tile fetch)."""
+    assert unroll % 4 == 0
+    NQ = las.shape[0]
+    nblocks = cand3.shape[1] // sub
+    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, unroll=unroll,
+                             sub=sub, multiq=True)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, NQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W * ntab, sub, LANE), lambda i, q: (q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB // 4, sub, LANE), lambda i, q: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, q: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i, q: (q, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NQ, cand3.shape[1], LANE),
+                                       jnp.int32),
+        interpret=interpret,
+    )(las, tabs, cand3, lb2)
+
+
+def osa_nq_many(queries, cand3, lb2, *, mode: str = "byte", staged=None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Many-vs-many OSA distances -> [NQ, B/128, 128] i32.  All queries
+    must share one word bucket; empty queries are patched to lb after
+    the dispatch (the bit-parallel delta never fires for them)."""
+    qs = [np.asarray(q) for q in queries]
+    Ws = {max(1, -(-q.size // 32)) for q in qs}
+    if len(Ws) != 1:
+        raise ValueError(f"queries span word buckets {sorted(Ws)}")
+    W = Ws.pop()
+    LB = int(cand3.shape[0]) * 4
+    ntab = 2 if mode == "byte" else 1
+    las, tabs = staged if staged is not None else (
+        jnp.array([q.size for q in qs], jnp.int32),
+        jnp.asarray(np.concatenate(
+            [build_pm_tables(q, mode) for q in qs], axis=0)))
+    out = _run_nq(las, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
+                  unroll=pick_unroll(LB), interpret=interpret)
+    for k, q in enumerate(qs):
+        if q.size == 0:
+            out = out.at[k].set(lb2.astype(jnp.int32))
+    return out

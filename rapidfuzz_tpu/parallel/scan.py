@@ -938,7 +938,8 @@ class CorpusScanner:
         wide-alphabet route remaps the corpus per query and cannot share
         a dispatch)."""
         return (self._pallas and self._ndev == 1 and not self._wide
-                and self.metric in ("levenshtein", "indel", "lcs_seq")
+                and self.metric in ("levenshtein", "indel", "lcs_seq",
+                                    "osa", "jaro", "jaro_winkler")
                 and self._weights is None
                 and not self._stream and not self._zero
                 and not getattr(self, "_dam_pallas", False))
@@ -954,12 +955,16 @@ class CorpusScanner:
         queries per kernel launch.  Sustains ~1.35G pairs/s on v5e vs
         ~1.1G for one-query-per-dispatch scans.
         """
+        from ..ops.pallas import jaro_kernel as _jk
         from ..ops.pallas import lcs_kernel as _ck
         from ..ops.pallas import lev_kernel as _lk
+        from ..ops.pallas import osa_kernel as _ok
 
-        lev = self.metric == "levenshtein"
+        metric = self.metric
+        jaro = metric in _F64_METRICS
         enc = [self._encode_query(q) for q in queries]
-        out = np.zeros((len(enc), self.n), np.int64)
+        out = np.zeros((len(enc), self.n),
+                       np.float64 if jaro else np.int64)
         groups: dict = {}
         for i, q in enumerate(enc):
             w = max(1, -(-q.size // 32))
@@ -970,12 +975,26 @@ class CorpusScanner:
                 part = idxs[s: s + self.NQ_GROUP]
                 qs = [enc[i] for i in part]
                 qs = qs + [qs[-1]] * (self.NQ_GROUP - len(qs))
-                nq_fn = _lk.lev_nq_many if lev else _ck.lcs_nq_many
-                d = nq_fn(qs, self.cand3, self.lb2, mode=mode,
-                          interpret=self._interpret)
-                d = np.asarray(d).reshape(self.NQ_GROUP, -1)
-                if lev and self._wscale != 1:
-                    d = d * self._wscale
+                if jaro:
+                    cm, tr = _jk.jaro_nq_many(qs, self.cand3, self.lb2,
+                                              mode=mode,
+                                              interpret=self._interpret)
+                    cm = np.asarray(cm).reshape(self.NQ_GROUP, -1)
+                    tr = np.asarray(tr).reshape(self.NQ_GROUP, -1)
+                    # the Jaro finish (and Winkler prefix boost) runs in
+                    # SORTED space: _lens_host/_chars4 are sorted-order;
+                    # padded rows are dropped so only real queries finish
+                    d = np.stack([self._jaro_finish(cm[r], tr[r], enc[i])
+                                  for r, i in enumerate(part)])
+                else:
+                    nq_fn = {"levenshtein": _lk.lev_nq_many,
+                             "osa": _ok.osa_nq_many}.get(metric,
+                                                         _ck.lcs_nq_many)
+                    d = nq_fn(qs, self.cand3, self.lb2, mode=mode,
+                              interpret=self._interpret)
+                    d = np.asarray(d).reshape(self.NQ_GROUP, -1)
+                    if metric == "levenshtein" and self._wscale != 1:
+                        d = d * self._wscale
                 for row, i in enumerate(part):
                     r = d[row]
                     if self._order is not None:
@@ -984,11 +1003,11 @@ class CorpusScanner:
                         un[self._order] = r
                         r = un
                     r = r[: self.n]
-                    if not lev:
+                    if metric in ("indel", "lcs_seq"):
                         # r holds LCS lengths; finish per metric on the
                         # corpus-order host lengths
                         la = enc[i].size
-                        if self.metric == "indel":
+                        if metric == "indel":
                             r = la + self.lengths - 2 * r
                             if self._wscale != 1:
                                 r = r * self._wscale

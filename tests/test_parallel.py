@@ -808,6 +808,25 @@ def test_cdist_grouped_dispatches(mesh, monkeypatch):
             exp = [mod.distance(q, s) for s in corpus]
             np.testing.assert_array_equal(got[qi], exp), (metric, q)
 
+    # osa / jaro / jaro_winkler nq forms (short queries: the jaro
+    # interpret body is flat and slow, keep one W group)
+    from rapidfuzz_tpu.distance import jaro as jaro_mod
+    from rapidfuzz_tpu.distance import jaro_winkler as jw_mod
+    from rapidfuzz_tpu.distance import osa as osa_mod
+    sc = CorpusScanner(corpus, metric="osa", mesh=m1)
+    assert sc._nq_eligible()
+    got = np.asarray(sc.scan_many(queries))
+    for qi, q in enumerate(queries):
+        exp = [osa_mod.distance(q, s) for s in corpus]
+        np.testing.assert_array_equal(got[qi], exp), q
+    for metric, mod in [("jaro", jaro_mod), ("jaro_winkler", jw_mod)]:
+        sc = CorpusScanner(corpus, metric=metric, mesh=m1)
+        assert sc._nq_eligible()
+        got = np.asarray(sc.scan_many(queries))
+        for qi, q in enumerate(queries):
+            exp = np.array([1.0 - mod.similarity(q, s) for s in corpus])
+            assert np.abs(got[qi] - exp).max() < 1e-12, (metric, q)
+
 
 def test_partial_ratio_scanner_routing(monkeypatch):
     """CorpusScanner(metric="partial_ratio"): the windowed Pallas kernel
