@@ -106,6 +106,21 @@ def main():
         bad += (g != exp) if exp <= 33 else (g <= 33)
     print(f"band fori-unroll: {'OK' if not bad else f'{bad} bad'}")
 
+    # streamed band kernel: cutoff<=47 on a >1024-char bucket
+    q4 = rng.integers(97, 105, 200).astype(np.int32)
+    t0 = time.time()
+    out = np.asarray(bk.lev_banded_stream_1v_many(
+        q4, cand3, lb2, cutoff=20, mode=mode)).reshape(-1)
+    print(f"band_stream compile+run {time.time()-t0:.0f}s")
+    q464 = q4.astype(np.int64)
+    bad = 0
+    for i in idxs:
+        exp = oracle.levenshtein_uniform(q464,
+                                         chars[i, :lens[i]].astype(np.int64))
+        g = out[i]
+        bad += (g != exp) if exp <= 20 else (g <= 20)
+    print(f"band_stream: {'OK' if not bad else f'{bad} bad'}", flush=True)
+
     # windowed partial_ratio kernel (flat TPU body): exactness + rate
     from rapidfuzz_tpu import fuzz
     from rapidfuzz_tpu.ops.pallas import partial_kernel as pk
@@ -137,6 +152,8 @@ def main():
             q, cand3, lb2, ins=2, dele=3, sub_cost=5, mode=mode)),
         ("partial_window", lambda: pk.partial_ratio_1v_many(
             q3, cand33, lb23, mode="byte")[0]),
+        ("band_stream", lambda: bk.lev_banded_stream_1v_many(
+            q4, cand3, lb2, cutoff=20, mode=mode)),
     ]:
         out = fn()
         np.asarray(out[:1, :1])

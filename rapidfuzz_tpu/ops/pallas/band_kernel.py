@@ -463,3 +463,205 @@ def lev_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
     tabs = jnp.asarray(build_pm_tables(q, mode, sub))
     return _run(scal, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab, sub=sub,
                 interpret=interpret)
+
+
+# ------------------------------------------------------- streamed band
+
+#: text chars per grid step of the streamed band (matches stream_kernel)
+STREAM_CHUNK = 512
+
+
+def _stream_kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref,
+                   dist_ref, vp_ref, vn_ref, *, CH: int, ntab: int,
+                   sub: int, bw: int, nchunks: int):
+    """Static-width band over STREAMED text chunks.
+
+    The :func:`_fast_kernel` band (semiwidth pinned at ``16*bw - 1``,
+    pre-funneled per-step tables) with the text as a second grid
+    dimension: the band register (dist, VP, VN) carries across chunks in
+    VMEM scratch, and the per-step tables stream chunk-by-chunk through
+    the same grid axis, so buckets of any length run under a cutoff at
+    ``O(bw)`` per char — the reference's ``O(ceil(K/64)*M)`` cutoff
+    asymptotics (``levenshtein.rs:48``) at scan scale.  The horizontal-
+    phase probe is computed dynamically from the global step (the probe
+    table would not fit SMEM at stream lengths): ``hbit = 32*bw - 2 -
+    (j - pstart)``, one select per band word.
+    """
+    t = pl.program_id(1)
+    la = scal_ref[0]
+    cut = scal_ref[1]
+    lb = lb_ref[:, :]
+    maxc = 16 * bw - 1
+    pstart = jnp.maximum(la - maxc, 0)
+
+    ones_t = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+    zeros_t = jnp.zeros((sub, LANE), jnp.uint32)
+
+    @pl.when(t == 0)
+    def _init():
+        dist_ref[:, :] = jnp.full((sub, LANE), maxc, jnp.int32)
+        for k in range(bw):             # top 16*bw bits of the register
+            lo_bit = 32 * k
+            if lo_bit >= 16 * bw:
+                vp_ref[k] = ones_t
+            elif lo_bit + 32 <= 16 * bw:
+                vp_ref[k] = zeros_t
+            else:
+                vp_ref[k] = ones_t << jnp.uint32(16 * bw - lo_bit)
+            vn_ref[k] = zeros_t
+
+    base = t * CH
+
+    def one_step(jl, row, u, state):
+        dist, vp, vn = state
+        j = base + jl                       # global text step (dynamic)
+        c = ((row >> jnp.uint32(8 * u))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
+        if ntab == 2:
+            c_lo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            c_lo = c
+            chi = None
+
+        x = []
+        for k in range(bw):
+            t0 = jnp.broadcast_to(tab_ref[(jl * ntab) * bw + k],
+                                  (sub, LANE))
+            g0 = jnp.take_along_axis(t0, c_lo, axis=1)
+            if ntab == 2:
+                t1 = jnp.broadcast_to(tab_ref[(jl * ntab + 1) * bw + k],
+                                      (sub, LANE))
+                g0 = jnp.where(chi,
+                               jnp.take_along_axis(t1, c_lo, axis=1), g0)
+            x.append(g0)
+
+        d0, hp, hn = [], [], []
+        carry = zeros_t
+        for k in range(bw):
+            a = x[k] & vp[k]
+            s, carry = add_with_carry(a, vp[k], carry)
+            d0k = (s ^ vp[k]) | x[k] | vn[k]
+            d0.append(d0k)
+            hp.append(vn[k] | ~(d0k | vp[k]))
+            hn.append(d0k & vp[k])
+
+        diag_delta = 1 - ((d0[bw - 1] >> 31) & 1).astype(jnp.int32)
+        # dynamic probe: register bit of the pattern's last row
+        hbit = jnp.clip(32 * bw - 2 - (j - pstart), 0, 32 * bw - 1)
+        hor_delta = jnp.zeros((sub, LANE), jnp.int32)
+        for k in range(bw):
+            pk = jnp.where(hbit // 32 == k,
+                           jnp.uint32(1) << (hbit % 32).astype(jnp.uint32),
+                           jnp.uint32(0))
+            hor_delta = hor_delta \
+                + ((hp[k] & pk) != 0).astype(jnp.int32) \
+                - ((hn[k] & pk) != 0).astype(jnp.int32)
+        delta = jnp.where(j < pstart, diag_delta, hor_delta)
+        dist = jnp.where(j < lb, dist + delta, dist)
+
+        nvp, nvn = [], []
+        for k in range(bw):
+            hi = (d0[k + 1] << 31) if k + 1 < bw else zeros_t
+            d0s = (d0[k] >> 1) | hi
+            nvp.append(hn[k] | ~(d0s | hp[k]))
+            nvn.append(d0s & hp[k])
+        return dist, nvp, nvn
+
+    ur = 16
+    assert CH % ur == 0
+
+    def body(jj, state):
+        dist, *rest = state
+        vp = list(rest[:bw])
+        vn = list(rest[bw:])
+        for r in range(ur // 4):
+            row = cand_ref[jj * (ur // 4) + r]
+            for u in range(4):
+                dist, vp, vn = one_step(jj * ur + r * 4 + u, row, u,
+                                        (dist, vp, vn))
+        return (dist, *vp, *vn)
+
+    dist = dist_ref[:, :]
+    vp = [vp_ref[k] for k in range(bw)]
+    vn = [vn_ref[k] for k in range(bw)]
+    rem = jnp.max(lb) - base
+    trips = jnp.clip((rem + (ur - 1)) // ur, 0, CH // ur)
+    state = jax.lax.fori_loop(0, trips, body, (dist, *vp, *vn))
+    dist_ref[:, :] = state[0]
+    for k in range(bw):
+        vp_ref[k] = state[1 + k]
+        vn_ref[k] = state[1 + bw + k]
+
+    @pl.when(t == nchunks - 1)
+    def _emit():
+        d = dist_ref[:, :]
+        d = jnp.where(lb == 0, la, d)
+        d = jnp.where(jnp.abs(la - lb) > cut, BIG, d)
+        d = jnp.where(d > cut, BIG, d)
+        out_ref[:, :] = d
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "ntab", "sub", "bw", "interpret"))
+def _run_stream(scal, tabs, cand3, lb2, *, LB, ntab, bw, sub=SUB,
+                interpret=False):
+    CH = STREAM_CHUNK
+    assert LB % CH == 0, (LB, CH)
+    nblocks = cand3.shape[1] // sub
+    nchunks = LB // CH
+    kern = functools.partial(_stream_kernel, CH=CH, ntab=ntab, sub=sub,
+                             bw=bw, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((CH * ntab * bw, 1, LANE), lambda i, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH // 4, sub, LANE), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),
+            pltpu.VMEM((bw, SUB, LANE), jnp.uint32),
+            pltpu.VMEM((bw, SUB, LANE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scal, tabs, cand3, lb2)
+
+
+def lev_banded_stream_1v_many(query: np.ndarray, cand3, lb2, *,
+                              cutoff: int, mode: str = "byte",
+                              sub: int = SUB, staged=None,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Banded scan over long (>1024-char) candidate buckets.
+
+    Same contract as :func:`lev_banded_1v_many` (exact when <= cutoff,
+    ``BIG`` above it); bucket length must be a multiple of
+    ``STREAM_CHUNK``.  Worth routing when the query word count clears
+    the band cost (callers use ``W >= 2*bw + 1``, the fori-form rule).
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    if not 0 <= cutoff <= MAX_CUTOFF_FAST:
+        raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF_FAST}]")
+    if cutoff >= la:
+        raise ValueError("banded kernel requires cutoff < len(query)")
+    bw = band_words(cutoff)
+    if la <= 16 * bw - 1:
+        raise ValueError("pinned band must be narrower than the pattern")
+    LB = int(cand3.shape[0]) * 4
+    ntab = 2 if mode == "byte" else 1
+    scal = jnp.array([la, cutoff], jnp.int32)
+    stabs = (staged[0] if staged is not None
+             else jnp.asarray(build_shifted_tables(q, mode, LB, bw)))
+    return _run_stream(scal, stabs, cand3, lb2, LB=LB, ntab=ntab, bw=bw,
+                       sub=sub, interpret=interpret)

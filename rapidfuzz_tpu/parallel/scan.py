@@ -559,7 +559,24 @@ class CorpusScanner:
                                            interpret=self._interpret)
                     return out.reshape(-1)
                 if self._stream:
+                    from ..ops.pallas import band_kernel as _bk
                     from ..ops.pallas import stream_kernel as _sk
+                    cut = (None if score_cutoff is None
+                           or self._wscale != 1 else int(score_cutoff))
+                    if (cut is not None
+                            and 0 <= cut <= _bk.MAX_CUTOFF_FAST
+                            and cut < q.size):
+                        # streamed band: O(bw) per char regardless of the
+                        # query's word count — route when W clears the
+                        # fori-form band cost (same rule as short buckets)
+                        bw = _bk.band_words(cut)
+                        Wq = max(1, -(-int(q.size) // 32))
+                        if q.size > 16 * bw - 1 and Wq >= 2 * bw + 1:
+                            out = _bk.lev_banded_stream_1v_many(
+                                qk.astype(np.int32), cand3, self.lb2,
+                                cutoff=cut, mode=mode,
+                                interpret=self._interpret)
+                            return out.reshape(-1)
                     out = _sk.lev_stream_1v_many(qk, cand3, self.lb2,
                                                  mode=mode,
                                                  interpret=self._interpret)

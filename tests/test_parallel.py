@@ -882,3 +882,37 @@ def test_partial_ratio_scanner_routing(monkeypatch):
     from rapidfuzz_tpu.models import extract
     hits = extract(q, corpus, scorer="partial_ratio", limit=3)
     assert hits[0][1] == exp.max()
+
+
+def test_banded_stream_scanner(monkeypatch):
+    """score_cutoff <= 47 rides the streamed band kernel on long
+    (>1024-char) buckets (band_kernel._stream_kernel: band register in
+    VMEM scratch across text chunks, pre-funneled tables streamed
+    chunk-by-chunk) — the reference's O(ceil(K/64)*M) cutoff asymptotics
+    (levenshtein.rs:48) at stream lengths."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(23)
+    letters = list("abcdef")
+    q = "".join(rng.choice(letters, 200))
+    corpus = []
+    for i in range(48):
+        k = i % 3
+        if k == 0:          # near-misses (results under the cutoff)
+            c = list(q)
+            for _ in range(int(rng.integers(0, 25))):
+                c[int(rng.integers(len(c)))] = rng.choice(letters)
+            corpus.append("".join(c))
+        elif k == 1:        # far candidates, arbitrary lengths
+            corpus.append("".join(rng.choice(
+                letters, int(rng.integers(0, 1400)))))
+        else:               # query + suffix
+            corpus.append(q + "".join(rng.choice(
+                letters, int(rng.integers(0, 30)))))
+    sc = CorpusScanner(corpus, metric="levenshtein", bucket=1536)
+    assert sc._stream
+    exp = np.array([lev.distance(q, c) for c in corpus])
+    for cutoff in (9, 20, 47):      # bw = 1, 2, 3
+        r = sc.distances(q, score_cutoff=cutoff)
+        under = exp <= cutoff
+        np.testing.assert_array_equal(r.valid, under, err_msg=str(cutoff))
+        np.testing.assert_array_equal(r.values[under], exp[under])
