@@ -153,41 +153,92 @@ def shrink(mod_name: str, s1: str, s2: str) -> tuple[str, str]:
 def check_scanner(rng: random.Random, corpus: list) -> str | None:
     """Differential check of the CorpusScanner routing layer (bucketing,
     length sort, cutoff masks, top-k) against the scalar API."""
+    from rapidfuzz_tpu import fuzz as fuzz_mod
     from rapidfuzz_tpu.parallel.scan import CorpusScanner
     from rapidfuzz_tpu.distance import (damerau_levenshtein, indel, jaro,
                                         lcs_seq, levenshtein, osa)
     mods = dict(levenshtein=levenshtein, indel=indel, lcs_seq=lcs_seq,
                 osa=osa, damerau_levenshtein=damerau_levenshtein,
-                jaro=jaro)
+                jaro=jaro, partial_ratio=None)
     name = rng.choice(list(mods))
     mod = mods[name]
     sample = [rng.choice(corpus) for _ in range(rng.randint(1, 24))]
     q = mutate(rng, rng.choice(sample))
-    f64 = name == "jaro"
+    f64 = name in ("jaro", "partial_ratio")
     tol = 1e-9 if f64 else 0
+
+    def scalar(a, b, cutoff=None):
+        if name == "partial_ratio":
+            # scanner yields distance = 1 - best-window ratio
+            s = fuzz_mod.partial_ratio(a, b)
+            d = 1.0 - s
+            if cutoff is not None and d > cutoff + 1e-12:
+                return None
+            return d
+        return mod.distance(a, b, **({} if cutoff is None
+                                     else dict(score_cutoff=cutoff)))
+
     try:
         sc = CorpusScanner(sample, metric=name)
         d = sc.distances(q)
         for s, g in zip(sample, d):
-            exp = mod.distance(q, s)
+            exp = scalar(q, s)
             if abs(float(g) - exp) > tol:
                 return (f"scanner[{name}] {g} != scalar {exp} "
                         f"for q={q!r} s={s!r}")
         cut = float(d[0]) if f64 else int(d[0])
         res = sc.distances(q, score_cutoff=cut)
         for s, v, ok in zip(sample, res.values, res.valid):
-            exp = mod.distance(q, s, score_cutoff=cut)
+            exp = scalar(q, s, cutoff=cut)
             if ok != (exp is not None) or (ok and abs(v - exp) > tol):
                 return (f"scanner[{name}] cutoff {cut}: ({v}, {ok}) vs "
                         f"{exp} for q={q!r} s={s!r}")
         vals, ids = sc.topk(q, k=3)
         base = sorted(
-            (mod.distance(q, s), i) for i, s in enumerate(sample))
+            (scalar(q, s), i) for i, s in enumerate(sample))
         if len(vals) and abs(float(vals[0]) - base[0][0]) > tol:
             return (f"scanner[{name}] topk {vals[0]} != best "
                     f"{base[0][0]} for q={q!r}")
+        # grouped multi-query dispatches must equal per-query scans
+        if sc._nq_eligible():
+            q2 = mutate(rng, q)
+            import numpy as _np
+            dm = _np.asarray(sc.scan_many([q, q2]))
+            if abs(dm[0] - _np.asarray(d, _np.float64)).max() > tol:
+                return f"scanner[{name}] scan_many[0] != distances q={q!r}"
+            d2 = _np.asarray(sc.distances(q2), _np.float64)
+            if abs(dm[1] - d2).max() > tol:
+                return f"scanner[{name}] scan_many[1] != distances q={q2!r}"
     except Exception as e:
         return f"scanner[{name}] exception: {type(e).__name__}: {e}"
+    return None
+
+
+def check_editops(rng: random.Random, corpus: list) -> str | None:
+    """editops/editops_many: minimality (len == distance), replay
+    (apply reconstructs the destination), batch == pairwise."""
+    from rapidfuzz_tpu.distance import indel, levenshtein
+
+    sample = [rng.choice(corpus) for _ in range(rng.randint(1, 8))]
+    q = mutate(rng, rng.choice(sample))
+    if max(len(q), max(len(s) for s in sample)) > 4000:
+        return None     # recording cap (documented ValueError)
+    try:
+        many = levenshtein.editops_many(q, sample)
+        for s, ops in zip(sample, many):
+            if len(ops) != levenshtein.distance(q, s):
+                return (f"editops len {len(ops)} != distance for "
+                        f"q={q!r} s={s!r}")
+            if ops.apply(q, s) != s:
+                return f"editops apply mismatch q={q!r} s={s!r}"
+            if list(ops) != list(levenshtein.editops(q, s)):
+                return f"editops_many != pairwise q={q!r} s={s!r}"
+        iops = indel.editops_many(q, sample)
+        for s, ops in zip(sample, iops):
+            if len(ops) != indel.distance(q, s) or ops.apply(q, s) != s:
+                return f"indel editops mismatch q={q!r} s={s!r}"
+    except Exception as e:
+        return f"editops exception: {type(e).__name__}: {e}"
     return None
 
 
@@ -228,6 +279,10 @@ def main():
         if not err and args.scanner_every and n % args.scanner_every == 0:
             err = check_scanner(rng, corpus)
             m = "scanner"
+        if (not err and args.scanner_every
+                and n % (2 * args.scanner_every) == 0):
+            err = check_editops(rng, corpus)
+            m = "scanner"        # reproducer is in the message itself
         if err:
             if m == "scanner":   # reproducer is in the message itself
                 print(f"FAIL[scanner] after {n} execs: {err}")
