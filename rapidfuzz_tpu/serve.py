@@ -25,8 +25,11 @@ Endpoints (JSON):
                                   -> ``{"distance", "editops", "opcodes"}``
   (alignment of two strings, or of ``s1`` vs corpus entry ``index``)
 * ``POST /extract`` body ``{"query": str, "scorer"?: str, "limit"?: int,
-                            "score_cutoff"?: num}``
+                            "score_cutoff"?: num, "with_editops"?: bool}``
                                   -> ``{"results": [[string, score, idx]]}``
+  (``with_editops`` appends each hit's edit script — one batched
+  recording dispatch over the surviving hits; levenshtein / indel /
+  lcs_seq / ratio scorers)
   (any registered scorer incl. the fuzz family — WRatio, partial_ratio,
   token_*.  Scores are normalized SIMILARITIES in [0, 1], so its
   ``score_cutoff`` is a similarity floor — unlike /topk and /distances,
@@ -129,7 +132,7 @@ class ScanService:
         }
 
     def extract(self, query: str, scorer: str, limit: int,
-                score_cutoff=None):
+                score_cutoff=None, with_editops: bool = False):
         """process.extract over the corpus with any registered scorer.
 
         Scores are ``normalized_similarity`` in [0, 1] (best first) — a
@@ -153,11 +156,16 @@ class ScanService:
                 if scanner is None:
                     scanner = CorpusScanner(self.corpus, metric=scorer)
                     self._extra_scanners[scorer] = scanner
-            return process.extract(
-                query, self.corpus, scorer=scorer, limit=limit,
-                score_cutoff=score_cutoff, _scanner=scanner)
+            fn = (process.extract_editops if with_editops
+                  else process.extract)
+            return fn(query, self.corpus, scorer=scorer, limit=limit,
+                      score_cutoff=score_cutoff, _scanner=scanner)
 
         res = self._timed(run)
+        if with_editops:
+            return {"results": [
+                [s, v, i, [[o.tag, o.src_pos, o.dest_pos] for o in ops]]
+                for s, v, i, ops in res]}
         return {"results": [[s, v, i] for s, v, i in res]}
 
 
@@ -210,7 +218,8 @@ def make_server(service: ScanService, host: str = "127.0.0.1",
                 elif self.path == "/extract":
                     out = service.extract(
                         req["query"], req.get("scorer", "levenshtein"),
-                        int(req.get("limit", 5)), score_cutoff=cutoff)
+                        int(req.get("limit", 5)), score_cutoff=cutoff,
+                        with_editops=bool(req.get("with_editops")))
                 else:
                     return self._reply(404, {"error": "unknown path"})
                 self._reply(200, out)

@@ -88,5 +88,13 @@ def test_scan_service_http():
                                        "limit": 2})
         assert out["results"][0][0] in ("apple", "apply")
         assert 0.0 < out["results"][0][1] <= 1.0
+
+        # extract with edit scripts (one batched recording dispatch)
+        out = _post(port, "/extract", {"query": "appel", "limit": 2,
+                                       "with_editops": True})
+        top = out["results"][0]
+        assert len(top) == 4
+        ops = lev.editops("appel", top[0])
+        assert top[3] == [[o.tag, o.src_pos, o.dest_pos] for o in ops]
     finally:
         server.shutdown()
