@@ -68,7 +68,7 @@ def _kernel(q_ref, la_ref, b_ref, lb_ref, out_ref, st_ref, *, sub: int,
     jj = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
     local = jj & (seg - 1)                   # lane index within segment
     jcol = local + 1                         # 1-based DP column
-    shifts = [1, 2, 4, 8, 16, 32] + ([64] if seg == 128 else [])
+    shifts = [1 << k for k in range(seg.bit_length() - 1)]
     SENT = jnp.int32(int(BIG) << 7)
 
     def shift_seg(x, sh, fill):
@@ -162,11 +162,16 @@ def _run(q, la, b_tiles, lb_tiles, *, sub=SUBC, seg=LANE, interpret=False):
 
 
 def pick_seg(maxlen: int) -> int:
-    """Segment width: two candidates per row when they fit 64 lanes."""
+    """Smallest power-of-2 segment holding the bucket: every halving
+    doubles the candidates per row AND drops one Hillis-Steele shift
+    from both lane scans (short dictionary corpora pack 4-8 per row)."""
     if maxlen > MAX_TEXT:
         raise ValueError(f"candidates longer than {MAX_TEXT} need the XLA "
                          "Damerau path")
-    return 64 if maxlen <= 64 else 128
+    for s in (16, 32, 64):
+        if maxlen <= s:
+            return s
+    return 128
 
 
 def prepare_corpus_cols(chars: np.ndarray, lens: np.ndarray,

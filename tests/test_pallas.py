@@ -438,3 +438,28 @@ def test_partial_ratio_window_kernel():
             exp, _ = fuzz._best_window(q.astype(np.int64),
                                        chars[i, :n].astype(np.int64))
             assert abs(exp - num[i] / den[i]) < 1e-12, (LB, qlen, i)
+
+
+def test_damerau_small_segments():
+    """Damerau lane-segment widths 16 and 32: short corpora pack 8/4
+    candidates per 128-lane row with shorter Hillis-Steele chains;
+    exact vs the oracle including empty and full-width candidates."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(31)
+    for LB, seg_exp in [(14, 16), (30, 32)]:
+        Bs = 512 * (128 // seg_exp)
+        lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+        lens[0] = 0
+        lens[1] = LB
+        chars = np.full((Bs, LB), -1, np.int32)
+        for i, l in enumerate(lens):
+            chars[i, :l] = rng.integers(97, 103, l)
+        bt, lt, seg = dk.prepare_corpus_cols(chars, lens)
+        assert seg == seg_exp, (LB, seg)
+        q = rng.integers(97, 103, 37).astype(np.int64)
+        out = np.asarray(dk.damerau_1v_many(
+            q, jnp.asarray(bt), jnp.asarray(lt), seg=seg, interpret=True))
+        for i in list(range(0, Bs, 97)) + [0, 1]:
+            exp = oracle.damerau(q, chars[i, :lens[i]].astype(np.int64))
+            assert out[i] == exp, (LB, i, out[i], exp)
