@@ -12,6 +12,9 @@ t0=time.time(); x=jnp.ones((8,128)); v=float(np.asarray((x+1).sum()))
 print('probe ok', v, 'in %.1fs' % (time.time()-t0))
 " >> "$LOG" 2>&1; then
       echo "$(date -u +%FT%TZ) TUNNEL UP" >> "$LOG"
+      # run the queued hardware validation + bench immediately
+      /root/repo/experiments/hw_queue.sh
+      echo "$(date -u +%FT%TZ) hw_queue finished" >> "$LOG"
       exit 0
     else
       echo "$(date -u +%FT%TZ) port open but probe failed" >> "$LOG"
