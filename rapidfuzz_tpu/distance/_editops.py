@@ -102,6 +102,10 @@ class Editops:
         return Editops([Editop(swap[o.tag], o.dest_pos, o.src_pos)
                         for o in self._ops], self.dest_len, self.src_len)
 
+    def as_list(self) -> List[tuple]:
+        """``[(tag, src_pos, dest_pos), ...]`` (rapidfuzz-py compat)."""
+        return [(o.tag, o.src_pos, o.dest_pos) for o in self._ops]
+
     def as_opcodes(self) -> "Opcodes":
         ops = []
         i = j = 0
@@ -182,6 +186,12 @@ class Opcodes:
 
     def __repr__(self):
         return f"Opcodes({self._ops!r}, {self.src_len}, {self.dest_len})"
+
+    def as_list(self) -> List[tuple]:
+        """``[(tag, src_start, src_end, dest_start, dest_end), ...]``
+        (rapidfuzz-py compat)."""
+        return [(o.tag, o.src_start, o.src_end, o.dest_start, o.dest_end)
+                for o in self._ops]
 
     def as_editops(self) -> Editops:
         ops = []

@@ -206,3 +206,10 @@ def test_extract_editops_processor():
         # alignment is over the processed forms
         assert ops.apply(fuzz.default_process("KITTEN!"),
                          fuzz.default_process(c)) == fuzz.default_process(c)
+
+
+def test_as_list_compat():
+    ops = levenshtein.editops("kitten", "sitting")
+    assert ops.as_list() == [("replace", 0, 0), ("replace", 4, 4),
+                             ("insert", 6, 6)]
+    assert ops.as_opcodes().as_list()[0] == ("replace", 0, 1, 0, 1)
