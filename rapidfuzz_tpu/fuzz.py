@@ -39,7 +39,8 @@ class Args(_c.ArgsBase):
     pass
 
 
-def ratio(s1, s2, *, score_cutoff: Optional[float] = None,
+def ratio(s1, s2, *, processor: Optional[Callable] = None,
+          score_cutoff: Optional[float] = None,
           score_hint: Optional[float] = None) -> Optional[float]:
     """Indel-based normalized similarity in [0, 1] (``fuzz.rs:48-85``).
 
@@ -49,7 +50,12 @@ def ratio(s1, s2, *, score_cutoff: Optional[float] = None,
     >>> fuzz.ratio("this is a test", "this is a test!",
     ...            score_cutoff=0.99) is None
     True
+    >>> fuzz.ratio("this is a test", "THIS is a TEST!",
+    ...            processor=fuzz.default_process)
+    1.0
     """
+    if processor is not None:
+        s1, s2 = processor(s1), processor(s2)
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     mx = u1.size + u2.size
     dist = _oracle.indel(u1, u2)
