@@ -535,6 +535,38 @@ class CorpusScanner:
                 mode = "local"
             if self.metric in _PARTIAL_METRICS:
                 return self._partial_dev(q, qk, mode, cand3)
+            if (self.metric == "levenshtein" and self._stream
+                    and self._weights is None):
+                # streamed band: O(bw) per char regardless of the query's
+                # word count; placed before the mesh dispatch so sharded
+                # long-bucket scans get it too (same routing rule as the
+                # fori-form band: W must clear the band's step cost)
+                from ..ops.pallas import band_kernel as _bk
+                cut = (None if score_cutoff is None or self._wscale != 1
+                       else int(score_cutoff))
+                if (cut is not None and 0 <= cut <= _bk.MAX_CUTOFF_FAST
+                        and cut < q.size):
+                    bw = _bk.band_words(cut)
+                    Wq = max(1, -(-int(q.size) // 32))
+                    if q.size > 16 * bw - 1 and Wq >= 2 * bw + 1:
+                        if self._ndev > 1:
+                            ntab = 2 if mode == "byte" else 1
+                            stabs = jnp.asarray(_bk.build_shifted_tables(
+                                np.asarray(qk, np.int32), mode, self._LB,
+                                bw))
+                            out = self._pallas_sharded(
+                                _bk._run_stream,
+                                jnp.array([int(q.size), cut], jnp.int32),
+                                stabs,
+                                dict(LB=self._LB, ntab=ntab, bw=bw,
+                                     interpret=self._interpret),
+                                cand3=cand3)
+                        else:
+                            out = _bk.lev_banded_stream_1v_many(
+                                qk.astype(np.int32), cand3, self.lb2,
+                                cutoff=cut, mode=mode,
+                                interpret=self._interpret)
+                        return out.reshape(-1)
             if self._ndev > 1:
                 return self._dist_pallas_mesh(qk, mode, cand3, q_finish=q)
             if self.metric == "levenshtein":
@@ -559,24 +591,9 @@ class CorpusScanner:
                                            interpret=self._interpret)
                     return out.reshape(-1)
                 if self._stream:
-                    from ..ops.pallas import band_kernel as _bk
+                    # (a cutoff-banded stream scan returns before the
+                    # mesh dispatch above)
                     from ..ops.pallas import stream_kernel as _sk
-                    cut = (None if score_cutoff is None
-                           or self._wscale != 1 else int(score_cutoff))
-                    if (cut is not None
-                            and 0 <= cut <= _bk.MAX_CUTOFF_FAST
-                            and cut < q.size):
-                        # streamed band: O(bw) per char regardless of the
-                        # query's word count — route when W clears the
-                        # fori-form band cost (same rule as short buckets)
-                        bw = _bk.band_words(cut)
-                        Wq = max(1, -(-int(q.size) // 32))
-                        if q.size > 16 * bw - 1 and Wq >= 2 * bw + 1:
-                            out = _bk.lev_banded_stream_1v_many(
-                                qk.astype(np.int32), cand3, self.lb2,
-                                cutoff=cut, mode=mode,
-                                interpret=self._interpret)
-                            return out.reshape(-1)
                     out = _sk.lev_stream_1v_many(qk, cand3, self.lb2,
                                                  mode=mode,
                                                  interpret=self._interpret)

@@ -916,3 +916,30 @@ def test_banded_stream_scanner(monkeypatch):
         under = exp <= cutoff
         np.testing.assert_array_equal(r.valid, under, err_msg=str(cutoff))
         np.testing.assert_array_equal(r.values[under], exp[under])
+
+
+def test_banded_stream_sharded(monkeypatch, mesh):
+    """The streamed band composes with the 8-device mesh (per-shard
+    _run_stream via shard_map; shifted tables replicated)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(29)
+    letters = list("abcd")
+    q = "".join(rng.choice(letters, 180))
+    corpus = []
+    for i in range(32):
+        if i % 2:
+            c = list(q)
+            for _ in range(int(rng.integers(0, 12))):
+                c[int(rng.integers(len(c)))] = rng.choice(letters)
+            corpus.append("".join(c))
+        else:
+            corpus.append("".join(rng.choice(
+                letters, int(rng.integers(0, 1200)))))
+    exp = np.array([lev.distance(q, c) for c in corpus])
+    sc = CorpusScanner(corpus, metric="levenshtein", mesh=mesh,
+                       bucket=1536)
+    assert sc._stream
+    r = sc.distances(q, score_cutoff=10)
+    under = exp <= 10
+    np.testing.assert_array_equal(r.valid, under)
+    np.testing.assert_array_equal(r.values[under], exp[under])
