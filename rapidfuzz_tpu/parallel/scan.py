@@ -544,6 +544,12 @@ class CorpusScanner:
                 from ..ops.pallas import band_kernel as _bk
                 cut = (None if score_cutoff is None or self._wscale != 1
                        else int(score_cutoff))
+                if (cut is None and score_hint is not None
+                        and self._wscale == 1 and self._ndev == 1):
+                    out = self._lev_hint_scan(qk, mode, cand3,
+                                              int(score_hint))
+                    if out is not None:
+                        return out
                 if (cut is not None and 0 <= cut <= _bk.MAX_CUTOFF_FAST
                         and cut < q.size):
                     bw = _bk.band_words(cut)
@@ -706,18 +712,30 @@ class CorpusScanner:
         isn't band-eligible (caller falls through to the full kernel)."""
         from ..ops.pallas import band_kernel as _bk
         from ..ops.pallas import lev_kernel as _lk
+        from ..ops.pallas import stream_kernel as _sk
 
+        stream = self._stream
         q = np.asarray(qk)
         cut = max(1, min(int(hint), _bk.MAX_CUTOFF_FAST))
         bw = _bk.band_words(cut)
         LBp = int(cand3.shape[0]) * 4
         Wq = max(1, -(-int(q.size) // 32))
-        if not (cut < q.size and q.size > 16 * bw - 1
-                and LBp <= _bk.FAST_MAX_LB and Wq >= 2 * bw):
-            return None
-        band = np.array(_bk.lev_banded_1v_many(
-            q.astype(np.int32), cand3, self.lb2, cutoff=cut, mode=mode,
-            interpret=self._interpret)).reshape(-1)
+        if stream:
+            # streamed band pass (>1024-char buckets): same routing rule
+            # as the cutoff path — W must clear the fori-form band cost
+            if not (cut < q.size and q.size > 16 * bw - 1
+                    and Wq >= 2 * bw + 1):
+                return None
+            band = np.array(_bk.lev_banded_stream_1v_many(
+                q.astype(np.int32), cand3, self.lb2, cutoff=cut,
+                mode=mode, interpret=self._interpret)).reshape(-1)
+        else:
+            if not (cut < q.size and q.size > 16 * bw - 1
+                    and LBp <= _bk.FAST_MAX_LB and Wq >= 2 * bw):
+                return None
+            band = np.array(_bk.lev_banded_1v_many(
+                q.astype(np.int32), cand3, self.lb2, cutoff=cut, mode=mode,
+                interpret=self._interpret)).reshape(-1)
         idx = np.flatnonzero(band >= _bk.BIG)
         if idx.size == 0:
             return band
@@ -732,7 +750,8 @@ class CorpusScanner:
         sub_c3 = jnp.take(c2d, ip, axis=1).reshape(cand3.shape[0],
                                                    n // 128, 128)
         sub_lb = jnp.take(self.lb2.reshape(-1), ip).reshape(n // 128, 128)
-        full = np.asarray(_lk.lev_1v_many(
+        full_fn = _sk.lev_stream_1v_many if stream else _lk.lev_1v_many
+        full = np.asarray(full_fn(
             q, sub_c3, sub_lb, mode=mode,
             interpret=self._interpret)).reshape(-1)
         band[idx] = full[: idx.size]

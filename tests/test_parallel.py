@@ -943,3 +943,29 @@ def test_banded_stream_sharded(monkeypatch, mesh):
     under = exp <= 10
     np.testing.assert_array_equal(r.valid, under)
     np.testing.assert_array_equal(r.values[under], exp[under])
+
+
+def test_hint_ladder_stream(monkeypatch):
+    """score_hint on long (>1024-char) buckets rides the streamed band
+    then a compacted full-stream pass; results identical for any hint
+    (the levenshtein.rs:2153-2160 contract)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(43)
+    letters = list("abcd")
+    q = "".join(rng.choice(letters, 180))
+    corpus = []
+    for i in range(24):
+        if i % 2:
+            c = list(q)
+            for _ in range(int(rng.integers(0, 12))):
+                c[int(rng.integers(len(c)))] = rng.choice(letters)
+            corpus.append("".join(c))
+        else:
+            corpus.append("".join(rng.choice(
+                letters, int(rng.integers(0, 1200)))))
+    exp = np.array([lev.distance(q, c) for c in corpus])
+    sc = CorpusScanner(corpus, metric="levenshtein", bucket=1536)
+    assert sc._stream
+    for hint in (5, 40, 10 ** 6):
+        np.testing.assert_array_equal(sc.distances(q, score_hint=hint),
+                                      exp, err_msg=str(hint))
