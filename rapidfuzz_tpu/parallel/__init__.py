@@ -7,6 +7,7 @@ comes from the BASELINE.json north star: corpus sharded data-parallel over a
 XLA collectives over ICI.
 """
 
+from .bucketed import BucketedScanner  # noqa: F401
 from .mesh import data_mesh  # noqa: F401
 from .scan import CorpusScanner, sharded_distances  # noqa: F401
 from .topk import topk_merge  # noqa: F401

@@ -969,3 +969,41 @@ def test_hint_ladder_stream(monkeypatch):
     for hint in (5, 40, 10 ** 6):
         np.testing.assert_array_equal(sc.distances(q, score_hint=hint),
                                       exp, err_msg=str(hint))
+
+
+def test_bucketed_scanner(monkeypatch):
+    """BucketedScanner splits heterogeneous corpora into length classes
+    (one device scanner each) and merges results in corpus order;
+    distances/topk/scan_many match the flat scanner exactly, incl. the
+    deterministic top-k tie-break."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.parallel import BucketedScanner
+
+    rng = np.random.default_rng(51)
+    letters = list("abcdef")
+    corpus = ([
+        "".join(rng.choice(letters, int(n)))
+        for n in rng.integers(0, 30, 100)]
+        + ["".join(rng.choice(letters, int(n)))
+           for n in rng.integers(100, 250, 30)] + [""])
+    q = "".join(rng.choice(letters, 24))
+    exp = np.array([lev.distance(q, c) for c in corpus])
+    bs = BucketedScanner(corpus, metric="levenshtein", min_split=16)
+    assert len(bs.classes) == 2
+    np.testing.assert_array_equal(bs.distances(q), exp)
+    r = bs.distances(q, score_cutoff=20)
+    assert (r.valid == (exp <= 20)).all()
+    flat = CorpusScanner(corpus, metric="levenshtein")
+    v1, i1 = bs.topk(q, 7)
+    v2, i2 = flat.topk(q, 7)
+    np.testing.assert_array_equal(v1, np.asarray(v2, np.float64))
+    np.testing.assert_array_equal(i1, i2)
+    qs = [q, "", "abcdef"]
+    v, i = bs.scan_many(qs, k=5)
+    for qi, qq in enumerate(qs):
+        fv, fi = flat.topk(qq, 5)
+        np.testing.assert_array_equal(v[qi][:len(fv)],
+                                      np.asarray(fv, np.float64))
+        np.testing.assert_array_equal(i[qi][:len(fi)], fi)
+    # homogeneous corpus collapses to one child
+    assert len(BucketedScanner(["abc"] * 50, min_split=16).classes) == 1
