@@ -64,10 +64,17 @@ class ScanService:
     """Device-resident corpus + compiled scan programs + counters."""
 
     def __init__(self, corpus, metric: str = "levenshtein", mesh=None,
-                 bucket: int | None = None, **scanner_kw):
+                 bucket: int | None = None, auto_bucket: bool = False,
+                 **scanner_kw):
         self.corpus = list(corpus)
-        self.scanner = CorpusScanner(self.corpus, metric=metric, mesh=mesh,
-                                     bucket=bucket, **scanner_kw)
+        if auto_bucket:
+            from .parallel.bucketed import BucketedScanner
+            self.scanner = BucketedScanner(self.corpus, metric=metric,
+                                           mesh=mesh, **scanner_kw)
+        else:
+            self.scanner = CorpusScanner(self.corpus, metric=metric,
+                                         mesh=mesh, bucket=bucket,
+                                         **scanner_kw)
         self.metric = metric
         # /extract may only reuse this scanner when it scores the plain
         # metric: weights/prefix_weight would leak into the [0, 1]
@@ -237,6 +244,9 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8947)
     ap.add_argument("--bucket", type=int, default=None)
+    ap.add_argument("--auto-bucket", action="store_true",
+                    help="split mixed-length corpora into per-length-"
+                         "class device scanners (BucketedScanner)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu'); default: the "
                          "process default (TPU when available)")
@@ -248,7 +258,8 @@ def main(argv=None):
 
     with open(args.corpus, encoding="utf-8") as f:
         corpus = [line.rstrip("\n") for line in f]
-    service = ScanService(corpus, metric=args.metric, bucket=args.bucket)
+    service = ScanService(corpus, metric=args.metric, bucket=args.bucket,
+                          auto_bucket=args.auto_bucket)
     # warm up in the MAIN thread: forces jax backend init + compiles the
     # scan program before requests arrive (backend init inside an HTTP
     # handler thread has been observed to deadlock with the axon plugin)
