@@ -17,6 +17,38 @@ from ..ops import dispatch as _dispatch
 from ..utils import codec as _codec
 
 
+#: one-vs-many batches at least this large route through a Pallas corpus
+#: scan on TPU (one kernel tile); smaller ones stay on the XLA pair
+#: kernels where layout/upload would dominate
+SCAN_MIN = 4096
+#: metrics the CorpusScanner serves with identical semantics (hamming is
+#: excluded: the scanner pads, the batch API keeps the strict length
+#: check)
+_SCANNABLE = frozenset({"levenshtein", "indel", "lcs_seq", "osa",
+                        "damerau_levenshtein", "prefix", "postfix"})
+
+
+def scan_one_vs_many(name: str, q, corpus, weights=None):
+    """One-vs-many distances via a one-off CorpusScanner, or None.
+
+    ``BatchComparator.distances`` / ``*_many([q], corpus)`` otherwise run
+    the XLA pair kernels — ~100x the Pallas scan's cost at corpus scale
+    on TPU.  The scanner build (encode + sort + upload) is the same order
+    of work the XLA path pays anyway.
+    """
+    import os
+
+    if name not in _SCANNABLE:
+        return None
+    if os.environ.get("RAPIDFUZZ_TPU_FORCE_PALLAS") != "interpret":
+        from ..ops.pallas import tpu_backend
+        if not tpu_backend():
+            return None
+    from ..parallel.scan import CorpusScanner
+    sc = CorpusScanner(list(corpus), metric=name, weights=weights)
+    return np.asarray(sc.distances(q), np.int64)
+
+
 class IntMetric:
     """Bundle of the derived API functions for one integer metric."""
 
@@ -60,6 +92,13 @@ class IntMetric:
 
     # -------------------------------------------------------------- batch
     def _batch_raw(self, s1s, s2s):
+        if len(s1s) == 1 and len(s2s) >= SCAN_MIN:
+            d = scan_one_vs_many(self.name, s1s[0], s2s)
+            if d is not None:
+                l2 = np.array([_codec.encode_one(s).size for s in s2s],
+                              np.int64)
+                l1 = np.full_like(l2, _codec.encode_one(s1s[0]).size)
+                return d, self.maximum(l1, l2)
         c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
         dist = self.batch_distance(c1, l1, c2, l2)
         B = max(len(l1), len(l2))

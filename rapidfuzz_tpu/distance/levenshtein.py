@@ -29,6 +29,7 @@ from .. import oracle as _oracle
 from ..ops import dispatch as _dispatch
 from ..ops import levenshtein as _ops
 from ..utils import codec as _codec
+from . import _int_metric
 
 __all__ = [
     "WeightTable", "Args", "distance", "similarity", "normalized_distance",
@@ -290,6 +291,14 @@ def _raw_distance_batch(c1, l1, c2, l2, weights: WeightTable) -> np.ndarray:
 
 
 def _batch_raw(s1s, s2s, weights: WeightTable):
+    if len(s1s) == 1 and len(s2s) >= _int_metric.SCAN_MIN:
+        d = _int_metric.scan_one_vs_many("levenshtein", s1s[0], s2s,
+                                         weights=weights)
+        if d is not None:
+            l2 = np.array([_codec.encode_one(s).size for s in s2s],
+                          np.int64)
+            l1 = np.full_like(l2, _codec.encode_one(s1s[0]).size)
+            return d, maximum(l1, l2, weights)
     c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
     dist = _raw_distance_batch(c1, l1, c2, l2, weights)
     B = max(len(l1), len(l2))

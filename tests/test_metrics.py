@@ -453,3 +453,36 @@ def test_u64_i64_hash_disambiguation():
     # batch path agrees with scalar
     r = levenshtein.distance_many([u], [i]).values
     assert r[0] == 1
+
+
+def test_batch_api_scan_route(monkeypatch):
+    """distance_many([q], corpus) / BatchComparator.distances route large
+    one-vs-many batches through the Pallas corpus scan (>= SCAN_MIN
+    candidates) with results identical to the XLA pair-kernel path."""
+    import numpy as np
+
+    from rapidfuzz_tpu.distance import _int_metric
+    from rapidfuzz_tpu.distance import levenshtein as lev_mod
+    from rapidfuzz_tpu.distance import osa as osa_mod
+
+    rng = np.random.default_rng(61)
+    letters = list("abcdef")
+    n = _int_metric.SCAN_MIN + 50
+    corpus = ["".join(rng.choice(letters, int(k)))
+              for k in rng.integers(0, 30, n)]
+    q = "fedcba"
+    ref = np.asarray(lev_mod.BatchComparator(q).distances(corpus).values)
+    ref_o = np.asarray(osa_mod.BatchComparator(q).distances(corpus).values)
+    refw = np.asarray(lev_mod.BatchComparator(
+        q, weights=lev_mod.WeightTable(1, 1, 2)).distances(corpus).values)
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    np.testing.assert_array_equal(
+        np.asarray(lev_mod.BatchComparator(q).distances(corpus).values),
+        ref)
+    np.testing.assert_array_equal(
+        np.asarray(osa_mod.BatchComparator(q).distances(corpus).values),
+        ref_o)
+    np.testing.assert_array_equal(
+        np.asarray(lev_mod.BatchComparator(
+            q, weights=lev_mod.WeightTable(1, 1, 2))
+            .distances(corpus).values), refw)
