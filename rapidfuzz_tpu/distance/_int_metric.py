@@ -25,16 +25,19 @@ SCAN_MIN = 4096
 #: excluded: the scanner pads, the batch API keeps the strict length
 #: check)
 _SCANNABLE = frozenset({"levenshtein", "indel", "lcs_seq", "osa",
-                        "damerau_levenshtein", "prefix", "postfix"})
+                        "damerau_levenshtein", "prefix", "postfix",
+                        "jaro", "jaro_winkler"})
 
 
-def scan_one_vs_many(name: str, q, corpus, weights=None):
+def scan_one_vs_many(name: str, q, corpus, weights=None,
+                     prefix_weight: float = 0.1):
     """One-vs-many distances via a one-off CorpusScanner, or None.
 
     ``BatchComparator.distances`` / ``*_many([q], corpus)`` otherwise run
     the XLA pair kernels — ~100x the Pallas scan's cost at corpus scale
     on TPU.  The scanner build (encode + sort + upload) is the same order
-    of work the XLA path pays anyway.
+    of work the XLA path pays anyway.  Jaro-family results come back as
+    f64 distances (``1 - similarity``).
     """
     import os
 
@@ -45,8 +48,10 @@ def scan_one_vs_many(name: str, q, corpus, weights=None):
         if not tpu_backend():
             return None
     from ..parallel.scan import CorpusScanner
-    sc = CorpusScanner(list(corpus), metric=name, weights=weights)
-    return np.asarray(sc.distances(q), np.int64)
+    sc = CorpusScanner(list(corpus), metric=name, weights=weights,
+                       prefix_weight=prefix_weight)
+    f64 = name in ("jaro", "jaro_winkler")
+    return np.asarray(sc.distances(q), np.float64 if f64 else np.int64)
 
 
 class IntMetric:

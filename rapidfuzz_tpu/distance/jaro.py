@@ -92,6 +92,15 @@ def sim_from_components(common, trans, l1, l2) -> np.ndarray:
 
 
 def _sim_batch(s1s, s2s) -> np.ndarray:
+    from . import _int_metric
+    if len(s1s) == 1 and len(s2s) >= _int_metric.SCAN_MIN:
+        # Pallas corpus scan for large one-vs-many batches; the scanner
+        # yields f64 distance = 1 - sim, so sims below 0.5 may round one
+        # ulp differently from the direct path (well inside the
+        # reference's 1e-4 tolerance)
+        d = _int_metric.scan_one_vs_many("jaro", s1s[0], s2s)
+        if d is not None:
+            return 1.0 - d
     c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
     fn = _dispatch.jit_kernel(_ops.jaro_components)
     common, trans = (np.asarray(x) for x in fn(c1, l1, c2, l2))

@@ -87,6 +87,14 @@ def normalized_distance_with_args(s1, s2, args: Args):
 
 
 def _sim_batch(s1s, s2s, prefix_weight) -> np.ndarray:
+    from . import _int_metric
+    if len(s1s) == 1 and len(s2s) >= _int_metric.SCAN_MIN:
+        # Pallas corpus scan for large one-vs-many batches (see
+        # jaro._sim_batch for the sub-0.5 ulp note)
+        d = _int_metric.scan_one_vs_many("jaro_winkler", s1s[0], s2s,
+                                         prefix_weight=prefix_weight)
+        if d is not None:
+            return 1.0 - d
     c1, l1, c2, l2 = _codec.encode_pair_batch(s1s, s2s)
     fn = _dispatch.jit_kernel(_ops.jaro_components)
     common, trans = (np.asarray(x) for x in fn(c1, l1, c2, l2))

@@ -486,3 +486,28 @@ def test_batch_api_scan_route(monkeypatch):
         np.asarray(lev_mod.BatchComparator(
             q, weights=lev_mod.WeightTable(1, 1, 2))
             .distances(corpus).values), refw)
+
+
+def test_jaro_batch_api_scan_route(monkeypatch):
+    """Jaro-family *_many batches >= SCAN_MIN also ride the corpus scan;
+    scores match the XLA route to <= 1 ulp (distance form round-trip)."""
+    import numpy as np
+
+    from rapidfuzz_tpu.distance import _int_metric
+    from rapidfuzz_tpu.distance import jaro as jaro_mod
+    from rapidfuzz_tpu.distance import jaro_winkler as jw_mod
+
+    rng = np.random.default_rng(71)
+    letters = list("abcdef")
+    corpus = ["".join(rng.choice(letters, int(k)))
+              for k in rng.integers(0, 30, _int_metric.SCAN_MIN + 20)]
+    q = "fedcba"
+    ref_j = np.asarray(jaro_mod.similarity_many([q], corpus).values)
+    ref_w = np.asarray(jw_mod.similarity_many(
+        [q], corpus, prefix_weight=0.2).values)
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    got_j = np.asarray(jaro_mod.similarity_many([q], corpus).values)
+    got_w = np.asarray(jw_mod.similarity_many(
+        [q], corpus, prefix_weight=0.2).values)
+    assert np.abs(got_j - ref_j).max() < 1e-15
+    assert np.abs(got_w - ref_w).max() < 1e-15
