@@ -10,6 +10,10 @@ Endpoints (JSON):
 
 * ``GET /health``                 -> ``{"ok": true, "n": corpus_size}``
 * ``GET /stats``                  -> counters (queries, pairs, seconds)
+* ``POST /reload`` body ``{"corpus": [str]}`` or ``{"path": file}``
+                                  -> ``{"ok": true, "n": new_size}``
+  (hot corpus swap: the new scanner builds outside the lock, in-flight
+  queries keep the old corpus until the atomic swap)
 * ``POST /topk``    body ``{"query": str, "k": int, "score_cutoff"?: num}``
                                   -> ``{"values": [...], "indices": [...],
                                         "strings": [...]}``
@@ -66,15 +70,10 @@ class ScanService:
     def __init__(self, corpus, metric: str = "levenshtein", mesh=None,
                  bucket: int | None = None, auto_bucket: bool = False,
                  **scanner_kw):
+        self._build_kw = dict(metric=metric, mesh=mesh, bucket=bucket,
+                              auto_bucket=auto_bucket, **scanner_kw)
         self.corpus = list(corpus)
-        if auto_bucket:
-            from .parallel.bucketed import BucketedScanner
-            self.scanner = BucketedScanner(self.corpus, metric=metric,
-                                           mesh=mesh, **scanner_kw)
-        else:
-            self.scanner = CorpusScanner(self.corpus, metric=metric,
-                                         mesh=mesh, bucket=bucket,
-                                         **scanner_kw)
+        self.scanner = self._build_scanner(self.corpus)
         self.metric = metric
         # /extract may only reuse this scanner when it scores the plain
         # metric: weights/prefix_weight would leak into the [0, 1]
@@ -83,6 +82,29 @@ class ScanService:
         self._lock = threading.Lock()
         self._extra_scanners: dict = {}
         self.stats = {"queries": 0, "pairs": 0, "device_seconds": 0.0}
+
+    def _build_scanner(self, corpus):
+        kw = dict(self._build_kw)
+        metric = kw.pop("metric")
+        mesh = kw.pop("mesh")
+        bucket = kw.pop("bucket")
+        if kw.pop("auto_bucket"):
+            from .parallel.bucketed import BucketedScanner
+            return BucketedScanner(corpus, metric=metric, mesh=mesh, **kw)
+        return CorpusScanner(corpus, metric=metric, mesh=mesh,
+                             bucket=bucket, **kw)
+
+    def reload(self, corpus):
+        """Swap in a new corpus: the replacement scanner (and its device
+        upload) is built OUTSIDE the lock, so in-flight queries keep
+        serving the old corpus until the atomic swap."""
+        corpus = list(corpus)
+        scanner = self._build_scanner(corpus)
+        with self._lock:
+            self.corpus = corpus
+            self.scanner = scanner
+            self._extra_scanners = {}
+        return {"ok": True, "n": scanner.n}
 
     def _timed(self, fn, nq: int = 1):
         with self._lock:
@@ -222,6 +244,13 @@ def make_server(service: ScanService, host: str = "127.0.0.1",
                 elif self.path == "/editops":
                     out = service.editops(req["s1"], req.get("s2"),
                                           req.get("index"))
+                elif self.path == "/reload":
+                    if "corpus" in req:
+                        new_corpus = list(req["corpus"])
+                    else:
+                        with open(req["path"], encoding="utf-8") as f:
+                            new_corpus = [ln.rstrip("\n") for ln in f]
+                    out = service.reload(new_corpus)
                 elif self.path == "/extract":
                     out = service.extract(
                         req["query"], req.get("scorer", "levenshtein"),

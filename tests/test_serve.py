@@ -96,5 +96,13 @@ def test_scan_service_http():
         assert len(top) == 4
         ops = lev.editops("appel", top[0])
         assert top[3] == [[o.tag, o.src_pos, o.dest_pos] for o in ops]
+
+        # hot corpus reload: atomic swap, old corpus served until then
+        out = _post(port, "/reload", {"corpus": ["zebra", "zebu"]})
+        assert out == {"ok": True, "n": 2}
+        out = _post(port, "/topk", {"query": "zebra", "k": 1})
+        assert out["strings"] == ["zebra"] and out["values"][0] == 0
+        out = _get(port, "/health")
+        assert out["n"] == 2
     finally:
         server.shutdown()
