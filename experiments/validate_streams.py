@@ -127,7 +127,8 @@ def main():
     chars3, lens3, cand33, lb23 = corpus(B, 64, seed=3)
     q3 = rng.integers(97, 105, 24).astype(np.int32)
     t0 = time.time()
-    num, den = pk.partial_ratio_1v_many(q3, cand33, lb23, mode="byte")
+    num, den, _, _ = pk.partial_ratio_1v_many(q3, cand33, lb23,
+                                              mode="byte")
     num = np.asarray(num).reshape(-1)
     den = np.asarray(den).reshape(-1)
     print(f"partial_window compile+run {time.time()-t0:.0f}s")

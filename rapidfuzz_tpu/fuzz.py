@@ -184,6 +184,30 @@ def partial_ratio(s1, s2, *, processor: Optional[Callable] = None,
     return _c.apply_similarity_cutoff(a.score, score_cutoff)
 
 
+def partial_ratio_alignment_many(s1, choices, *,
+                                 processor: Optional[Callable] = None,
+                                 score_cutoff: Optional[float] = None):
+    """One-vs-many best-window alignments (``list[ScoreAlignment]``).
+
+    On TPU the whole batch runs in the one windowed-kernel dispatch —
+    the kernel tracks each candidate's best window span, so snippet
+    positions come at scan rate (entries under ``score_cutoff`` are
+    ``None``).  Tie-breaks match the pairwise host sweep exactly.
+    """
+    if processor is not None:
+        s1 = processor(s1)
+        choices = [processor(c) for c in choices]
+    uq = _codec.encode_one(s1)
+    ucs = [_codec.encode_one(c) for c in choices]
+    res = _window_scan_alignments(uq, ucs)
+    if res is None:
+        res = [partial_ratio_alignment(uq, uc) for uc in ucs]
+    if score_cutoff is not None:
+        res = [a if a is not None and a.score >= score_cutoff else None
+               for a in res]
+    return res
+
+
 def _tokens(s) -> list:
     if isinstance(s, (bytes, bytearray)):
         return bytes(s).split()
@@ -352,7 +376,7 @@ _WINDOW_KERNEL_MAX_Q = 64
 _WINDOW_KERNEL_MAX_LB = 1024
 
 
-def _window_scan_scores(uq: np.ndarray, ucs) -> Optional[np.ndarray]:
+def _window_scan_scores(uq: np.ndarray, ucs, windows: bool = False):
     """``partial_ratio`` scores via the windowed Pallas kernel
     (``ops/pallas/partial_kernel.py``) — one device dispatch for the
     whole window sweep.  Returns ``None`` when the kernel can't serve
@@ -394,8 +418,9 @@ def _window_scan_scores(uq: np.ndarray, ucs) -> Optional[np.ndarray]:
     cand3, lb2 = _lk.prepare_corpus(jnp.asarray(chars),
                                     jnp.asarray(lensp), LB=LB)
     mode = _lk.pick_mode(uq, int(chars.max()) if chars.size else 0)
-    num, den = _pk.partial_ratio_1v_many(uq, cand3, lb2, mode=mode,
-                                         interpret=interpret)
+    num, den, wst, wen = _pk.partial_ratio_1v_many(uq, cand3, lb2,
+                                                   mode=mode,
+                                                   interpret=interpret)
     num = np.asarray(num).reshape(-1)[:B].astype(np.float64)
     den = np.asarray(den).reshape(-1)[:B].astype(np.float64)
     # same f64 expression as the host path (1 - dist/total), so scores
@@ -403,7 +428,30 @@ def _window_scan_scores(uq: np.ndarray, ucs) -> Optional[np.ndarray]:
     out = 1.0 - (den - num) / den
     for i in np.flatnonzero(lens < m):
         out[i] = _best_window(ucs[i], uq)[0]
-    return out
+    if not windows:
+        return out
+    wst = np.asarray(wst).reshape(-1)[:B]
+    wen = np.asarray(wen).reshape(-1)[:B]
+    return out, wst, wen, lens
+
+
+def _window_scan_alignments(uq, ucs):
+    """Batch ``ScoreAlignment``s via the kernel's position outputs, or
+    None off the device route."""
+    r = _window_scan_scores(uq, ucs, windows=True)
+    if r is None:
+        return None
+    out, wst, wen, lens = r
+    m = int(uq.size)
+    res = []
+    for i, uc in enumerate(ucs):
+        if int(lens[i]) < m:    # roles swap: host path (incl. empties)
+            a = partial_ratio_alignment(uq, uc)
+            res.append(a)
+            continue
+        res.append(ScoreAlignment(float(out[i]), 0, m,
+                                  int(wst[i]), int(wen[i])))
+    return res
 
 
 def partial_ratio_many(s1, choices, *,

@@ -48,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .lev_kernel import LANE, SUB, build_pm_tables, unpack_byte
 
 
-def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
-            LB: int, W: int, ntab: int, sub: int, flat: bool):
+def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref,
+            st_ref, en_ref, *, LB: int, W: int, ntab: int, sub: int,
+            flat: bool):
     m = la_ref[0]
     lb = lb_ref[:, :]
     M = 32 * W
@@ -94,9 +95,14 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
             t = t + lax.population_count(~s[w]).astype(jnp.int32)
         return 2 * t
 
-    def better(num, den, bn, bd):
+    def better(num, den, st, en, best):
+        """Strict improvement keeps the FIRST best window; windows are
+        enumerated in the host path's order (prefix ends ascending, then
+        starts ascending), so tie-breaks match it exactly."""
+        bn, bd, bs, be = best
         upd = num * bd > bn * den
-        return jnp.where(upd, num, bn), jnp.where(upd, den, bd)
+        return (jnp.where(upd, num, bn), jnp.where(upd, den, bd),
+                jnp.where(upd, st, bs), jnp.where(upd, en, be))
 
     def dyn_char(p, base_row):
         """Char at dynamic in-group offset ``p`` (fori variants).  Rows
@@ -107,13 +113,17 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
         sh = (8 * (p % 4)).astype(jnp.uint32)
         return ((row >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
 
-    bn0 = jnp.zeros((sub, LANE), jnp.int32)
-    bd0 = jnp.ones((sub, LANE), jnp.int32)
+    # best = (num, den, start, end); num starts at -1 so the FIRST
+    # enumerated window always wins (the host path's best = -1.0 init),
+    # keeping tie-break positions identical even for all-zero scores
+    zeros_i = jnp.zeros((sub, LANE), jnp.int32)
+    best0 = (jnp.full((sub, LANE), -1, jnp.int32),
+             jnp.ones((sub, LANE), jnp.int32), zeros_i, zeros_i)
 
     # ---- prefix windows [0, e) for e = 1..m-1: one incremental scan,
     # popcounting the running state at every step
     if flat:
-        bn, bd = bn0, bd0
+        best = best0
         s = [ones] * W
         row = None
         for p in range(M - 1):
@@ -122,30 +132,30 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
             pms = gather_pm(unpack_byte(row, p))
             ns = lcs_step(s, pms)
             s = [jnp.where(p < lb, a, b) for a, b in zip(ns, s)]
+            en = jnp.minimum(p + 1, lb)
             num = popc2(s)
-            den = m + jnp.minimum(p + 1, lb)
-            upd = (num * bd > bn * den) & (p + 1 < m)
-            bn = jnp.where(upd, num, bn)
-            bd = jnp.where(upd, den, bd)
+            den = m + en
+            upd = (num * best[1] > best[0] * den) & (p + 1 < m)
+            best = tuple(jnp.where(upd, v, b) for v, b in
+                         zip((num, den, zeros_i, en), best))
     else:
         def pbody(p, carry):
-            bn, bd = carry[0], carry[1]
-            s = list(carry[2:])
+            best = carry[:4]
+            s = list(carry[4:])
             pms = gather_pm(dyn_char(p, 0))
             ns = lcs_step(s, pms)
             s = [jnp.where(p < lb, a, b) for a, b in zip(ns, s)]
-            num = popc2(s)
-            den = m + jnp.minimum(p + 1, lb)
-            bn, bd = better(num, den, bn, bd)
-            return (bn, bd, *s)
+            en = jnp.minimum(p + 1, lb)
+            best = better(popc2(s), m + en, zeros_i, en, best)
+            return (*best, *s)
 
-        out = lax.fori_loop(0, m - 1, pbody, (bn0, bd0) + (ones,) * W)
-        bn, bd = out[0], out[1]
+        out = lax.fori_loop(0, m - 1, pbody, best0 + (ones,) * W)
+        best = out[:4]
 
     # ---- all other windows [st, min(st + m, lb)), st = 0..lb-1,
     # processed four starts per trip so loads and gathers are shared
     def group(g, carry):
-        bn, bd = carry
+        best = carry
         base = g * 4
         s4 = [[ones] * W for _ in range(4)]
         if flat:
@@ -178,14 +188,23 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref, *,
                                   tuple(x for sw in s4 for x in sw))
             s4 = [list(state[w * W:(w + 1) * W]) for w in range(4)]
         for w in range(4):
-            wlen = jnp.clip(lb - (base + w), 0, m)
-            bn, bd = better(popc2(s4[w]), m + wlen, bn, bd)
-        return bn, bd
+            st = base + w
+            wlen = jnp.clip(lb - st, 0, m)
+            # invalid windows (st >= lb): num == 0 and den > 0, which
+            # never beats a best >= 0 and the lb == 0 case is clamped at
+            # emit, so they cannot take the position slots
+            best = better(popc2(s4[w]), m + wlen, zeros_i + st,
+                          st + wlen, best)
+        return best
 
     gmax = (jnp.max(lb) + 3) // 4
-    bn, bd = lax.fori_loop(0, gmax, group, (bn, bd))
-    num_ref[:, :] = bn
-    den_ref[:, :] = bd
+    best = lax.fori_loop(0, gmax, group, best)
+    bn, bd, bs, be = best
+    valid = bn >= 0              # lb == 0: no window ever evaluated
+    num_ref[:, :] = jnp.where(valid, bn, 0)
+    den_ref[:, :] = jnp.where(valid, bd, 1)
+    st_ref[:, :] = jnp.where(valid, bs, 0)
+    en_ref[:, :] = jnp.where(valid, be, 0)
 
 
 @functools.partial(jax.jit,
@@ -211,8 +230,8 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False,
             pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(spec, spec),
-        out_shape=(out, out),
+        out_specs=(spec, spec, spec, spec),
+        out_shape=(out, out, out, out),
         interpret=interpret,
     )(la, tabs, cand3, lb2)
 
@@ -220,12 +239,14 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False,
 def partial_ratio_1v_many(query: np.ndarray, cand3, lb2, *,
                           mode: str = "byte", staged=None,
                           interpret: bool = False, flat=None):
-    """Best-window fractions -> ``(num, den)`` i32 ``[B/128, 128]``.
+    """Best windows -> ``(num, den, start, end)`` i32 ``[B/128, 128]``.
 
-    ``score = num / den`` (f64 on host).  Candidates SHORTER than the
-    query get the un-swapped window sweep (candidate windows vs whole
-    query), which is not the ecosystem's semantics — callers re-score
-    ``lb < len(query)`` entries on the host path.
+    ``score = num / den`` (f64 on host); ``[start, end)`` is the best
+    window's span in the candidate (tie-breaks identical to the host
+    sweep: first best window in enumeration order).  Candidates SHORTER
+    than the query get the un-swapped window sweep (candidate windows vs
+    whole query), which is not the ecosystem's semantics — callers
+    re-score ``lb < len(query)`` entries on the host path.
     """
     q = np.asarray(query)
     la = int(q.size)

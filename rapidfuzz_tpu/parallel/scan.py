@@ -392,7 +392,7 @@ class CorpusScanner:
             f = jax.jit(jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=(P(), P(), P(None, "data", None), P("data", None)),
-                out_specs=ospec if nouts == 1 else (ospec, ospec),
+                out_specs=ospec if nouts == 1 else (ospec,) * nouts,
                 check_vma=False))
             self._smap_cache[key] = f
         return f(scal, tabs, self.cand3 if cand3 is None else cand3,
@@ -482,12 +482,12 @@ class CorpusScanner:
             ntab = 2 if mode == "byte" else 1
             tabs = jnp.asarray(_lk.build_pm_tables(
                 np.asarray(qk, np.int32), mode))
-            num, den = self._pallas_sharded(
+            num, den, _, _ = self._pallas_sharded(
                 _pk._run, jnp.array([m], jnp.int32), tabs,
                 dict(LB=self._LB, W=W, ntab=ntab,
-                     interpret=self._interpret), nouts=2, cand3=cand3)
+                     interpret=self._interpret), nouts=4, cand3=cand3)
         else:
-            num, den = _pk.partial_ratio_1v_many(
+            num, den, _, _ = _pk.partial_ratio_1v_many(
                 qk, cand3, self.lb2, mode=mode, interpret=self._interpret)
         num = np.asarray(num).reshape(-1).astype(np.float64)
         den = np.asarray(den).reshape(-1).astype(np.float64)

@@ -242,3 +242,22 @@ def test_partial_ratio_many_kernel_route(monkeypatch):
     monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
     r = fuzz.partial_ratio_many(q, choices, score_cutoff=0.8)
     assert (r.valid == (got >= 0.8)).all()
+
+
+def test_partial_ratio_alignment_many(monkeypatch):
+    """Batch alignments via the kernel's best-window position outputs:
+    scores AND spans equal the pairwise host sweep (incl. short/empty
+    candidates whose roles swap, and cutoff filtering)."""
+    rng = np.random.default_rng(13)
+    letters = list("abcdefg")
+    q = "".join(rng.choice(letters, 9))
+    choices = ["".join(rng.choice(letters, int(n)))
+               for n in rng.integers(0, 30, 100)] + ["", q, q * 2, "ab"]
+    exp = [fuzz.partial_ratio_alignment(q, c) for c in choices]
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    got = fuzz.partial_ratio_alignment_many(q, choices)
+    for g, e, c in zip(got, exp, choices):
+        assert g == e, (c, g, e)
+    cut = fuzz.partial_ratio_alignment_many(q, choices, score_cutoff=0.8)
+    for g, e in zip(cut, exp):
+        assert g == (e if e.score >= 0.8 else None)

@@ -427,17 +427,21 @@ def test_partial_ratio_window_kernel():
         cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars),
                                        jnp.asarray(lens), LB=LB)
         mode = lk.pick_mode(q, int(chars.max()))
-        num, den = pk.partial_ratio_1v_many(q, cand3, lb2, mode=mode,
-                                            interpret=True, flat=flat)
+        num, den, wst, wen = pk.partial_ratio_1v_many(
+            q, cand3, lb2, mode=mode, interpret=True, flat=flat)
         num = np.asarray(num).reshape(-1)
         den = np.asarray(den).reshape(-1)
+        wst = np.asarray(wst).reshape(-1)
+        wen = np.asarray(wen).reshape(-1)
         for i in list(range(0, B, 401)) + [0, 1, 2, B - 1]:
             n = int(lens[i])
             if n < qlen:
                 continue  # kernel contract: host re-scores these
-            exp, _ = fuzz._best_window(q.astype(np.int64),
-                                       chars[i, :n].astype(np.int64))
+            exp, (es, ee) = fuzz._best_window(
+                q.astype(np.int64), chars[i, :n].astype(np.int64))
             assert abs(exp - num[i] / den[i]) < 1e-12, (LB, qlen, i)
+            # best-window positions match the host sweep's tie-breaks
+            assert (wst[i], wen[i]) == (es, ee), (LB, qlen, i)
 
 
 def test_damerau_small_segments():
