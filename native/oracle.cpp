@@ -350,4 +350,29 @@ void rf_indel_1vN(const int64_t* q, int64_t nq,
     }
 }
 
+// fuzz.partial_ratio (rapidfuzz-cpp semantics; absent from the crate,
+// fuzz.rs:207-213): best indel ratio of the SHORTER string against every
+// clipped window of the longer — windows longer[max(0, i - m) : min(n, i)]
+// for i in 1..n+m-1.  Brute force per window via rf_indel; the f64 score
+// uses the same 1 - dist/total expression as the library's host path so
+// comparisons are bit-exact.
+double rf_partial_ratio(const int64_t* a, int64_t n1,
+                        const int64_t* b, int64_t n2) {
+    const int64_t* s = a; int64_t ns = n1;
+    const int64_t* l = b; int64_t nl = n2;
+    if (n1 > n2) { s = b; ns = n2; l = a; nl = n1; }
+    if (ns == 0) return nl == 0 ? 1.0 : 0.0;
+    double best = -1.0;
+    for (int64_t i = 1; i < nl + ns; i++) {
+        int64_t st = i - ns > 0 ? i - ns : 0;
+        int64_t en = i < nl ? i : nl;
+        int64_t wlen = en - st;
+        int64_t dist = rf_indel(s, ns, l + st, wlen);
+        int64_t tot = ns + wlen;
+        double r = 1.0 - (double)dist / (double)(tot > 0 ? tot : 1);
+        if (r > best) best = r;
+    }
+    return best;
+}
+
 }  // extern "C"

@@ -78,6 +78,8 @@ def _load():
             lib.rf_jaro.argtypes = [p64, i64, p64, i64]
             lib.rf_jaro_winkler.restype = dbl
             lib.rf_jaro_winkler.argtypes = [p64, i64, p64, i64, dbl]
+            lib.rf_partial_ratio.restype = dbl
+            lib.rf_partial_ratio.argtypes = [p64, i64, p64, i64]
             lib.rf_levenshtein_uniform_1vN.restype = None
             lib.rf_levenshtein_uniform_1vN.argtypes = [p64, i64, p64, p64, i64, p64]
             lib.rf_indel_1vN.restype = None
@@ -139,6 +141,13 @@ def prefix_sim(a, b) -> int:
 def postfix_sim(a, b) -> int:
     a, b = _arr(a), _arr(b)
     return int(_load().rf_postfix_sim(a, a.size, b, b.size))
+
+
+def partial_ratio(a, b) -> float:
+    """Brute-force best-window indel ratio (independent of the library's
+    batched host sweep — the window kernel's conformance reference)."""
+    a, b = _arr(a), _arr(b)
+    return float(_load().rf_partial_ratio(a, a.size, b, b.size))
 
 
 def jaro(a, b) -> float:

@@ -261,3 +261,18 @@ def test_partial_ratio_alignment_many(monkeypatch):
     cut = fuzz.partial_ratio_alignment_many(q, choices, score_cutoff=0.8)
     for g, e in zip(cut, exp):
         assert g == (e if e.score >= 0.8 else None)
+
+
+def test_partial_ratio_vs_cpp_oracle():
+    """Production partial_ratio (batched LCS window sweep / Pallas
+    kernel) vs the independent brute-force C++ oracle: bit-exact."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.utils import codec
+
+    rng = np.random.default_rng(81)
+    for _ in range(120):
+        m, n = int(rng.integers(0, 18)), int(rng.integers(0, 36))
+        a = rng.integers(97, 104, m).astype(np.int64)
+        b = rng.integers(97, 104, n).astype(np.int64)
+        assert fuzz.partial_ratio(a, b) == oracle.partial_ratio(
+            codec.encode_one(a), codec.encode_one(b))

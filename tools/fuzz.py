@@ -169,8 +169,12 @@ def check_scanner(rng: random.Random, corpus: list) -> str | None:
 
     def scalar(a, b, cutoff=None):
         if name == "partial_ratio":
-            # scanner yields distance = 1 - best-window ratio
-            s = fuzz_mod.partial_ratio(a, b)
+            # scanner yields distance = 1 - best-window ratio; reference
+            # is the INDEPENDENT C++ brute-force oracle
+            from rapidfuzz_tpu import oracle as _oracle
+            from rapidfuzz_tpu.utils import codec as _codec
+            s = _oracle.partial_ratio(_codec.encode_one(a),
+                                      _codec.encode_one(b))
             d = 1.0 - s
             if cutoff is not None and d > cutoff + 1e-12:
                 return None
