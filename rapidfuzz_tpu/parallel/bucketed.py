@@ -63,6 +63,8 @@ class BucketedScanner:
                 groups[-1].extend(cur)
             else:
                 groups.append(cur)
+        if not groups:          # empty corpus: one empty child keeps the
+            groups.append([0])  # whole surface well-defined
 
         self._children = []
         self._index = []          # original corpus indices per child
@@ -108,9 +110,13 @@ class BucketedScanner:
         keeps its auto-band shortcut), merged by (value, index)."""
         vs, ids = [], []
         for sc, idx in zip(self._children, self._index):
+            if idx.size == 0:
+                continue
             v, i = sc.topk(query, k, score_cutoff=score_cutoff)
             vs.append(np.asarray(v, np.float64))
             ids.append(idx[np.asarray(i, np.int64)])
+        if not vs:
+            return np.empty(0), np.empty(0, np.int32)
         v = np.concatenate(vs)
         i = np.concatenate(ids)
         take = np.lexsort((i, v))[:k]
@@ -140,6 +146,8 @@ class BucketedScanner:
         vals = np.full((nq, k), np.inf)
         ids = np.full((nq, k), -1, np.int64)
         for ci, (sc, idx) in enumerate(zip(self._children, self._index)):
+            if idx.size == 0:
+                continue
             cp = f"{checkpoint_path}.c{ci}" if checkpoint_path else None
             v, i = sc.scan_many(queries, k=k, checkpoint_path=cp,
                                 checkpoint_every=checkpoint_every)

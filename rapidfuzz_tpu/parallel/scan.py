@@ -1203,7 +1203,11 @@ class CorpusScanner:
                 else np.arange(d.size)
             ids = ids[np.lexsort((ids, d[ids]))]
             return d[ids], ids.astype(np.int32)
-        # mask the alignment-padding rows
+        # mask the alignment-padding rows; k clamps to the real corpus
+        # size so padding rows can never surface (empty corpus -> empty)
+        k = min(k, self.n)
+        if k == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
         idx = jnp.arange(dist.shape[0], dtype=jnp.int32)
         masked = jnp.where(idx < self.n, dist.astype(jnp.float32), jnp.inf)
         vals, ids = topk_merge(masked, idx, k, self.mesh, largest=False)

@@ -1007,3 +1007,24 @@ def test_bucketed_scanner(monkeypatch):
         np.testing.assert_array_equal(i[qi][:len(fi)], fi)
     # homogeneous corpus collapses to one child
     assert len(BucketedScanner(["abc"] * 50, min_split=16).classes) == 1
+
+
+def test_topk_empty_and_small_corpus(monkeypatch):
+    """k clamps to the corpus size: empty corpora return empty results
+    (regression: padding rows surfaced as int64-min garbage), and n < k
+    returns exactly n entries on every route."""
+    sc = CorpusScanner([], metric="levenshtein")
+    v, i = sc.topk("abc", 3)
+    assert v.size == 0 and i.size == 0
+    assert sc.distances("abc").size == 0
+    sc2 = CorpusScanner(["ab"], metric="levenshtein")
+    v, i = sc2.topk("abc", 3)
+    assert list(i) == [0] and v[0] == lev.distance("abc", "ab")
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    sc3 = CorpusScanner(["ab"], metric="levenshtein")
+    v, i = sc3.topk("abc", 3)
+    assert list(i) == [0] and v[0] == lev.distance("abc", "ab")
+    from rapidfuzz_tpu.parallel import BucketedScanner
+    bs = BucketedScanner([], metric="levenshtein")
+    v, i = bs.topk("abc", 3)
+    assert v.size == 0 and bs.distances("abc").size == 0
