@@ -257,6 +257,30 @@ def main():
                          "slow, use ~200)")
     args = ap.parse_args()
 
+    if args.seconds > 360 and not os.environ.get("FUZZ_CHILD"):
+        # XLA:CPU's JIT keeps a code section per compiled shape and a
+        # long campaign eventually dies with "Unable to allocate section
+        # memory" — so long budgets run as sequential child processes,
+        # each with a fresh JIT and a derived seed
+        import subprocess
+        t_end = time.time() + args.seconds
+        i = 0
+        while time.time() < t_end - 10:
+            chunk = min(300.0, t_end - time.time())
+            argv = [sys.executable, "-u", __file__,
+                    "--seconds", str(chunk),
+                    "--seed", str(args.seed + 1009 * (i + 1)),
+                    "--scanner-every", str(args.scanner_every)]
+            for m in (args.metric or []):
+                argv += ["--metric", m]
+            p = subprocess.run(argv,
+                               env=dict(os.environ, FUZZ_CHILD="1"))
+            if p.returncode:
+                sys.exit(p.returncode)
+            i += 1
+        print(f"ok: campaign finished ({i} fresh-JIT chunks)")
+        return
+
     _pick_platform()
     metrics = args.metric or [
         "levenshtein", "indel", "lcs_seq", "osa", "damerau_levenshtein",
