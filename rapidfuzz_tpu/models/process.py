@@ -119,7 +119,18 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
     from ..parallel.scan import CorpusScanner
 
     if scanner is None:
-        scanner = CorpusScanner(choices, metric=name)
+        lens = np.array([len(_codec.encode_one(c)) for c in choices],
+                        np.int64)
+        # extreme length spread: one outlier would inflate every kernel
+        # tile's bucket (or force the stream kernels), so split into
+        # per-length-class scanners when the classes are big enough
+        if (lens.size >= 8192
+                and lens.max(initial=0) >= 4 * max(np.median(lens), 1)
+                and lens.max(initial=0) > 64):
+            from ..parallel.bucketed import BucketedScanner
+            scanner = BucketedScanner(choices, metric=name)
+        else:
+            scanner = CorpusScanner(choices, metric=name)
     lens2 = scanner.lengths.astype(np.int64)
     out = np.empty((len(queries), len(choices)), np.float64)
     # eligible query batches share grouped multi-query kernel dispatches
