@@ -83,12 +83,8 @@ class RatioBatchComparator:
 
     def similarities(self, corpus, *, score_cutoff=None
                      ) -> _dispatch.BatchResult:
-        from .ops import lcs as _lcs_ops
-        c1, l1, c2, l2 = _codec.encode_pair_batch([self._u1], corpus)
-        sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
-        mx = (l1.astype(np.int64) + l2.astype(np.int64))
-        dist = mx - 2 * sim.astype(np.int64)
-        nsim = 1.0 - np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
+        nsim = _aligned_ratio([self._u1],
+                              [_codec.encode_one(c) for c in corpus])
         return _dispatch.BatchResult(*_c.mask_similarity(nsim, score_cutoff))
 
 
@@ -348,8 +344,18 @@ def QRatio(s1, s2, *, processor: Optional[Callable] = None,
 
 def _aligned_ratio(arrs1, arrs2) -> np.ndarray:
     """Elementwise indel normalized similarity of two aligned encoded
-    groups (device batch)."""
+    groups (device batch).  One-vs-many batches at corpus scale ride the
+    Pallas scan (same f64 finish, bit-identical)."""
+    from .distance import _int_metric
     from .ops import lcs as _lcs_ops
+    if len(arrs1) == 1 and len(arrs2) >= _int_metric.SCAN_MIN:
+        d = _int_metric.scan_one_vs_many("indel", arrs1[0], arrs2)
+        if d is not None:
+            l1 = np.int64(_codec.encode_one(arrs1[0]).size)
+            l2 = np.array([_codec.encode_one(a).size for a in arrs2],
+                          np.int64)
+            mx = l1 + l2
+            return 1.0 - np.where(mx == 0, 0.0, d / np.maximum(mx, 1))
     c1, l1, c2, l2 = _codec.encode_pair_batch(arrs1, arrs2)
     sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity, c1, l1, c2, l2)
     mx = l1.astype(np.int64) + l2.astype(np.int64)
