@@ -8,6 +8,11 @@ EV=experiments/evidence
 mkdir -p "$EV"
 PYTHONPATH=/root/repo:/root/.axon_site
 export PYTHONPATH
+# share the bench harness's persistent compile cache so every step's
+# first-compiles are paid once (jax reads these from the env)
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
 
 log() { echo "$(date -u +%FT%TZ) $*" >> "$EV/hw_queue.log"; }
 
