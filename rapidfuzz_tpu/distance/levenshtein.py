@@ -35,8 +35,9 @@ __all__ = [
     "WeightTable", "Args", "distance", "similarity", "normalized_distance",
     "normalized_similarity", "distance_with_args", "similarity_with_args",
     "normalized_distance_with_args", "normalized_similarity_with_args",
-    "BatchComparator", "distance_many", "maximum", "editops", "opcodes",
-    "editops_many",
+    "BatchComparator", "distance_many", "similarity_many",
+    "normalized_distance_many", "normalized_similarity_many", "maximum",
+    "editops", "opcodes", "editops_many",
 ]
 
 
