@@ -92,7 +92,12 @@ class RatioBatchComparator:
 
 def default_process(s: str) -> str:
     """Standard preprocessor: non-alphanumeric runs -> space, lowercase,
-    trim (the ecosystem's ``utils.default_process``)."""
+    trim (the ecosystem's ``utils.default_process``).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.default_process("  The QUICK-brown fox! ")
+    'the quick brown fox'
+    """
     return re.sub(r"\W", " ", s, flags=re.UNICODE).lower().strip()
 
 
@@ -268,7 +273,12 @@ def token_set_ratio(s1, s2, *, processor: Optional[Callable] = None,
 
 def token_ratio(s1, s2, *, processor: Optional[Callable] = None,
                 score_cutoff: Optional[float] = None) -> Optional[float]:
-    """``max(token_sort_ratio, token_set_ratio)``."""
+    """``max(token_sort_ratio, token_set_ratio)``.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.token_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear")
+    1.0
+    """
     s1, s2 = _processed(s1, s2, processor)
     best = max(token_sort_ratio(s1, s2), token_set_ratio(s1, s2))
     return _c.apply_similarity_cutoff(best, score_cutoff)
@@ -277,7 +287,12 @@ def token_ratio(s1, s2, *, processor: Optional[Callable] = None,
 def partial_token_sort_ratio(s1, s2, *, processor: Optional[Callable] = None,
                              score_cutoff: Optional[float] = None
                              ) -> Optional[float]:
-    """``partial_ratio`` of the sorted-token joins."""
+    """``partial_ratio`` of the sorted-token joins.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.partial_token_sort_ratio("fuzzy wuzzy", "wuzzy fuzzy bear")
+    1.0
+    """
     s1, s2 = _processed(s1, s2, processor)
     return partial_ratio(_token_sorted(s1), _token_sorted(s2),
                          score_cutoff=score_cutoff)
@@ -287,7 +302,12 @@ def partial_token_set_ratio(s1, s2, *, processor: Optional[Callable] = None,
                             score_cutoff: Optional[float] = None
                             ) -> Optional[float]:
     """1.0 on any shared token, else ``partial_ratio`` of the sorted
-    difference joins (the ecosystem's shortcut semantics)."""
+    difference joins (the ecosystem's shortcut semantics).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.partial_token_set_ratio("fuzzy bear", "a fuzzy thing")
+    1.0
+    """
     s1, s2 = _processed(s1, s2, processor)
     inter, d1, d2, _, _ = _token_set_parts(s1, s2)
     if inter:
@@ -298,7 +318,12 @@ def partial_token_set_ratio(s1, s2, *, processor: Optional[Callable] = None,
 def partial_token_ratio(s1, s2, *, processor: Optional[Callable] = None,
                         score_cutoff: Optional[float] = None
                         ) -> Optional[float]:
-    """``max(partial_token_sort_ratio, partial_token_set_ratio)``."""
+    """``max(partial_token_sort_ratio, partial_token_set_ratio)``.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> fuzz.partial_token_ratio("wuzzy fuzzy", "fuzzy wuzzy was a bear")
+    1.0
+    """
     s1, s2 = _processed(s1, s2, processor)
     best = max(partial_token_sort_ratio(s1, s2),
                partial_token_set_ratio(s1, s2))
@@ -335,7 +360,12 @@ def WRatio(s1, s2, *, processor: Optional[Callable] = None,
 def QRatio(s1, s2, *, processor: Optional[Callable] = None,
            score_cutoff: Optional[float] = None) -> Optional[float]:
     """Quick ratio: ``ratio`` plus the empty-input convention (ecosystem
-    ``QRatio``)."""
+    ``QRatio``).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> round(fuzz.QRatio("this is a test", "this is a test!"), 4)
+    0.9655
+    """
     s1, s2 = _processed(s1, s2, processor)
     return ratio(s1, s2, score_cutoff=score_cutoff)
 
@@ -366,7 +396,13 @@ def _aligned_ratio(arrs1, arrs2) -> np.ndarray:
 def ratio_many(s1, choices, *, processor: Optional[Callable] = None,
                score_cutoff: Optional[float] = None
                ) -> _dispatch.BatchResult:
-    """One-vs-many ``ratio`` (device batch)."""
+    """One-vs-many ``ratio`` (device batch).
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> [round(float(v), 4) for v in
+    ...  fuzz.ratio_many("abc", ["abc", "abd", ""]).values]
+    [1.0, 0.6667, 0.0]
+    """
     if processor is not None:
         s1 = processor(s1)
         choices = [processor(c) for c in choices]
