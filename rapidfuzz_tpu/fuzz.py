@@ -194,6 +194,11 @@ def partial_ratio_alignment_many(s1, choices, *,
     the kernel tracks each candidate's best window span, so snippet
     positions come at scan rate (entries under ``score_cutoff`` are
     ``None``).  Tie-breaks match the pairwise host sweep exactly.
+
+    >>> from rapidfuzz_tpu import fuzz
+    >>> a = fuzz.partial_ratio_alignment_many("needle", ["say needle here"])
+    >>> (a[0].score, a[0].dest_start, a[0].dest_end)
+    (1.0, 4, 10)
     """
     if processor is not None:
         s1 = processor(s1)
