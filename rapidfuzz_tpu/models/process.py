@@ -169,6 +169,11 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
     to every query and choice before scoring.  ``_scanner`` lets a caller
     that already holds a device-resident :class:`CorpusScanner` over
     ``choices`` (the serving layer) reuse it instead of rebuilding one.
+
+    >>> from rapidfuzz_tpu.models import cdist
+    >>> cdist(["kitten"], ["mitten", "kitty"], scorer="levenshtein",
+    ...       score_kind="distance").values.tolist()
+    [[1.0, 2.0]]
     """
     queries, choices = list(queries), list(choices)
     if processor is not None:
@@ -195,7 +200,13 @@ def extract(query, choices: Sequence, *, scorer="levenshtein",
             score_kind: str = "normalized_similarity", limit: int = 5,
             score_cutoff: Optional[float] = None, processor=None,
             _scanner=None):
-    """Best ``limit`` choices as (choice, score, index), best first."""
+    """Best ``limit`` choices as (choice, score, index), best first.
+
+    >>> from rapidfuzz_tpu.models import extract
+    >>> [(c, round(s, 4), i) for c, s, i in
+    ...  extract("kitten", ["sitting", "mitten", "kitchen"], limit=2)]
+    [('mitten', 0.8333, 1), ('kitchen', 0.7143, 2)]
+    """
     choices = list(choices)
     scores = cdist([query], choices, scorer=scorer,
                    score_kind=score_kind, processor=processor,

@@ -15,9 +15,10 @@ from rapidfuzz_tpu import fuzz
 from rapidfuzz_tpu.distance import (damerau_levenshtein, hamming, indel,
                                     jaro, jaro_winkler, lcs_seq, levenshtein,
                                     osa, postfix, prefix)
+from rapidfuzz_tpu.models import process
 
 MODULES = [levenshtein, indel, lcs_seq, osa, damerau_levenshtein, hamming,
-           jaro, jaro_winkler, prefix, postfix, fuzz]
+           jaro, jaro_winkler, prefix, postfix, fuzz, process]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)
