@@ -13,7 +13,9 @@ Endpoints (JSON):
 * ``POST /reload`` body ``{"corpus": [str]}`` or ``{"path": file}``
                                   -> ``{"ok": true, "n": new_size}``
   (hot corpus swap: the new scanner builds outside the lock, in-flight
-  queries keep the old corpus until the atomic swap)
+  queries keep the old corpus until the atomic swap.  ``path`` reads a
+  server-local file — operator input; the daemon binds 127.0.0.1 by
+  default and has no auth, so do not expose it beyond trusted hosts)
 * ``POST /topk``    body ``{"query": str, "k": int, "score_cutoff"?: num}``
                                   -> ``{"values": [...], "indices": [...],
                                         "strings": [...]}``
