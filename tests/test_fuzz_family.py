@@ -276,3 +276,30 @@ def test_partial_ratio_vs_cpp_oracle():
         b = rng.integers(97, 104, n).astype(np.int64)
         assert fuzz.partial_ratio(a, b) == oracle.partial_ratio(
             codec.encode_one(a), codec.encode_one(b))
+
+
+def test_fuzz_family_metamorphic():
+    """Cross-scorer properties on random inputs: identity scores 1.0,
+    symmetry, token_sort invariance under token permutation, and
+    token_set_ratio >= token_sort_ratio (set algebra only relaxes)."""
+    rng = np.random.default_rng(113)
+    letters = list("abcd ")
+    scorers = [fuzz.ratio, fuzz.partial_ratio, fuzz.token_sort_ratio,
+               fuzz.token_set_ratio, fuzz.token_ratio, fuzz.WRatio,
+               fuzz.QRatio]
+    for _ in range(40):
+        s1 = "".join(rng.choice(letters, int(rng.integers(0, 30))))
+        s2 = "".join(rng.choice(letters, int(rng.integers(0, 30))))
+        for f in scorers:
+            assert f(s1, s1) == 1.0, (f.__name__, s1)
+            if f is fuzz.partial_ratio and len(s1) == len(s2):
+                # equal lengths: the ecosystem convention slides the
+                # FIRST argument's windows, so partial_ratio is only
+                # symmetric when one side is strictly shorter
+                continue
+            assert f(s1, s2) == f(s2, s1), (f.__name__, s1, s2)
+        toks = s1.split()
+        perm = " ".join(rng.permutation(toks).tolist())
+        assert fuzz.token_sort_ratio(s1, perm) == 1.0, (s1, perm)
+        assert (fuzz.token_set_ratio(s1, s2)
+                >= fuzz.token_sort_ratio(s1, s2) - 1e-12), (s1, s2)
