@@ -216,44 +216,212 @@ def _sharded(run_fn, mesh, statics: dict):
     import jax
     from jax.sharding import PartitionSpec as P
 
-    def local(qq, la, b, lb):
-        return run_fn(qq, la, b, lb, **statics)
+    def local(*a):
+        return run_fn(*a, **statics)
 
-    return jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(), P("data", None), P("data", None)),
-        out_specs=P("data", None), check_vma=False))
+    def wrap(*args):
+        # all leading args replicated; the last two (b, lb tiles) sharded
+        nrep = len(args) - 2
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(),) * nrep + (P("data", None), P("data", None)),
+            out_specs=P("data", None), check_vma=False))(*args)
+
+    return wrap
 
 
 def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
-                    interpret: bool = False, mesh=None) -> jnp.ndarray:
+                    interpret: bool = False, mesh=None,
+                    variant: str = "auto") -> jnp.ndarray:
     """One-vs-many unrestricted Damerau distances -> int32[B].
 
     ``b_tiles``/``lb_tiles``/``seg`` from :func:`prepare_corpus_cols`;
     the query may be any length (row loop runs exactly ``len(query)``
     steps).  With a multi-device ``mesh``, the kernel runs per corpus
     shard via ``shard_map`` (rows pre-sharded ``P("data", None)``).
+
+    ``variant``: "pack" = per-row packed last-match scan (:func:`_kernel`),
+    "lp" = hoisted lastpos tiles (:func:`_kernel_lp`); "auto" picks "lp"
+    when the query has <= ND_CAP distinct chars (always true for byte
+    queries up to 64 distinct symbols).
     """
     nsegs = LANE // seg
     lens = np.asarray(lb_tiles)[:, ::seg].reshape(-1)
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.asarray(lens.astype(np.int32))
+    lp = None
+    if variant != "pack":
+        lp = _encode_query_lp(query)
+        if lp is None and variant == "lp":
+            raise ValueError(f"> {ND_CAP} distinct query chars")
     ndev = len(mesh.devices.flat) if mesh is not None else 1
     rows = int(b_tiles.shape[0])
-    if ndev > 1:
-        f = _sharded(_run, mesh,
-                     dict(sub=pick_sub(rows // ndev), seg=seg,
-                          interpret=interpret))
-        out = f(jnp.asarray(qpad), jnp.array([la], jnp.int32), b_tiles,
-                lb_tiles)
+    sub = pick_sub(rows // ndev if ndev > 1 else rows)
+    if lp is not None:
+        qpad, ci, qd, la, nd = lp
+        args = (jnp.asarray(qpad), jnp.asarray(ci), jnp.asarray(qd),
+                jnp.array([la], jnp.int32))
+        statics = dict(sub=sub, seg=seg, nd=nd, interpret=interpret)
+        run_fn = _run_lp
     else:
-        out = _run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-                   jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
-                   sub=pick_sub(rows), seg=seg, interpret=interpret)
+        args = (jnp.asarray(qpad), jnp.array([la], jnp.int32))
+        statics = dict(sub=sub, seg=seg, interpret=interpret)
+        run_fn = _run
+    if ndev > 1:
+        out = _sharded(run_fn, mesh, statics)(
+            *args, b_tiles, lb_tiles)
+    else:
+        out = run_fn(*args, jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+                     **statics)
     summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
     # segments with an empty candidate never hit jcol == lb: dist = la
     return jnp.where(jnp.asarray(lens) == 0, la, summed)
+
+
+# ---------------------------------------------- lastpos variant (<= 128)
+
+def _kernel_lp(q_ref, ci_ref, qd_ref, la_ref, b_ref, lb_ref, out_ref,
+               st_ref, lp_ref, *, sub: int, seg: int, nd: int):
+    """Zhao-Sahni rows with the last-match scan hoisted out of the row loop.
+
+    The scan's position part ``L(i, j) = last column l < j with
+    b[l] == a_i`` depends only on the query CHAR, not the row index — so
+    the 6-7-roll packed Hillis-Steele scan per row collapses to a
+    precompute: one strict-lastpos tile per distinct query char (4 tiles
+    packed per int32 in ``lp_ref``), built once per candidate tile with
+    one max-scan each.  Per row the kernel then does one dynamic scratch
+    load + one lane gather of ``D_{i-2}[L-1]`` (the PM-table
+    ``take_along_axis`` mechanism) instead of the packed scan — per-row
+    rolls drop from ~16 to ~9.  Semantics identical to :func:`_kernel`
+    (``damerau_levenshtein.rs:111-168``).
+    """
+    la = la_ref[0]
+    b_tile = b_ref[:, :]
+    lb = lb_ref[:, :]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    local = jj & (seg - 1)
+    jcol = local + 1
+    seg_base = jj - local
+    shifts = [1 << k for k in range(seg.bit_length() - 1)]
+
+    def shift_seg(x, sh, fill):
+        r = pltpu.roll(x, sh, 1)
+        return jnp.where(local >= sh, r, fill)
+
+    def minplus_prefix(x):
+        y = x - jcol
+        for sh in shifts:
+            y = jnp.minimum(y, shift_seg(y, sh, BIG))
+        return y + jcol
+
+    # precompute: strict lastpos per distinct query char, 4 packed / int32
+    for w in range(nd // 4):
+        word = jnp.zeros((sub, LANE), jnp.int32)
+        for k in range(4):
+            m = jnp.where(b_tile == qd_ref[w * 4 + k], jcol, 0)
+            for sh in shifts:
+                m = jnp.maximum(m, shift_seg(m, sh, 0))
+            word = word | (shift_seg(m, 1, 0) << (8 * k))
+        lp_ref[w] = word
+
+    st_ref[0] = jcol                         # D_{i-1}; D[0][j] = j
+    st_ref[1] = jnp.full((sub, LANE), BIG, jnp.int32)    # D_{i-2}
+    st_ref[2] = jnp.zeros((sub, LANE), jnp.int32)        # K[j]
+    st_ref[3] = jnp.full((sub, LANE), BIG, jnp.int32)    # FR[j]
+
+    def step(i, carry):
+        dim1 = st_ref[0]
+        dim2 = st_ref[1]
+        K = st_ref[2]
+        FR = st_ref[3]
+        ai = q_ref[i - 1]
+        ci = ci_ref[i - 1]
+        eq_i = b_tile == ai
+
+        # L = last match strictly < jcol (segment-local 1-based column)
+        word = lp_ref[ci >> 2]
+        L = jax.lax.shift_right_logical(word, (ci & 3) * 8) & 0xFF
+
+        # t = D_{i-2}[L-1]: column L-1 lives at lane L-2
+        d2fill = jnp.where(i >= 2, i - 2, BIG)
+        idx = jnp.clip(seg_base + L - 2, seg_base, seg_base + seg - 1)
+        g = jnp.take_along_axis(dim2, idx, axis=1)
+        t = jnp.where(L >= 2, g, jnp.where(L == 1, d2fill, BIG))
+
+        diag = shift_seg(dim1, 1, i - 1)     # D_{i-1}[jcol-1]; D[i-1][0]=i-1
+        cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
+        cand = jnp.minimum(diag + cost, dim1 + 1)
+
+        case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
+        case2 = jnp.where((i - K == 1) & (jcol - L != 1), t + (jcol - L),
+                          BIG)
+        tr = jnp.minimum(case1, case2)
+        cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
+        cand = jnp.minimum(cand, i + jcol)   # boundary D[i][0] = i
+
+        new = minplus_prefix(cand)
+
+        r2 = pltpu.roll(dim1, 2, 1)
+        dim1_m2 = jnp.where(local >= 2, r2,
+                            jnp.where(jcol == 2, i - 1, BIG))
+        st_ref[3] = jnp.where(eq_i, dim1_m2, FR)
+        st_ref[2] = jnp.maximum(K, jnp.where(eq_i, i, 0))
+        st_ref[1] = dim1
+        st_ref[0] = new
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, step, 0)
+    out_ref[:, :] = jnp.where(jcol == lb, st_ref[0], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "seg", "nd",
+                                             "interpret"))
+def _run_lp(q, ci, qd, la, b_tiles, lb_tiles, *, sub=SUBC, seg=LANE, nd=8,
+            interpret=False):
+    nblocks = b_tiles.shape[0] // sub
+    kern = functools.partial(_kernel_lp, sub=sub, seg=seg, nd=nd)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_tiles.shape[0], LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4, sub, LANE), jnp.int32),
+                        pltpu.VMEM((nd // 4, sub, LANE), jnp.int32)],
+        interpret=interpret,
+    )(q, ci, qd, la, b_tiles, lb_tiles)
+
+
+ND_CAP = 64        # beyond 64 distinct query chars the lastpos scratch
+                   # would crowd VMEM (16 tiles @ sub=512 ~= 4 MB); the
+                   # packed-scan kernel has no such limit and takes over
+
+
+def _encode_query_lp(query: np.ndarray):
+    """(qpad, ci, qd, la, nd) for the lastpos kernel, or None to fall
+    back (``> ND_CAP`` distinct chars).  ``nd`` is padded to a multiple
+    of 8 so compilations key per bucket, not per exact distinct count."""
+    qpad, la = _encode_query_rows(query)
+    uniq, inv = np.unique(qpad[:la], return_inverse=True)
+    if uniq.size > ND_CAP:
+        return None
+    nd = max(8, -(-int(uniq.size) // 8) * 8)
+    qd = np.full(nd, -3, np.int32)           # -3 never matches corpus
+    qd[:uniq.size] = uniq
+    ci = np.zeros(qpad.size, np.int32)
+    ci[:la] = inv.astype(np.int32)
+    return qpad, ci, qd, la, nd
 
 
 # ------------------------------------------------- long candidates (>128)

@@ -444,6 +444,41 @@ def test_partial_ratio_window_kernel():
             assert (wst[i], wen[i]) == (es, ee), (LB, qlen, i)
 
 
+def test_damerau_lastpos_variant():
+    """The lastpos-tile Damerau kernel (``_kernel_lp``: strict last-match
+    positions hoisted out of the row loop into per-distinct-char packed
+    tiles) is bit-identical to the packed-scan kernel and the oracle
+    (``damerau_levenshtein.rs:111-168`` semantics) across segment widths,
+    including empty/full candidates and a query whose distinct-char count
+    straddles the nd=8 bucket boundary."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(77)
+    for LB, qspan, qlen in [(14, 6, 9), (60, 30, 37), (120, 64, 70)]:
+        Bs = 64 * (128 // dk.pick_seg(LB))
+        lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+        lens[0] = 0
+        lens[1] = LB
+        chars = np.full((Bs, LB), -1, np.int32)
+        for i, l in enumerate(lens):
+            chars[i, :l] = rng.integers(97, 97 + qspan, l)
+        bt, lt, seg = dk.prepare_corpus_cols(chars, lens, sub=8)
+        q = rng.integers(97, 97 + qspan, qlen).astype(np.int64)
+        a = np.asarray(dk.damerau_1v_many(
+            q, jnp.asarray(bt), jnp.asarray(lt), seg=seg, interpret=True,
+            variant="lp"))
+        b = np.asarray(dk.damerau_1v_many(
+            q, jnp.asarray(bt), jnp.asarray(lt), seg=seg, interpret=True,
+            variant="pack"))
+        assert (a == b).all(), (LB, np.nonzero(a != b))
+        for i in list(range(0, Bs, 13)) + [0, 1]:
+            exp = oracle.damerau(q, chars[i, :lens[i]].astype(np.int64))
+            assert a[i] == exp, (LB, i, a[i], exp)
+    # > ND_CAP distinct chars: auto falls back to the packed-scan kernel
+    qwide = np.arange(1000, 1000 + dk.ND_CAP + 3, dtype=np.int64)
+    assert dk._encode_query_lp(qwide.astype(np.int32)) is None
+
+
 def test_damerau_small_segments():
     """Damerau lane-segment widths 16 and 32: short corpora pack 8/4
     candidates per 128-lane row with shorter Hillis-Steele chains;
