@@ -36,13 +36,13 @@ SUB, LANE = 512, 128
 
 def _time(fn, iters=10, windows=3):
     out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[0][:1, :1])
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0][:1, :1])
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
