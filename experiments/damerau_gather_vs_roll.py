@@ -51,14 +51,18 @@ def chain(mode, sub, K=6, steps=64):
         x = x_ref[:, :]
         idx = idx_ref[:, :]
         acc = x
+        kk = jnp.int32(1)
         for _ in range(steps):
             for _k in range(K):
                 if mode == "roll":
                     acc = jnp.minimum(acc, pltpu.roll(acc, 1, 1))
                 elif mode == "gather":
                     acc = jnp.minimum(acc, jnp.take_along_axis(acc, idx, axis=1))
-                else:  # alu baseline
-                    acc = jnp.minimum(acc, acc + 1)
+                else:
+                    # alu baseline; xor + loop-varying addend so no
+                    # strength-reduction pass can fold the chain away
+                    acc = jnp.minimum(acc ^ 1, acc + kk)
+                    kk = kk + 1
         o_ref[:, :] = acc
 
     @jax.jit

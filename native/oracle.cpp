@@ -333,12 +333,20 @@ double rf_jaro_winkler(const int64_t* a, int64_t n1, const int64_t* b, int64_t n
 // --------------------------------------------------- batched convenience
 // One-vs-many over a flat corpus (offsets[count+1] prefix array), for the
 // host scalar fast path / BatchComparator CPU mode.
+int64_t rf_levenshtein_uniform_bp(const int64_t* a, int64_t n1,
+                                  const int64_t* b, int64_t n2,
+                                  int64_t cutoff);
+int64_t rf_indel_bp(const int64_t* a, int64_t n1, const int64_t* b,
+                    int64_t n2);
+
 void rf_levenshtein_uniform_1vN(const int64_t* q, int64_t nq,
                                 const int64_t* flat, const int64_t* offsets,
                                 int64_t count, int64_t* out) {
     for (int64_t i = 0; i < count; i++) {
-        out[i] = rf_levenshtein_uniform(q, nq, flat + offsets[i],
-                                        offsets[i + 1] - offsets[i]);
+        int64_t len = offsets[i + 1] - offsets[i];
+        out[i] = (nq * len > 16384)
+            ? rf_levenshtein_uniform_bp(q, nq, flat + offsets[i], len, -1)
+            : rf_levenshtein_uniform(q, nq, flat + offsets[i], len);
     }
 }
 
@@ -346,7 +354,10 @@ void rf_indel_1vN(const int64_t* q, int64_t nq,
                   const int64_t* flat, const int64_t* offsets,
                   int64_t count, int64_t* out) {
     for (int64_t i = 0; i < count; i++) {
-        out[i] = rf_indel(q, nq, flat + offsets[i], offsets[i + 1] - offsets[i]);
+        int64_t len = offsets[i + 1] - offsets[i];
+        out[i] = (nq * len > 16384)
+            ? rf_indel_bp(q, nq, flat + offsets[i], len)
+            : rf_indel(q, nq, flat + offsets[i], len);
     }
 }
 
@@ -373,6 +384,357 @@ double rf_partial_ratio(const int64_t* a, int64_t n1,
         if (r > best) best = r;
     }
     return best;
+}
+
+}  // extern "C"
+
+// ======================================================================
+// Bit-parallel (u64 blockwise) host kernels.
+//
+// The quadratic functions above stay as the textbook third opinion; these
+// give the host scalar path the reference's one-shot asymptotics:
+//   * uniform Levenshtein  O(ceil(K/64)*M), K = max(N, score_cutoff)
+//     (Myers/Hyyro blockwise + Ukkonen band, levenshtein.rs:48-49,
+//      1104-1222 semantics)
+//   * LCS / indel          O(ceil(N/64)*M)  (Hyyro, lcs_seq.rs:199-261)
+//   * OSA                  O(ceil(N/64)*M)  (Hyyro + transposition term,
+//                                            osa.rs:84-227)
+// The recurrences mirror the library's own TPU kernels
+// (rapidfuzz_tpu/ops/{levenshtein,lcs,osa}.py, u32 lanes there) widened to
+// u64 words.  Full-matrix sweeps are row-chunked (CHUNK_WORDS words of the
+// pattern at a time): the per-chunk PM table and VP/VN state stay cache
+// resident and memory is O(chunk + columns) regardless of input size, with
+// per-column horizontal carries stored in boundary streams between chunks.
+
+#include <cstdlib>
+
+namespace {
+
+constexpr size_t CHUNK_WORDS = 128;          // 8192 pattern rows per chunk
+
+// open-addressed symbol -> dense id map (distinct count known <= capacity)
+struct SymMap {
+    vector<int64_t> keys;
+    vector<int32_t> vals;
+    size_t mask = 0;
+    size_t n = 0;
+
+    void init(size_t expected) {
+        size_t cap = 64;
+        while (cap < expected * 2) cap <<= 1;
+        keys.assign(cap, 0);
+        vals.assign(cap, -1);
+        mask = cap - 1;
+        n = 0;
+    }
+    static inline uint64_t hashk(int64_t k) {
+        uint64_t x = (uint64_t)k;
+        x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+        x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+        x ^= x >> 33;
+        return x;
+    }
+    int32_t find(int64_t k) const {
+        size_t i = hashk(k) & mask;
+        while (vals[i] >= 0) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        return -1;
+    }
+    int32_t insert(int64_t k) {
+        size_t i = hashk(k) & mask;
+        while (vals[i] >= 0) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        keys[i] = k;
+        vals[i] = (int32_t)n++;
+        return vals[i];
+    }
+};
+
+// PM table for pattern rows [r0, r1): pool[id*ww + w] has bit (i - r0) % 64
+// set iff a[i] == symbol(id), w = (i - r0) / 64.
+static void build_pm_chunk(const int64_t* a, size_t r0, size_t r1, size_t ww,
+                           SymMap& sm, vector<uint64_t>& pool) {
+    sm.init(r1 - r0);
+    pool.clear();
+    for (size_t i = r0; i < r1; i++) {
+        int32_t id = sm.insert(a[i]);
+        if ((size_t)(id + 1) * ww > pool.size()) pool.resize((id + 1) * ww, 0);
+        pool[(size_t)id * ww + ((i - r0) >> 6)] |= 1ULL << ((i - r0) & 63);
+    }
+}
+
+// hin/hout encoding in the boundary stream: 0 -> -1, 1 -> 0, 2 -> +1.
+
+// Full Myers blockwise uniform Levenshtein, row-chunked.  The distance is
+// tracked at the REAL last pattern row: pre-shift HP/HN bit (m-1) % 64 of
+// word (m-1) / 64 (matching ops/levenshtein.py's test_bit(last_pos) —
+// padded sentinel rows above m can be absorbed by substitutions, so the
+// top word bit is NOT an offset of D[m][j]).
+static int64_t lev_bp_full(const int64_t* a, size_t m,
+                           const int64_t* b, size_t n) {
+    size_t W = (m + 63) >> 6;
+    size_t bit = (m - 1) & 63;                 // score bit in word W-1
+    size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
+    vector<uint8_t> hin(n, 2);                 // top boundary: D[0][j] = j
+    vector<uint64_t> VP(CHUNK_WORDS), VN(CHUNK_WORDS);
+    SymMap sm;
+    vector<uint64_t> pool;
+    int64_t dist = (int64_t)m;
+    for (size_t c = 0; c < nch; c++) {
+        size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
+        size_t ww = w1 - w0;
+        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        for (size_t w = 0; w < ww; w++) { VP[w] = ~0ULL; VN[w] = 0; }
+        bool lastc = (c == nch - 1);
+        for (size_t j = 0; j < n; j++) {
+            int32_t id = sm.find(b[j]);
+            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            uint64_t hp_c = hin[j] == 2, hn_c = hin[j] == 0;
+            for (size_t w = 0; w < ww; w++) {
+                uint64_t x = (pmv ? pmv[w] : 0) | hn_c;
+                uint64_t vp = VP[w], vn = VN[w];
+                uint64_t d0 = (((x & vp) + vp) ^ vp) | x | vn;
+                uint64_t hp = vn | ~(d0 | vp);
+                uint64_t hn = d0 & vp;
+                if (lastc && w == ww - 1)
+                    dist += (int64_t)((hp >> bit) & 1)
+                          - (int64_t)((hn >> bit) & 1);
+                uint64_t hp_s = (hp << 1) | hp_c;
+                uint64_t hn_s = (hn << 1) | hn_c;
+                hp_c = hp >> 63;
+                hn_c = hn >> 63;
+                VP[w] = hn_s | ~(d0 | hp_s);
+                VN[w] = hp_s & d0;
+            }
+            hin[j] = hp_c ? 2 : (hn_c ? 0 : 1);
+        }
+    }
+    return dist;
+}
+
+// Banded Myers blockwise: exact if the distance <= k, else returns k + 1.
+// Static Ukkonen band in word-block units; blocks enter at the bottom with
+// their column-0 state (VP=~0, VN=0, bottom value i) — a stand-in that is
+// >= the true cell value and > k at entry, so in-band cells compute exactly
+// when the true distance <= k (see dropped-block proof in tests).  Frozen
+// top blocks feed hin=+1 (their bottom row's stand-in grows +1 per column,
+// still an overestimate).  Returns INT64_MIN if the dense PM table would
+// exceed the memory cap (caller falls back).
+static int64_t lev_bp_banded(const int64_t* a, size_t m,
+                             const int64_t* b, size_t n, int64_t k) {
+    size_t W = (m + 63) >> 6;
+    size_t bit = (m - 1) & 63;                 // score bit in word W-1
+    // dense PM over the whole pattern: sigma * W words, capped at 128 MiB
+    {
+        SymMap probe;
+        probe.init(m);
+        const size_t cap_words = (size_t)1 << 24;      // 128 MiB of masks
+        for (size_t i = 0; i < m; i++) {
+            probe.insert(a[i]);
+            if (probe.n * W > cap_words) return INT64_MIN;
+        }
+    }
+    SymMap sm;
+    vector<uint64_t> pool;
+    build_pm_chunk(a, 0, m, W, sm, pool);
+    // score[w] = value at block w's bottom row (row (w+1)*64, or m for the
+    // last block).  The bit state carries deltas only, so an entering
+    // block's stand-in is anchored at the computed boundary row above it:
+    // entry value = score[w-1] + rows-below-boundary (still >= the true
+    // cell values: going down |rows| deletions from the boundary).
+    vector<uint64_t> VP(W), VN(W);
+    vector<int64_t> score(W);
+    auto bottom_row = [&](size_t w) -> int64_t {
+        return w == W - 1 ? (int64_t)m : (int64_t)((w + 1) * 64);
+    };
+    size_t last = (size_t)min<int64_t>((int64_t)W - 1, k / 64);
+    size_t first = 0;
+    for (size_t w = 0; w <= last; w++) {
+        VP[w] = ~0ULL;
+        VN[w] = 0;
+        score[w] = bottom_row(w);              // column-0 state: D[i][0] = i
+    }
+    for (size_t j = 1; j <= n; j++) {
+        int64_t maxrow = min<int64_t>((int64_t)m, (int64_t)j + k);
+        size_t last_needed = (size_t)((maxrow - 1) >> 6);
+        while (last < last_needed) {
+            ++last;
+            VP[last] = ~0ULL;
+            VN[last] = 0;
+            score[last] = score[last - 1] + bottom_row(last)
+                        - bottom_row(last - 1);
+        }
+        int64_t minrow = (int64_t)j - k;
+        if (minrow > (int64_t)m) return k + 1;     // band left the matrix
+        if (minrow > 1) first = max(first, (size_t)((minrow - 1) >> 6));
+        int32_t id = sm.find(b[j - 1]);
+        const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * W] : nullptr;
+        uint64_t hp_c = 1, hn_c = 0;           // top boundary / frozen rule
+        for (size_t w = first; w <= last; w++) {
+            uint64_t x = (pmv ? pmv[w] : 0) | hn_c;
+            uint64_t vp = VP[w], vn = VN[w];
+            uint64_t d0 = (((x & vp) + vp) ^ vp) | x | vn;
+            uint64_t hp = vn | ~(d0 | vp);
+            uint64_t hn = d0 & vp;
+            size_t wbit = (w == W - 1) ? bit : 63;
+            score[w] += (int64_t)((hp >> wbit) & 1)
+                      - (int64_t)((hn >> wbit) & 1);
+            uint64_t hp_s = (hp << 1) | hp_c;
+            uint64_t hn_s = (hn << 1) | hn_c;
+            hp_c = hp >> 63;
+            hn_c = hn >> 63;
+            VP[w] = hn_s | ~(d0 | hp_s);
+            VN[w] = hp_s & d0;
+        }
+    }
+    if (last != W - 1) return k + 1;
+    return score[W - 1] <= k ? score[W - 1] : k + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Uniform Levenshtein, bit-parallel: exact if the distance <= cutoff, else
+// any value > cutoff (cutoff + 1).  cutoff < 0 means no cutoff (full exact).
+int64_t rf_levenshtein_uniform_bp(const int64_t* a, int64_t n1_,
+                                  const int64_t* b, int64_t n2_,
+                                  int64_t cutoff) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    int64_t ldiff = n1 > n2 ? (int64_t)(n1 - n2) : (int64_t)(n2 - n1);
+    if (cutoff >= 0 && ldiff > cutoff) return cutoff + 1;
+    // banded pays off when the band is well under the pattern height
+    if (cutoff >= 0 && (size_t)cutoff + 128 < n1) {
+        int64_t r = lev_bp_banded(a, n1, b, n2, cutoff);
+        if (r != INT64_MIN) return r;
+        return lev_banded(a, n1, b, n2, cutoff);   // PM cap hit: O(k*M) DP
+    }
+    int64_t d = lev_bp_full(a, n1, b, n2);
+    return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
+}
+
+// Hyyro bit-parallel LCS length (lcs_seq.rs:199-261 semantics; mirrors
+// ops/lcs.py): per column, per word: u = s & pm; s = (s + u + carry) |
+// (s - u), add carry chained upward.  LCS = count of zero bits (padding
+// bits stay 1: u is a subset of s so s - u = s & ~u never borrows).
+int64_t rf_lcs_seq_bp(const int64_t* a, int64_t n1_,
+                      const int64_t* b, int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    size_t suf = common_suffix(a, n1, b, n2);
+    n1 -= suf; n2 -= suf;
+    size_t pre = common_prefix(a, n1, b, n2);
+    a += pre; b += pre; n1 -= pre; n2 -= pre;
+    int64_t affix = (int64_t)(pre + suf);
+    if (n1 == 0 || n2 == 0) return affix;
+    size_t m = n1, n = n2;
+    size_t W = (m + 63) >> 6;
+    size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
+    vector<uint8_t> cin(n, 0);
+    vector<uint64_t> S(CHUNK_WORDS);
+    SymMap sm;
+    vector<uint64_t> pool;
+    int64_t lcs = 0;
+    for (size_t c = 0; c < nch; c++) {
+        size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
+        size_t ww = w1 - w0;
+        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        for (size_t w = 0; w < ww; w++) S[w] = ~0ULL;
+        for (size_t j = 0; j < n; j++) {
+            int32_t id = sm.find(b[j]);
+            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            uint64_t carry = cin[j];
+            for (size_t w = 0; w < ww; w++) {
+                uint64_t s = S[w];
+                uint64_t u = s & (pmv ? pmv[w] : 0);
+                uint64_t t = s + u;
+                uint64_t c1 = t < s;
+                uint64_t t2 = t + carry;
+                uint64_t c2 = t2 < t;
+                carry = c1 | c2;
+                S[w] = t2 | (s - u);
+            }
+            cin[j] = (uint8_t)carry;
+        }
+        for (size_t w = 0; w < ww; w++)
+            lcs += __builtin_popcountll(~S[w]);
+    }
+    return affix + lcs;
+}
+
+int64_t rf_indel_bp(const int64_t* a, int64_t n1, const int64_t* b,
+                    int64_t n2) {
+    return n1 + n2 - 2 * rf_lcs_seq_bp(a, n1, b, n2);
+}
+
+// Hyyro bit-parallel OSA (osa.rs:84-227 semantics; mirrors ops/osa.py):
+// Myers step plus the transposition mask
+//   tr = (((~d0_prev & pm) << 1) | cross-word carry) & pm_prev
+// folded into D0; d0/pm of the previous column kept per word.  Row-chunked
+// with hp/hn + transposition-carry boundary streams.
+int64_t rf_osa_bp(const int64_t* a, int64_t n1_,
+                  const int64_t* b, int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    size_t m = n1, n = n2;
+    size_t W = (m + 63) >> 6;
+    size_t bit = (m - 1) & 63;                 // score bit in word W-1
+    size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
+    vector<uint8_t> hin(n, 2);
+    vector<uint8_t> trin(n, 0);
+    vector<uint64_t> VP(CHUNK_WORDS), VN(CHUNK_WORDS);
+    vector<uint64_t> D0P(CHUNK_WORDS), PMP(CHUNK_WORDS);
+    SymMap sm;
+    vector<uint64_t> pool;
+    int64_t dist = (int64_t)m;
+    for (size_t c = 0; c < nch; c++) {
+        size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
+        size_t ww = w1 - w0;
+        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        for (size_t w = 0; w < ww; w++) {
+            VP[w] = ~0ULL; VN[w] = 0; D0P[w] = 0; PMP[w] = 0;
+        }
+        bool lastc = (c == nch - 1);
+        for (size_t j = 0; j < n; j++) {
+            int32_t id = sm.find(b[j]);
+            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            uint64_t hp_c = hin[j] == 2, hn_c = hin[j] == 0;
+            uint64_t tr_c = trin[j];           // (~d0_prev & pm)>>63, word below
+            for (size_t w = 0; w < ww; w++) {
+                uint64_t pmw = pmv ? pmv[w] : 0;
+                uint64_t d0p = D0P[w];
+                uint64_t tr = (((~d0p & pmw) << 1) | tr_c) & PMP[w];
+                tr_c = (~d0p & pmw) >> 63;
+                uint64_t x = pmw | hn_c;
+                uint64_t vp = VP[w], vn = VN[w];
+                uint64_t d0 = ((((x & vp) + vp) ^ vp) | x | vn) | tr;
+                uint64_t hp = vn | ~(d0 | vp);
+                uint64_t hn = d0 & vp;
+                if (lastc && w == ww - 1)
+                    dist += (int64_t)((hp >> bit) & 1)
+                          - (int64_t)((hn >> bit) & 1);
+                uint64_t hp_s = (hp << 1) | hp_c;
+                uint64_t hn_s = (hn << 1) | hn_c;
+                hp_c = hp >> 63;
+                hn_c = hn >> 63;
+                VP[w] = hn_s | ~(d0 | hp_s);
+                VN[w] = hp_s & d0;
+                D0P[w] = d0;
+                PMP[w] = pmw;
+            }
+            hin[j] = hp_c ? 2 : (hn_c ? 0 : 1);
+            trin[j] = (uint8_t)tr_c;
+        }
+    }
+    return dist;
 }
 
 }  // extern "C"

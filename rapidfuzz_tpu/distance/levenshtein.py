@@ -128,27 +128,41 @@ def maximum(len1, len2, weights: WeightTable = _UNIFORM):
 
 # ------------------------------------------------------------- scalar core
 
-def _raw_distance(u1: np.ndarray, u2: np.ndarray, weights: WeightTable) -> int:
-    """True weighted distance of two encoded arrays (host oracle path)."""
+def _raw_distance(u1: np.ndarray, u2: np.ndarray, weights: WeightTable,
+                  cutoff: Optional[int] = None,
+                  hint: Optional[int] = None) -> int:
+    """True weighted distance of two encoded arrays (host oracle path).
+
+    ``cutoff``/``hint`` are in DISTANCE units: the result is exact when it
+    is <= cutoff, else any value > cutoff (the reference's one-shot
+    pruning, ``levenshtein.rs:1104-1222``); a hint seeds the band ladder
+    without affecting exactness.
+    """
     ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
                       weights.substitution_cost)
     if ins == dele:
         if ins == 0:
             return 0
         if ins == sub:
-            # band-doubling path for long inputs (the reference reaches the
-            # same asymptotics via its Ukkonen-banded block kernel +
-            # score-hint ladder, levenshtein.rs:1176-1220)
-            if u1.size * u2.size > 1_000_000:
-                return ins * _oracle.levenshtein_uniform_banded(u1, u2)
-            return ins * _oracle.levenshtein_uniform(u1, u2)
+            # every edit costs `ins`, so distance = ins * uniform distance
+            # and a distance cutoff divides through
+            cut_u = None if cutoff is None else cutoff // ins
+            hint_u = None if hint is None else max(hint // ins, 1)
+            return ins * _oracle.levenshtein_uniform_auto(
+                u1, u2, cutoff=cut_u, hint=hint_u)
         if sub >= ins + dele:
             return ins * (_oracle.indel(u1, u2) if ins != 0 else 0)
     return _oracle.levenshtein_weighted(u1, u2, ins, dele, sub)
 
 
-def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
-    """(raw_distance, maximum) for a scalar pair."""
+def _scalar(s1, s2, weights: WeightTable,
+            cutoff: Optional[int] = None,
+            hint: Optional[int] = None) -> tuple[int, int]:
+    """(raw_distance, maximum) for a scalar pair.
+
+    The raw distance is exact when <= ``cutoff`` (distance units), else
+    any value above it — callers mask with the cutoff algebra.
+    """
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     if _c.scalar_backend() == "device":
         ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
@@ -160,15 +174,20 @@ def _scalar(s1, s2, weights: WeightTable) -> tuple[int, int]:
             # instead of a padded one-pair batch scan
             from ..ops.pallas import pair_kernel as _pk
             from ..ops.pallas import tpu_backend as _tb
+            cut_u = None if cutoff is None else cutoff // ins
+            hint_u = None if hint is None else max(hint // ins, 1)
             try:
-                dist = ins * _pk.lev_pair(u1, u2, interpret=not _tb())
+                d = _pk.lev_pair(u1, u2, score_cutoff=cut_u,
+                                 score_hint=hint_u, interpret=not _tb())
+                dist = (ins * d if d is not None
+                        else cutoff + 1)        # certified above the cutoff
             except ValueError:  # distance beyond the device band limit
-                dist = _raw_distance(u1, u2, weights)
+                dist = _raw_distance(u1, u2, weights, cutoff, hint)
             return dist, maximum(u1.size, u2.size, weights)
         c1, l1, c2, l2 = _codec.encode_pair_batch([u1], [u2])
         dist = int(_raw_distance_batch(c1, l1, c2, l2, weights)[0])
     else:
-        dist = _raw_distance(u1, u2, weights)
+        dist = _raw_distance(u1, u2, weights, cutoff, hint)
     return dist, maximum(u1.size, u2.size, weights)
 
 
@@ -188,7 +207,7 @@ def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
     ...                      weights=levenshtein.WeightTable(1, 1, 2))
     5
     """
-    dist, _ = _scalar(s1, s2, weights)
+    dist, _ = _scalar(s1, s2, weights, score_cutoff, score_hint)
     return _c.apply_distance_cutoff(dist, score_cutoff)
 
 
@@ -201,7 +220,11 @@ def similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> levenshtein.similarity("kitten", "sitting")
     4
     """
-    dist, mx = _scalar(s1, s2, weights)
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    mx0 = maximum(u1.size, u2.size, weights)
+    dcut = None if score_cutoff is None else max(mx0 - score_cutoff, 0)
+    dhint = None if score_hint is None else max(mx0 - score_hint, 0)
+    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
     return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
 
 
@@ -214,7 +237,12 @@ def normalized_distance(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> round(levenshtein.normalized_distance("kitten", "sitting"), 4)
     0.4286
     """
-    dist, mx = _scalar(s1, s2, weights)
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    mx0 = maximum(u1.size, u2.size, weights)
+    dcut = (None if score_cutoff is None
+            else int(score_cutoff * mx0) + 1)      # over-covering band
+    dhint = None if score_hint is None else int(score_hint * mx0) + 1
+    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
     return _c.apply_distance_cutoff(_c.norm_dist_from_dist(dist, mx),
                                     score_cutoff)
 
@@ -228,7 +256,13 @@ def normalized_similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> round(levenshtein.normalized_similarity("kitten", "sitting"), 4)
     0.5714
     """
-    dist, mx = _scalar(s1, s2, weights)
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    mx0 = maximum(u1.size, u2.size, weights)
+    dcut = (None if score_cutoff is None
+            else int((1.0 - score_cutoff) * mx0) + 1)
+    dhint = (None if score_hint is None
+             else int((1.0 - score_hint) * mx0) + 1)
+    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
     return _c.apply_similarity_cutoff(1.0 - _c.norm_dist_from_dist(dist, mx),
                                       score_cutoff)
 

@@ -84,8 +84,22 @@ def _load():
             lib.rf_levenshtein_uniform_1vN.argtypes = [p64, i64, p64, p64, i64, p64]
             lib.rf_indel_1vN.restype = None
             lib.rf_indel_1vN.argtypes = [p64, i64, p64, p64, i64, p64]
+            lib.rf_levenshtein_uniform_bp.restype = i64
+            lib.rf_levenshtein_uniform_bp.argtypes = [p64, i64, p64, i64, i64]
+            lib.rf_lcs_seq_bp.restype = i64
+            lib.rf_lcs_seq_bp.argtypes = [p64, i64, p64, i64]
+            lib.rf_indel_bp.restype = i64
+            lib.rf_indel_bp.argtypes = [p64, i64, p64, i64]
+            lib.rf_osa_bp.restype = i64
+            lib.rf_osa_bp.argtypes = [p64, i64, p64, i64]
             _lib = lib
     return _lib
+
+
+#: above this len1*len2 product the bit-parallel u64 kernels beat the
+#: textbook row DP (PM-table setup amortizes); below it the quadratic
+#: third-opinion code is cheapest and battle-tested
+_BP_MIN_CELLS = 16384
 
 
 def _arr(a) -> np.ndarray:
@@ -110,17 +124,93 @@ def levenshtein_weighted(a, b, ins: int, dele: int, sub: int) -> int:
 
 def lcs_seq(a, b) -> int:
     a, b = _arr(a), _arr(b)
+    if a.size * b.size > _BP_MIN_CELLS:
+        return int(_load().rf_lcs_seq_bp(a, a.size, b, b.size))
     return int(_load().rf_lcs_seq(a, a.size, b, b.size))
 
 
+def lcs_seq_dp(a, b) -> int:
+    """Quadratic textbook LCS (third opinion vs the bit-parallel path)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_lcs_seq(a, a.size, b, b.size))
+
+
+def lcs_seq_bp(a, b) -> int:
+    """Hyyro u64 bit-parallel LCS, O(ceil(N/64)*M) (lcs_seq.rs:199-261)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_lcs_seq_bp(a, a.size, b, b.size))
+
+
 def indel(a, b) -> int:
+    a, b = _arr(a), _arr(b)
+    if a.size * b.size > _BP_MIN_CELLS:
+        return int(_load().rf_indel_bp(a, a.size, b, b.size))
+    return int(_load().rf_indel(a, a.size, b, b.size))
+
+
+def indel_dp(a, b) -> int:
+    """Quadratic textbook indel (third opinion vs the bit-parallel path)."""
     a, b = _arr(a), _arr(b)
     return int(_load().rf_indel(a, a.size, b, b.size))
 
 
 def osa(a, b) -> int:
     a, b = _arr(a), _arr(b)
+    if a.size * b.size > _BP_MIN_CELLS:
+        return int(_load().rf_osa_bp(a, a.size, b, b.size))
     return int(_load().rf_osa(a, a.size, b, b.size))
+
+
+def osa_dp(a, b) -> int:
+    """Quadratic textbook OSA (third opinion vs the bit-parallel path)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_osa(a, a.size, b, b.size))
+
+
+def osa_bp(a, b) -> int:
+    """Hyyro u64 bit-parallel OSA, O(ceil(N/64)*M) (osa.rs:84-227)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_osa_bp(a, a.size, b, b.size))
+
+
+def levenshtein_uniform_bp(a, b, cutoff: int = -1) -> int:
+    """Myers/Hyyro u64 blockwise uniform Levenshtein.
+
+    ``cutoff >= 0``: Ukkonen-banded in word blocks, O(ceil(K/64)*M) —
+    exact when the distance <= cutoff, else returns ``cutoff + 1``
+    (``levenshtein.rs:48-49`` asymptotics).  ``cutoff < 0``: full exact.
+    """
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_levenshtein_uniform_bp(a, a.size, b, b.size,
+                                                 int(cutoff)))
+
+
+def levenshtein_uniform_auto(a, b, cutoff=None, hint=None) -> int:
+    """Uniform Levenshtein with the reference's one-shot routing
+    (``levenshtein.rs:1104-1222``): tiny pairs on the quadratic DP, a
+    caller cutoff bounds the band directly, a ``score_hint`` seeds a
+    geometric band ladder (exactness never depends on the hint).
+
+    Returns the exact distance when it is <= the effective cutoff, else
+    any value > cutoff (callers mask).
+    """
+    a, b = _arr(a), _arr(b)
+    m, n = a.size, b.size
+    lib = _load()
+    if m * n <= _BP_MIN_CELLS:
+        d = int(lib.rf_levenshtein_uniform(a, m, b, n))
+        return d if cutoff is None or d <= cutoff else int(cutoff) + 1
+    if cutoff is not None and (hint is None or hint >= cutoff):
+        return int(lib.rf_levenshtein_uniform_bp(a, m, b, n, int(cutoff)))
+    k = max(int(hint) if hint is not None else 64, abs(m - n), 16)
+    lim = max(m, n)
+    while True:
+        if cutoff is not None:
+            k = min(k, int(cutoff))
+        r = int(lib.rf_levenshtein_uniform_bp(a, m, b, n, int(k)))
+        if r <= k or k >= lim or (cutoff is not None and k >= cutoff):
+            return r
+        k = min(k * 4, lim)
 
 
 def damerau(a, b) -> int:
