@@ -30,7 +30,7 @@ _SCANNABLE = frozenset({"levenshtein", "indel", "lcs_seq", "osa",
 
 
 def scan_one_vs_many(name: str, q, corpus, weights=None,
-                     prefix_weight: float = 0.1):
+                     prefix_weight: float = 0.1, score_cutoff=None):
     """One-vs-many distances via a one-off CorpusScanner, or None.
 
     ``BatchComparator.distances`` / ``*_many([q], corpus)`` otherwise run
@@ -38,6 +38,10 @@ def scan_one_vs_many(name: str, q, corpus, weights=None,
     on TPU.  The scanner build (encode + sort + upload) is the same order
     of work the XLA path pays anyway.  Jaro-family results come back as
     f64 distances (``1 - similarity``).
+
+    ``score_cutoff`` (a DISTANCE bound) routes banded device kernels
+    where available; entries above it come back with any value > the
+    cutoff (callers re-apply the identical mask).
     """
     import os
 
@@ -51,7 +55,10 @@ def scan_one_vs_many(name: str, q, corpus, weights=None,
     sc = CorpusScanner(list(corpus), metric=name, weights=weights,
                        prefix_weight=prefix_weight)
     f64 = name in ("jaro", "jaro_winkler")
-    return np.asarray(sc.distances(q), np.float64 if f64 else np.int64)
+    res = sc.distances(q, score_cutoff=score_cutoff)
+    if score_cutoff is not None:
+        res = res.values                       # masks re-applied upstream
+    return np.asarray(res, np.float64 if f64 else np.int64)
 
 
 class IntMetric:

@@ -377,14 +377,28 @@ def QRatio(s1, s2, *, processor: Optional[Callable] = None,
 
 # ------------------------------------------------- one-vs-many batch forms
 
-def _aligned_ratio(arrs1, arrs2) -> np.ndarray:
+def _aligned_ratio(arrs1, arrs2, score_cutoff=None) -> np.ndarray:
     """Elementwise indel normalized similarity of two aligned encoded
     groups (device batch).  One-vs-many batches at corpus scale ride the
-    Pallas scan (same f64 finish, bit-identical)."""
+    Pallas scan (same f64 finish, bit-identical).
+
+    A ratio ``score_cutoff`` converts to the bucket-wide indel bound
+    ``(1 - c) * (len1 + max len2)`` and routes the banded LCS kernel
+    (``indel.rs:80-104``); entries the band rejects have a true ratio
+    below the cutoff (the global bound over-covers every shorter
+    candidate), so the final similarity mask is unchanged.
+    """
     from .distance import _int_metric
     from .ops import lcs as _lcs_ops
     if len(arrs1) == 1 and len(arrs2) >= _int_metric.SCAN_MIN:
-        d = _int_metric.scan_one_vs_many("indel", arrs1[0], arrs2)
+        dcut = None
+        if score_cutoff is not None and score_cutoff > 0:
+            l1 = _codec.encode_one(arrs1[0]).size
+            lmax = max((_codec.encode_one(a).size for a in arrs2),
+                       default=0)
+            dcut = int((1.0 - score_cutoff) * (l1 + lmax)) + 1
+        d = _int_metric.scan_one_vs_many("indel", arrs1[0], arrs2,
+                                         score_cutoff=dcut)
         if d is not None:
             l1 = np.int64(_codec.encode_one(arrs1[0]).size)
             l2 = np.array([_codec.encode_one(a).size for a in arrs2],
@@ -412,7 +426,8 @@ def ratio_many(s1, choices, *, processor: Optional[Callable] = None,
         s1 = processor(s1)
         choices = [processor(c) for c in choices]
     vals = _aligned_ratio([_codec.encode_one(s1)],
-                          [_codec.encode_one(c) for c in choices])
+                          [_codec.encode_one(c) for c in choices],
+                          score_cutoff=score_cutoff)
     return _dispatch.BatchResult(*_c.mask_similarity(vals, score_cutoff))
 
 

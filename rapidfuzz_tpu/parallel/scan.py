@@ -494,9 +494,80 @@ class CorpusScanner:
         d = (den - num) / den              # 1 - score, host f64
         idx = np.flatnonzero((lens > 0) & (lens < m))
         if idx.size:
-            d[idx] = 1.0 - _fuzz._host_window_scores(
-                q, self._partial_arrays(idx))
+            d[idx] = 1.0 - self._partial_short_batched(q, idx)
         return d
+
+    def _partial_short_batched(self, q: np.ndarray,
+                               idx: np.ndarray) -> np.ndarray:
+        """Best-window ratios for candidates SHORTER than the query.
+
+        Window roles swap there (the candidate slides over the query,
+        fuzz.rs:207-213 semantics), and the clipped window set depends
+        only on the candidate LENGTH — so candidates group by length and
+        each group scores against its shared ``m + n - 1`` query windows
+        in ONE batched device LCS dispatch (no per-candidate Python; the
+        round-2 path re-entered ``_best_window`` per candidate).  Scores
+        use the same f64 ``1 - dist/total`` finish as the host path, so
+        results are bit-identical.
+        """
+        from .. import fuzz as _fuzz
+        from ..ops import dispatch as _dispatch
+        from ..ops import lcs as _lcs_ops
+
+        m = int(q.size)
+        q64 = np.asarray(q, np.int64)
+        if q64.size and (q64.max() > np.iinfo(np.int32).max
+                         or q64.min() < 0):
+            # out-of-int32 symbol domain: the per-candidate host sweep
+            # keeps exact equality through the shared-vocab encoder
+            return _fuzz._host_window_scores(q, self._partial_arrays(idx))
+        lens = self._lens_host
+        out = np.empty(idx.size, np.float64)
+        pos = {int(c): k for k, c in enumerate(idx)}
+        for n in np.unique(lens[idx]):
+            n = int(n)
+            grp = idx[lens[idx] == n]
+            starts = np.maximum(0, np.arange(1, m + n) - n)
+            ends = np.minimum(m, np.arange(1, m + n))
+            W = starts.size
+            # fixed widths (query <= _PARTIAL_MAX_Q on this route) and
+            # pow2-bucketed batches: a handful of compilations total
+            # instead of one per (length, group-size) shape
+            WPAD = -(-self._PARTIAL_MAX_Q // 32) * 32
+            gidx = starts[:, None] + np.arange(WPAD)[None, :]
+            wins = np.where(gidx < ends[:, None],
+                            q64[np.minimum(gidx, m - 1)], -1).astype(
+                                np.int32)
+            wlens = (ends - starts).astype(np.int32)
+            cands = np.full((grp.size, WPAD), -1, np.int32)
+            cands[:, :n] = self._pchars[grp][:, :n]
+            best = np.full(grp.size, -1.0)
+            cchunk = max(1, (1 << 20) // W)    # pairs per dispatch cap
+            for lo in range(0, grp.size, cchunk):
+                sl = slice(lo, min(lo + cchunk, grp.size))
+                C = sl.stop - sl.start
+                c1 = np.repeat(wins, C, axis=0)
+                l1 = np.repeat(wlens, C)
+                c2 = np.tile(cands[sl], (W, 1))
+                l2 = np.full(W * C, n, np.int32)
+                npad = 1 << max(W * C - 1, 0).bit_length()
+                if npad > W * C:               # zero-len dummy pairs
+                    pad = npad - W * C
+                    c1 = np.vstack([c1, np.full((pad, WPAD), -1,
+                                                np.int32)])
+                    c2 = np.vstack([c2, np.full((pad, WPAD), -1,
+                                                np.int32)])
+                    l1 = np.r_[l1, np.zeros(pad, np.int32)]
+                    l2 = np.r_[l2, np.zeros(pad, np.int32)]
+                sim = _dispatch.run_pairs(_lcs_ops.lcs_similarity,
+                                          c1, l1, c2, l2)[: W * C]
+                tot = l1[: W * C].astype(np.int64) + n
+                r = 1.0 - ((tot - 2 * sim.astype(np.int64))
+                           / np.maximum(tot, 1))
+                best[sl] = r.reshape(W, C).max(axis=0)
+            for k, c in enumerate(grp):
+                out[pos[int(c)]] = best[k]
+        return out
 
     def _distances_dev(self, query, score_cutoff=None, score_hint=None):
         q = self._encode_query(query)
@@ -679,6 +750,40 @@ class CorpusScanner:
                         interpret=self._interpret)
                 return self._jaro_finish(common.reshape(-1),
                                          trans.reshape(-1), q)
+            if not self._stream:
+                # cutoff-banded LCS route (indel.rs:80-104 ->
+                # lcs_seq.rs:267-341): an indel cutoff bounds the LCS DP
+                # to a diagonal band; an lcs_seq cutoff k admits indel
+                # <= 2k.  Same crossover rule as the lev band (the band
+                # step costs ~1.5x a Myers word): route once the query's
+                # word count clears twice the band's.  Byte mode needs a
+                # NUL-free query (candidate padding is byte 0, and the
+                # banded kernel relies on pads never matching; local
+                # mode maps pads to the always-empty MISS row).
+                from ..ops.pallas import lcs_band_kernel as _cbk
+                eff = (None if score_cutoff is None or self._wscale != 1
+                       else int(score_cutoff))
+                band_cut = (eff if self.metric == "indel"
+                            else None if eff is None else 2 * eff)
+                if (band_cut is not None
+                        and 0 <= band_cut <= _cbk.MAX_CUTOFF
+                        and int(cand3.shape[0]) * 4 <= _cbk.FAST_MAX_LB
+                        and (mode == "local"
+                             or not bool(np.any(np.asarray(qk) == 0)))):
+                    bw = _cbk.band_words(band_cut)
+                    Wq = max(1, -(-int(q.size) // 32))
+                    if Wq >= 2 * bw:
+                        sim = np.asarray(_cbk.lcs_banded_1v_many(
+                            np.asarray(qk, np.int32), cand3, self.lb2,
+                            cutoff=band_cut, mode=mode, cmax=self._cmax,
+                            interpret=self._interpret)).reshape(-1)
+                        la = q.size
+                        lb = np.asarray(self.lens).astype(np.int64)
+                        if self.metric == "indel":
+                            d = la + lb - 2 * sim
+                            return (d * self._wscale
+                                    if self._wscale != 1 else d)
+                        return np.maximum(la, lb) - sim
             if self._stream:
                 from ..ops.pallas import stream_kernel as _sk
                 sim = _sk.lcs_stream_1v_many(
