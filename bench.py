@@ -251,7 +251,7 @@ def _measure(phase: str):
         from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
-        Bd = 1 << 16 if not interpret else 1 << 10
+        Bd = 1 << 18 if not interpret else 1 << 10
         rngd = np.random.default_rng(7)
         chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
         bt, lt, seg = dk.prepare_corpus_cols(chars,

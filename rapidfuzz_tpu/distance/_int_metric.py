@@ -62,19 +62,32 @@ def scan_one_vs_many(name: str, q, corpus, weights=None,
 
 
 class IntMetric:
-    """Bundle of the derived API functions for one integer metric."""
+    """Bundle of the derived API functions for one integer metric.
+
+    ``fast_distance(s1, s2) -> int | None``: optional in-process C fast
+    path for str/bytes inputs (``native/rf_scalar.cpp``) — the
+    reference's one-shot latency class, skipping the numpy encoder.
+    """
 
     def __init__(self, name: str,
                  maximum: Callable[[int, int], int],
                  raw_distance: Callable[[np.ndarray, np.ndarray], int],
-                 batch_distance: Callable[..., np.ndarray]):
+                 batch_distance: Callable[..., np.ndarray],
+                 fast_distance=None):
         self.name = name
         self.maximum = maximum
         self.raw_distance = raw_distance
         self.batch_distance = batch_distance
+        self.fast_distance = fast_distance
 
     # ------------------------------------------------------------- scalar
     def _scalar(self, s1, s2):
+        if (self.fast_distance is not None
+                and type(s1) in (str, bytes) and type(s2) in (str, bytes)
+                and _c.scalar_backend() != "device"):
+            d = self.fast_distance(s1, s2)
+            if d is not None:
+                return d, self.maximum(len(s1), len(s2))
         u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
         mx = self.maximum(u1.size, u2.size)
         if _c.scalar_backend() == "device":

@@ -246,10 +246,13 @@ def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
     queries up to 64 distinct symbols).
     """
     nsegs = LANE // seg
-    lens = np.asarray(lb_tiles)[:, ::seg].reshape(-1)
+    # per-candidate lengths, kept ON DEVICE: an np.asarray here would pull
+    # the full lb tile array host-side on every call (~16 MB/call at the
+    # bench shape — measured as the dominant cost of the whole scan)
+    lens = jnp.asarray(lb_tiles)[:, ::seg].reshape(-1)
     qpad, la = _encode_query_rows(query)
     if la == 0:
-        return jnp.asarray(lens.astype(np.int32))
+        return lens.astype(jnp.int32)
     lp = None
     if variant != "pack":
         lp = _encode_query_lp(query)
@@ -276,7 +279,7 @@ def damerau_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, seg: int = LANE,
                      **statics)
     summed = jnp.sum(out.reshape(-1, nsegs, seg), axis=2).reshape(-1)
     # segments with an empty candidate never hit jcol == lb: dist = la
-    return jnp.where(jnp.asarray(lens) == 0, la, summed)
+    return jnp.where(lens == 0, la, summed)
 
 
 # ---------------------------------------------- lastpos variant (<= 128)
@@ -303,17 +306,12 @@ def _kernel_lp(q_ref, ci_ref, qd_ref, la_ref, b_ref, lb_ref, out_ref,
     local = jj & (seg - 1)
     jcol = local + 1
     seg_base = jj - local
+    sbm2 = seg_base - 2                      # gather base for D_{i-2}[L-1]
     shifts = [1 << k for k in range(seg.bit_length() - 1)]
 
     def shift_seg(x, sh, fill):
         r = pltpu.roll(x, sh, 1)
         return jnp.where(local >= sh, r, fill)
-
-    def minplus_prefix(x):
-        y = x - jcol
-        for sh in shifts:
-            y = jnp.minimum(y, shift_seg(y, sh, BIG))
-        return y + jcol
 
     # precompute: strict lastpos per distinct query char, 4 packed / int32
     for w in range(nd // 4):
@@ -325,14 +323,17 @@ def _kernel_lp(q_ref, ci_ref, qd_ref, la_ref, b_ref, lb_ref, out_ref,
             word = word | (shift_seg(m, 1, 0) << (8 * k))
         lp_ref[w] = word
 
-    st_ref[0] = jcol                         # D_{i-1}; D[0][j] = j
+    # D rows ping-pong between st_ref[0]/st_ref[1] by row parity (saves a
+    # full-tile copy per row); K/FR live in st_ref[2]/st_ref[3]
+    st_ref[0] = jcol                         # D_{i-1} for i=1; D[0][j] = j
     st_ref[1] = jnp.full((sub, LANE), BIG, jnp.int32)    # D_{i-2}
     st_ref[2] = jnp.zeros((sub, LANE), jnp.int32)        # K[j]
     st_ref[3] = jnp.full((sub, LANE), BIG, jnp.int32)    # FR[j]
 
     def step(i, carry):
-        dim1 = st_ref[0]
-        dim2 = st_ref[1]
+        par = i & 1
+        dim1 = st_ref[1 - par]
+        dim2 = st_ref[par]
         K = st_ref[2]
         FR = st_ref[3]
         ai = q_ref[i - 1]
@@ -343,36 +344,43 @@ def _kernel_lp(q_ref, ci_ref, qd_ref, la_ref, b_ref, lb_ref, out_ref,
         word = lp_ref[ci >> 2]
         L = jax.lax.shift_right_logical(word, (ci & 3) * 8) & 0xFF
 
-        # t = D_{i-2}[L-1]: column L-1 lives at lane L-2
+        # t = D_{i-2}[L-1]: column L-1 lives at lane L-2 (L == 1 -> the
+        # boundary D_{i-2}[0] = i-2; L == 0 -> no match, BIG)
         d2fill = jnp.where(i >= 2, i - 2, BIG)
-        idx = jnp.clip(seg_base + L - 2, seg_base, seg_base + seg - 1)
-        g = jnp.take_along_axis(dim2, idx, axis=1)
+        g = jnp.take_along_axis(dim2, jnp.maximum(sbm2 + L, seg_base),
+                                axis=1)
         t = jnp.where(L >= 2, g, jnp.where(L == 1, d2fill, BIG))
 
         diag = shift_seg(dim1, 1, i - 1)     # D_{i-1}[jcol-1]; D[i-1][0]=i-1
         cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
         cand = jnp.minimum(diag + cost, dim1 + 1)
 
-        case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
-        case2 = jnp.where((i - K == 1) & (jcol - L != 1), t + (jcol - L),
-                          BIG)
-        tr = jnp.minimum(case1, case2)
-        cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
-        cand = jnp.minimum(cand, i + jcol)   # boundary D[i][0] = i
+        # transposition terms (case1 self-guards: K==0 leaves FR at BIG)
+        djL = jcol - L
+        iK = i - K
+        m1 = djL == 1
+        tr = jnp.where(m1, FR + iK, t + djL)
+        tr = jnp.where(m1 | (iK == 1), tr, BIG)
+        cand = jnp.minimum(cand, jnp.where(eq_i, BIG, tr))
 
-        new = minplus_prefix(cand)
+        # min-plus prefix; the D[i][0] = i boundary enters every lane as
+        # a constant in y-space (value i at column 0)
+        y = cand - jcol
+        for sh in shifts:
+            y = jnp.minimum(y, shift_seg(y, sh, BIG))
+        new = jnp.minimum(y, i) + jcol
 
         r2 = pltpu.roll(dim1, 2, 1)
         dim1_m2 = jnp.where(local >= 2, r2,
                             jnp.where(jcol == 2, i - 1, BIG))
         st_ref[3] = jnp.where(eq_i, dim1_m2, FR)
-        st_ref[2] = jnp.maximum(K, jnp.where(eq_i, i, 0))
-        st_ref[1] = dim1
-        st_ref[0] = new
+        st_ref[2] = jnp.where(eq_i, jnp.broadcast_to(i, (sub, LANE)), K)
+        st_ref[par] = new                    # overwrite D_{i-2}: now D_i
         return carry
 
     jax.lax.fori_loop(1, la + 1, step, 0)
-    out_ref[:, :] = jnp.where(jcol == lb, st_ref[0], 0)
+    final = jnp.where((la & 1) == 1, st_ref[1], st_ref[0])
+    out_ref[:, :] = jnp.where(jcol == lb, final, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "seg", "nd",
@@ -441,11 +449,12 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
     """
     la = la_ref[0]
     local = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
-    # columns need 10 bits here (jcol up to nb*128 <= 512), so the packed
-    # (value << 10 | col) scan uses a smaller infinity that still fits
-    # int32 after the shift; values are clamped to it before packing
-    PBIG = jnp.int32(1 << 20)
-    SENT = jnp.int32((1 << 20) << 10)
+    # columns need 11 bits here (jcol up to nb*128 <= 2048), so the packed
+    # (value << 11 | col) scan uses a smaller infinity that still fits
+    # int32 after the shift; values are clamped to it before packing (the
+    # caller guards la + nb*128 < PBIG so real scores never clamp)
+    PBIG = jnp.int32(1 << 19)
+    SENT = jnp.int32((1 << 19) << 11)
     shifts = [1, 2, 4, 8, 16, 32, 64]
     lb = lb_ref[:, :]                        # per-candidate length, bcast
 
@@ -487,15 +496,15 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
 
             dim2_up = shift1(dim2, c_d2)
             d2p = jnp.minimum(dim2_up, PBIG)
-            e = jnp.where(eq_i, (d2p << 10) | jcol, SENT)
+            e = jnp.where(eq_i, (d2p << 11) | jcol, SENT)
             for sh in shifts:
                 r = pltpu.roll(e, sh, 1)
                 r = jnp.where(local >= sh, r, SENT)
-                e = jnp.where((e & 1023) > 0, e, r)
-            e = jnp.where((e & 1023) > 0, e, c_e)          # prior blocks
+                e = jnp.where((e & 2047) > 0, e, r)
+            e = jnp.where((e & 2047) > 0, e, c_e)          # prior blocks
             es = shift1(e, c_e)            # last match strictly < jcol
-            L = es & 1023
-            t = jnp.where(L >= 1, es >> 10, BIG)
+            L = es & 2047
+            t = jnp.where(L >= 1, es >> 11, BIG)
 
             diag = shift1(dim1, c_d1a)     # D_{i-1}[jcol-1]
             cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
@@ -567,7 +576,7 @@ def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
     )(q, la, b_tiles, lb_tiles)
 
 
-MAX_TEXT_LONG = 512    # NB * sub scratch budget (~4 MB at sub=512, NB=4)
+MAX_TEXT_LONG = 2048   # NB * sub scratch budget (~4 MB at sub=128, NB=16)
 
 
 def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
@@ -596,13 +605,17 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
 def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                          sub: int, interpret: bool = False,
                          mesh=None) -> jnp.ndarray:
-    """One-vs-many unrestricted Damerau for 128 < candidates <= 512
+    """One-vs-many unrestricted Damerau for 128 < candidates <= 2048
     chars -> int32[B].  With a multi-device ``mesh``, per-shard via
     ``shard_map`` (``sub`` must divide the per-shard row count)."""
-    lens = np.asarray(lb_tiles)[:, 0]
+    lens = jnp.asarray(lb_tiles)[:, 0]     # stays on device (no transfer)
     qpad, la = _encode_query_rows(query)
     if la == 0:
-        return jnp.asarray(lens.astype(np.int32))
+        return lens.astype(jnp.int32)
+    if la + nb * LANE >= (1 << 19):
+        # scores could reach the packed-scan clamp (PBIG); such extreme
+        # query lengths take the XLA path instead
+        raise ValueError("query too long for the packed-scan value range")
     ndev = len(mesh.devices.flat) if mesh is not None else 1
     if ndev > 1:
         rows = int(b_tiles.shape[0]) // ndev
@@ -618,4 +631,4 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                         jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
                         sub=sub, nb=nb, interpret=interpret)
     summed = jnp.sum(out, axis=1)
-    return jnp.where(jnp.asarray(lens) == 0, la, summed)
+    return jnp.where(lens == 0, la, summed)

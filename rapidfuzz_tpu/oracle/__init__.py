@@ -101,6 +101,50 @@ def _load():
 #: third-opinion code is cheapest and battle-tested
 _BP_MIN_CELLS = 16384
 
+_SCALAR_SRC = os.path.join(_ROOT, "native", "rf_scalar.cpp")
+_SCALAR_SO = os.path.join(_HERE, "_rf_scalar.so")
+_fast = None
+_fast_tried = False
+
+
+def fast_scalar():
+    """The ``_rf_scalar`` CPython extension (one-shot str/bytes fast path,
+    ~0.3-2 us/call vs ~20-60 us through the numpy/ctypes route), built on
+    first use next to the package.  Returns None if the build fails —
+    callers fall back to the general encoder path.
+    """
+    global _fast, _fast_tried
+    if _fast_tried:
+        return _fast
+    with _lock:
+        if _fast_tried:
+            return _fast
+        try:
+            import importlib.util
+            import sysconfig
+
+            fresh = (os.path.exists(_SCALAR_SO)
+                     and os.path.getmtime(_SCALAR_SO)
+                     >= max(os.path.getmtime(_SCALAR_SRC),
+                            os.path.getmtime(_SRC)))
+            if not fresh:
+                cmd = ["g++", "-O2", "-march=native", "-ffp-contract=off",
+                       "-shared", "-fPIC",
+                       "-I" + sysconfig.get_path("include"),
+                       "-I" + os.path.dirname(_SCALAR_SRC),
+                       "-o", _SCALAR_SO + ".tmp", _SCALAR_SRC]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(_SCALAR_SO + ".tmp", _SCALAR_SO)
+            spec = importlib.util.spec_from_file_location("_rf_scalar",
+                                                          _SCALAR_SO)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _fast = mod
+        except Exception:
+            _fast = None
+        _fast_tried = True
+    return _fast
+
 
 def _arr(a) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(a, dtype=np.int64))

@@ -232,11 +232,11 @@ class CorpusScanner:
         self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
-        # per tile; 128 < LB <= 512 uses the multi-block long form with
-        # cross-block scan carries
+        # per tile; 128 < LB <= 2048 uses the multi-block long form with
+        # cross-block scan carries (damerau_kernel.MAX_TEXT_LONG)
         self._dam_pallas = ((mesh_tpu or bool(force))
                             and metric == "damerau_levenshtein"
-                            and chars.shape[1] <= 512)
+                            and chars.shape[1] <= 2048)
         self._dam_long = self._dam_pallas and chars.shape[1] > 128
         self._ndev = ndev
         self._smap_cache = {}
@@ -577,10 +577,13 @@ class CorpusScanner:
                             np.int64)
         if self._dam_pallas and self._dam_long:
             from ..ops.pallas import damerau_kernel as _dk
-            return _dk.damerau_long_1v_many(
-                q, self._dam_b, self._dam_lb, nb=self._dam_nb,
-                sub=self._dam_sub, interpret=self._interpret,
-                mesh=self.mesh if self._ndev > 1 else None)
+            try:
+                return _dk.damerau_long_1v_many(
+                    q, self._dam_b, self._dam_lb, nb=self._dam_nb,
+                    sub=self._dam_sub, interpret=self._interpret,
+                    mesh=self.mesh if self._ndev > 1 else None)
+            except ValueError:         # query beyond the packed-value range
+                return self._wide_xla_fallback(q)
         if self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
             return _dk.damerau_1v_many(

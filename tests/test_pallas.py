@@ -370,6 +370,37 @@ def test_damerau_long_kernel():
         assert out[i] == exp, (i, out[i], exp)
 
 
+def test_damerau_long_kernel_2048():
+    """512 < LB <= 2048 buckets on device (11-bit packed-scan columns):
+    round-3 extension — previously these fell to the XLA scan
+    (damerau_levenshtein.rs:111-168 parity at any length)."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(42)
+    Bs, LB, qlen = 8, 1700, 500
+    q = rng.integers(97, 123, qlen).astype(np.int32)
+    chars = np.full((Bs, LB), -1, np.int32)
+    lens = np.zeros(Bs, np.int32)
+    for i in range(Bs):
+        n = int(rng.integers(0, LB + 1)) if i else LB
+        arr = rng.integers(97, 123, n).astype(np.int32)
+        if i % 2 == 0 and n > qlen:
+            arr[:qlen] = q               # query-like prefixes
+        chars[i, :n] = arr
+        lens[i] = n
+    # transposition straddling a block seam
+    if lens[1] > 1290:
+        chars[1, 1279], chars[1, 1280] = chars[1, 1280], chars[1, 1279]
+    bt, lt, nb, sub = dk.prepare_corpus_long(chars, lens)
+    assert nb > 4                        # genuinely beyond the old cap
+    out = np.asarray(dk.damerau_long_1v_many(q, bt, lt, nb=nb, sub=sub,
+                                             interpret=True))
+    for i in range(Bs):
+        exp = oracle.damerau(
+            q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)
+
+
 def test_jaro_stream_multiword_query():
     """Jaro stream with a multi-word query (W > 1): cross-word window
     shifts and claim chains under the fori form."""

@@ -114,6 +114,69 @@ def check_pair(mod_name: str, s1: str, s2: str) -> str | None:
             return f"editops length {len(ops)} != distance {d12}"
         if ops.apply(s1, s2) != s2:
             return "editops.apply mismatch"
+    # score_hint must never change results (levenshtein.rs:1069-1088)
+    if not f64 and mod_name != "hamming":
+        di = int(d12)
+        for hint in (0, di // 2, di, 2 * di + 3):
+            h = mod.distance(s1, s2, score_hint=hint, **kw)
+            if h != d12:
+                return f"hint {hint} changed result: {h} vs {d12}"
+    return None
+
+
+def check_weights(rng: random.Random, s1: str, s2: str) -> str | None:
+    """Weighted-Levenshtein properties: transpose symmetry
+    d(a,b;i,d,s) == d(b,a;d,i,s), algebraic reductions (uniform scale,
+    sub >= ins+del collapses to indel), batch == scalar, cutoff masks."""
+    from rapidfuzz_tpu.distance import indel, levenshtein
+
+    ins, dele, sub = (rng.randint(0, 4), rng.randint(0, 4),
+                      rng.randint(0, 4))
+    w = levenshtein.WeightTable(ins, dele, sub)
+    wt = levenshtein.WeightTable(dele, ins, sub)
+    d = levenshtein.distance(s1, s2, weights=w)
+    dt = levenshtein.distance(s2, s1, weights=wt)
+    if d != dt:
+        return f"weights transpose: {d} vs {dt} ({ins},{dele},{sub})"
+    b = levenshtein.distance_many([s1], [s2], weights=w).values[0]
+    if int(b) != d:
+        return f"weights batch != scalar: {b} vs {d}"
+    if ins == dele:
+        if ins == sub and ins > 0:
+            u = levenshtein.distance(s1, s2)
+            if d != ins * u:
+                return f"uniform scale: {d} != {ins} * {u}"
+        if sub >= ins + dele and ins > 0:
+            idl = indel.distance(s1, s2)
+            if d != ins * idl:
+                return f"indel reduction: {d} != {ins} * {idl}"
+    for cut in (max(0, d - 1), d, d + 1):
+        got = levenshtein.distance(s1, s2, weights=w, score_cutoff=cut)
+        want = d if d <= cut else None
+        if got != want:
+            return f"weights cutoff {cut}: {got} vs {want}"
+    return None
+
+
+def check_cross_metric(s1: str, s2: str) -> str | None:
+    """Inter-metric orderings that hold for every pair:
+    damerau <= osa <= levenshtein <= indel, max-lcs distance <=
+    levenshtein, jaro-family in [0, 1]."""
+    from rapidfuzz_tpu.distance import (damerau_levenshtein, indel, jaro,
+                                        lcs_seq, levenshtein, osa)
+
+    dl = damerau_levenshtein.distance(s1, s2)
+    do = osa.distance(s1, s2)
+    dv = levenshtein.distance(s1, s2)
+    di = indel.distance(s1, s2)
+    dc = lcs_seq.distance(s1, s2)
+    if not dl <= do <= dv <= di:
+        return f"ordering: dam {dl} osa {do} lev {dv} indel {di}"
+    if dc > dv:
+        return f"lcs distance {dc} > levenshtein {dv}"
+    j = jaro.similarity(s1, s2)
+    if not -1e-12 <= j <= 1 + 1e-12:
+        return f"jaro out of range: {j}"
     return None
 
 
@@ -301,6 +364,14 @@ def main():
         m = rng.choice(metrics)
         try:
             err = check_pair(m, s1, s2)
+            if not err and rng.random() < 0.25 and len(s1) < 300 \
+                    and len(s2) < 300:
+                err = check_weights(rng, s1, s2)
+                m = m if err is None else "weights"
+            if not err and rng.random() < 0.15 and len(s1) < 300 \
+                    and len(s2) < 300:
+                err = check_cross_metric(s1, s2)
+                m = m if err is None else "cross_metric"
         except Exception as e:  # crashes are findings too
             err = f"exception: {type(e).__name__}: {e}"
         n += 1
@@ -312,8 +383,10 @@ def main():
             err = check_editops(rng, corpus)
             m = "scanner"        # reproducer is in the message itself
         if err:
-            if m == "scanner":   # reproducer is in the message itself
-                print(f"FAIL[scanner] after {n} execs: {err}")
+            if m in ("scanner", "weights", "cross_metric"):
+                # reproducer is in the message / the (s1, s2) pair itself
+                print(f"FAIL[{m}] after {n} execs: {err}")
+                print(f"  pair: ({s1!r}, {s2!r})")
                 sys.exit(1)
             s1m, s2m = shrink(m, s1, s2)
             print(f"FAIL[{m}] after {n} execs: {err}")
