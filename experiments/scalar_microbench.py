@@ -26,15 +26,16 @@ from rapidfuzz_tpu.distance import (damerau_levenshtein, indel,  # noqa: E402
                                     levenshtein, osa)
 
 LENS = (2, 8, 16, 32, 64, 96, 128)
-ALNUM = np.frombuffer(
-    (string.ascii_letters + string.digits).encode(), np.uint8)
+ALNUM = string.ascii_letters + string.digits
 
 
 def _pairs(rng, n, count=64):
+    # str pairs: the reference's bench input class, and the API's common
+    # case (rides the in-process C fast path, native/rf_scalar.cpp)
     out = []
     for _ in range(count):
-        a = rng.choice(ALNUM, n).astype(np.int64)
-        b = rng.choice(ALNUM, n).astype(np.int64)
+        a = "".join(ALNUM[i] for i in rng.integers(0, len(ALNUM), n))
+        b = "".join(ALNUM[i] for i in rng.integers(0, len(ALNUM), n))
         out.append((a, b))
     return out
 

@@ -25,6 +25,12 @@ def _batch_distance(c1, l1, c2, l2):
     return _dispatch.run_pairs(_ops.damerau_distance, c1, l1, c2, l2)
 
 
+def _fast_distance(s1, s2):
+    fast = _oracle.fast_scalar()
+    return None if fast is None else fast.int_metric(3, s1, s2)
+
+
 METRIC = _int_metric.IntMetric("damerau_levenshtein", _maximum,
-                               _raw_distance, _batch_distance)
+                               _raw_distance, _batch_distance,
+                               fast_distance=_fast_distance)
 _int_metric.build_module(METRIC, globals(), example=("CA", "ABC", 2))

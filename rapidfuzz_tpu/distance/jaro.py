@@ -27,6 +27,10 @@ def maximum(len1=None, len2=None) -> float:
 
 
 def _sim_scalar(s1, s2) -> float:
+    if type(s1) in (str, bytes) and type(s2) in (str, bytes):
+        fast = _oracle.fast_scalar()
+        if fast is not None:
+            return fast.jaro(s1, s2)    # in-process C one-shot path
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     return _oracle.jaro(u1, u2)
 

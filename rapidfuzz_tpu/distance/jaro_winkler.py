@@ -35,6 +35,10 @@ def maximum(len1=None, len2=None) -> float:
 
 
 def _sim_scalar(s1, s2, prefix_weight) -> float:
+    if type(s1) in (str, bytes) and type(s2) in (str, bytes):
+        fast = _oracle.fast_scalar()
+        if fast is not None:
+            return fast.jaro_winkler(s1, s2, float(prefix_weight))
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     return _oracle.jaro_winkler(u1, u2, prefix_weight)
 

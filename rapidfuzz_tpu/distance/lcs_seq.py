@@ -29,8 +29,17 @@ def _batch_distance(c1, l1, c2, l2):
     return mx.astype(np.int64) - sim.astype(np.int64)
 
 
+def _fast_distance(s1, s2):
+    fast = _oracle.fast_scalar()
+    if fast is None:
+        return None
+    sim = fast.int_metric(1, s1, s2)
+    return None if sim is None else max(len(s1), len(s2)) - sim
+
+
 METRIC = _int_metric.IntMetric("lcs_seq", _maximum, _raw_distance,
-                               _batch_distance)
+                               _batch_distance,
+                               fast_distance=_fast_distance)
 _int_metric.build_module(METRIC, globals(), example=("lewenstein", "levenshtein", 2))
 
 

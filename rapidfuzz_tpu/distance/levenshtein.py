@@ -117,6 +117,10 @@ def maximum(len1, len2, weights: WeightTable = _UNIFORM):
     over numpy length arrays."""
     ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
                       weights.substitution_cost)
+    if type(len1) is int and type(len2) is int:    # scalar fast path
+        alt = (len2 * sub + (len1 - len2) * dele if len1 >= len2
+               else len1 * sub + (len2 - len1) * ins)
+        return min(len1 * dele + len2 * ins, alt)
     l1 = np.asarray(len1, np.int64)
     l2 = np.asarray(len2, np.int64)
     max_dist = l1 * dele + l2 * ins
@@ -163,6 +167,27 @@ def _scalar(s1, s2, weights: WeightTable,
     The raw distance is exact when <= ``cutoff`` (distance units), else
     any value above it — callers mask with the cutoff algebra.
     """
+    if (type(s1) in (str, bytes) and type(s2) in (str, bytes)
+            and _c.scalar_backend() != "device"):
+        fast = _oracle.fast_scalar()
+        if fast is not None:
+            # in-process C path: reads str/bytes elements directly
+            # (native/rf_scalar.cpp), the reference's one-shot latency
+            ins, dele, sub = (weights.insertion_cost,
+                              weights.deletion_cost,
+                              weights.substitution_cost)
+            mx = maximum(len(s1), len(s2), weights)
+            if ins == dele:
+                if ins == 0:
+                    return 0, mx
+                if ins == sub:
+                    cut_u = -1 if cutoff is None else cutoff // ins
+                    hint_u = -1 if hint is None else max(hint // ins, 1)
+                    return ins * fast.lev_uniform(s1, s2, cut_u,
+                                                  hint_u), mx
+                if sub >= ins + dele:
+                    return ins * fast.int_metric(0, s1, s2), mx
+            return fast.lev_weighted(s1, s2, ins, dele, sub), mx
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     if _c.scalar_backend() == "device":
         ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
@@ -193,6 +218,16 @@ def _scalar(s1, s2, weights: WeightTable,
 
 # ------------------------------------------------------------- public scalar
 
+
+def _len2(s1, s2):
+    """(len1, len2, s1', s2') without encoding when inputs are str/bytes
+    (the C fast path reads them directly)."""
+    if type(s1) in (str, bytes) and type(s2) in (str, bytes):
+        return len(s1), len(s2), s1, s2
+    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
+    return int(u1.size), int(u2.size), u1, u2
+
+
 def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
              score_cutoff: Optional[int] = None,
              score_hint: Optional[int] = None) -> Optional[int]:
@@ -220,11 +255,11 @@ def similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> levenshtein.similarity("kitten", "sitting")
     4
     """
-    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
-    mx0 = maximum(u1.size, u2.size, weights)
+    l1, l2, s1, s2 = _len2(s1, s2)
+    mx0 = maximum(l1, l2, weights)
     dcut = None if score_cutoff is None else max(mx0 - score_cutoff, 0)
     dhint = None if score_hint is None else max(mx0 - score_hint, 0)
-    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
+    dist, mx = _scalar(s1, s2, weights, dcut, dhint)
     return _c.apply_similarity_cutoff(mx - dist, score_cutoff)
 
 
@@ -237,12 +272,12 @@ def normalized_distance(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> round(levenshtein.normalized_distance("kitten", "sitting"), 4)
     0.4286
     """
-    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
-    mx0 = maximum(u1.size, u2.size, weights)
+    l1, l2, s1, s2 = _len2(s1, s2)
+    mx0 = maximum(l1, l2, weights)
     dcut = (None if score_cutoff is None
             else int(score_cutoff * mx0) + 1)      # over-covering band
     dhint = None if score_hint is None else int(score_hint * mx0) + 1
-    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
+    dist, mx = _scalar(s1, s2, weights, dcut, dhint)
     return _c.apply_distance_cutoff(_c.norm_dist_from_dist(dist, mx),
                                     score_cutoff)
 
@@ -256,13 +291,13 @@ def normalized_similarity(s1, s2, *, weights: WeightTable = _UNIFORM,
     >>> round(levenshtein.normalized_similarity("kitten", "sitting"), 4)
     0.5714
     """
-    u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
-    mx0 = maximum(u1.size, u2.size, weights)
+    l1, l2, s1, s2 = _len2(s1, s2)
+    mx0 = maximum(l1, l2, weights)
     dcut = (None if score_cutoff is None
             else int((1.0 - score_cutoff) * mx0) + 1)
     dhint = (None if score_hint is None
              else int((1.0 - score_hint) * mx0) + 1)
-    dist, mx = _scalar(u1, u2, weights, dcut, dhint)
+    dist, mx = _scalar(s1, s2, weights, dcut, dhint)
     return _c.apply_similarity_cutoff(1.0 - _c.norm_dist_from_dist(dist, mx),
                                       score_cutoff)
 

@@ -56,6 +56,13 @@ def ratio(s1, s2, *, processor: Optional[Callable] = None,
     """
     if processor is not None:
         s1, s2 = processor(s1), processor(s2)
+    if type(s1) in (str, bytes) and type(s2) in (str, bytes):
+        fast = _oracle.fast_scalar()
+        if fast is not None:            # in-process C one-shot path
+            mx = len(s1) + len(s2)
+            sim = 1.0 - _c.norm_dist_from_dist(
+                fast.int_metric(0, s1, s2), mx)
+            return _c.apply_similarity_cutoff(sim, score_cutoff)
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     mx = u1.size + u2.size
     dist = _oracle.indel(u1, u2)
