@@ -775,7 +775,11 @@ class CorpusScanner:
                              or not bool(np.any(np.asarray(qk) == 0)))):
                     bw = _cbk.band_words(band_cut)
                     Wq = max(1, -(-int(q.size) // 32))
-                    if Wq >= 2 * bw:
+                    # measured v5e (evidence/lcs_band_speed_r3.log):
+                    # bw=1: 1.46x at 256 chars, 1.88x at 512; bw=2:
+                    # 1.24-1.31x; bw=3 loses (0.87-0.99x) — route only
+                    # the measured wins
+                    if bw <= 2 and Wq >= 8:
                         sim = np.asarray(_cbk.lcs_banded_1v_many(
                             np.asarray(qk, np.int32), cand3, self.lb2,
                             cutoff=band_cut, mode=mode, cmax=self._cmax,

@@ -61,7 +61,9 @@ def test_scanner_banded_indel_route(rng, monkeypatch):
     monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
     from rapidfuzz_tpu.parallel.scan import CorpusScanner
 
-    q = "".join(chr(rng.integers(97, 123)) for _ in range(72))
+    # >= 256 chars so Wq >= 8 keeps the banded route selected (the
+    # routing gate follows the measured crossover)
+    q = "".join(chr(rng.integers(97, 123)) for _ in range(260))
     corpus = []
     for _ in range(200):
         arr = list(q)
