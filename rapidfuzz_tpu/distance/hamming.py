@@ -43,6 +43,12 @@ def maximum(len1, len2):
 
 
 def _scalar(s1, s2, pad):
+    if type(s1) in (str, bytes) and type(s2) in (str, bytes):
+        if not pad and len(s1) != len(s2):
+            raise DifferentLengthArgsError()
+        fast = _oracle.fast_scalar()
+        if fast is not None:            # in-process C one-shot path
+            return fast.int_metric(4, s1, s2), max(len(s1), len(s2))
     u1, u2 = _codec.encode_one(s1), _codec.encode_one(s2)
     if not pad and u1.size != u2.size:
         raise DifferentLengthArgsError()
