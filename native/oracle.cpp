@@ -200,14 +200,77 @@ int64_t rf_osa(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_) {
 }
 
 // --------------------------------------------- Damerau-Levenshtein (true)
-// Lowrance-Wagner unrestricted transpositions, full-matrix formulation —
-// semantically equal to the reference's Zhao-Sahni linear-space algorithm
-// (damerau_levenshtein.rs:111-168) but independently derived.
+// Lowrance-Wagner unrestricted transpositions.  Small pairs use the
+// full-matrix formulation below; long pairs route to a rolling-row form
+// whose transposition lookups read per-symbol row snapshots — memory
+// O((sigma_a + 3) * M) instead of O(N * M), the role of the reference's
+// Zhao-Sahni linear-space algorithm (damerau_levenshtein.rs:111-168),
+// independently derived.
+static int64_t damerau_rows(const int64_t* a, size_t n1, const int64_t* b,
+                            size_t n2) {
+    int64_t INF = (int64_t)(n1 + n2);
+    // symbol ids over the union (da indexed by b's chars; cache by a's)
+    vector<int64_t> syms(a, a + n1);
+    syms.insert(syms.end(), b, b + n2);
+    std::sort(syms.begin(), syms.end());
+    syms.erase(std::unique(syms.begin(), syms.end()), syms.end());
+    auto sym_id = [&](int64_t c) -> size_t {
+        return (size_t)(std::lower_bound(syms.begin(), syms.end(), c)
+                        - syms.begin());
+    };
+    vector<int64_t> da(syms.size(), 0);      // last row i' with a[i']==c
+    // rows[c]: dp row (da[c] - 1), stored when row da[c] began
+    vector<vector<int32_t>> rows(syms.size());
+    vector<int32_t> prev(n2 + 1), cur(n2 + 1);
+    for (size_t j = 0; j <= n2; j++) prev[j] = (int32_t)j;
+    for (size_t i = 1; i <= n1; i++) {
+        size_t ai = sym_id(a[i - 1]);
+        vector<int32_t> snap = prev;         // dp row (i-1); installed
+                                             // AFTER the row: k must be
+                                             // the last row STRICTLY < i
+        int64_t db = 0;                      // last col l<j with b[l]==a[i]
+        cur[0] = (int32_t)i;
+        for (size_t j = 1; j <= n2; j++) {
+            int64_t k = da[sym_id(b[j - 1])];
+            int64_t l = db;
+            int64_t cost = 1;
+            if (a[i - 1] == b[j - 1]) { cost = 0; db = (int64_t)j; }
+            int64_t v = min<int64_t>(
+                min<int64_t>(prev[j - 1] + cost, cur[j - 1] + 1),
+                prev[j] + 1);
+            if (k > 0 && l > 0) {
+                const vector<int32_t>& rk = rows[sym_id(b[j - 1])];
+                int64_t tr = (int64_t)rk[(size_t)(l - 1)]
+                    + ((int64_t)i - k - 1) + 1 + ((int64_t)j - l - 1);
+                v = min(v, tr);
+            }
+            cur[j] = (int32_t)min(v, INF);
+        }
+        rows[ai] = std::move(snap);
+        da[ai] = (int64_t)i;
+        std::swap(prev, cur);
+    }
+    return prev[n2];
+}
+
+// rolling-row variant exported for conformance tests (rf_damerau routes
+// to it automatically for long inputs)
+int64_t rf_damerau_rows(const int64_t* a, int64_t n1_, const int64_t* b,
+                        int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    return damerau_rows(a, n1, b, n2);
+}
+
 int64_t rf_damerau(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_) {
     size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
     strip_affix(a, n1, b, n2);
     if (n1 == 0) return (int64_t)n2;
     if (n2 == 0) return (int64_t)n1;
+    if ((n1 + 2) * (n2 + 2) > (size_t)1 << 24)     // full matrix > ~128 MB
+        return damerau_rows(a, n1, b, n2);
     int64_t INF = (int64_t)(n1 + n2);
     size_t R = n1 + 2, C = n2 + 2;
     vector<int64_t> d(R * C);

@@ -164,6 +164,165 @@ def _run(scal, tabs, cand3, lb2, *, LB, ntab, bw=1, sub=SUB, flat=True,
     )(scal, tabs, cand3, lb2)
 
 
+# ------------------------------------------------------- streamed band
+
+#: text chars per grid step of the streamed band (matches band_kernel)
+STREAM_CHUNK = 512
+
+
+def _stream_kernel(scal_ref, tab_ref, cand_ref, lb_ref, out_ref, acc_ref,
+                   s_ref, *, CH: int, ntab: int, sub: int, bw: int,
+                   nchunks: int):
+    """Sliding-band LCS over STREAMED text chunks (sibling of
+    ``band_kernel._stream_kernel``): the S register + LCS accumulator
+    carry across chunks in VMEM scratch while the pre-funneled per-step
+    tables stream through the second grid axis — indel/ratio cutoffs
+    then cost O(bw) per char at ANY bucket length (the
+    ``lcs_seq.rs:267-341`` banded asymptotics at scan scale).
+
+    Stopping after ``max(lb)`` steps is exact: past a candidate's length
+    the padding never matches, so stepping only moves zeros from the
+    register into the dropped-bit accumulator, and the final drain
+    popcounts whatever remains in the register either way.
+    """
+    t = pl.program_id(1)
+    lb = lb_ref[:, :]
+    ones_t = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+    zeros_t = jnp.zeros((sub, LANE), jnp.uint32)
+    one_t = jnp.full((sub, LANE), 1, jnp.uint32)
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros((sub, LANE), jnp.int32)
+        for k in range(bw):
+            s_ref[k] = ones_t
+
+    base = t * CH
+
+    def one_step(jl, row, u, state):
+        acc, s = state
+        c = ((row >> jnp.uint32(8 * u))
+             & jnp.uint32(0xFF)).astype(jnp.int32)
+        if ntab == 2:
+            c_lo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            c_lo = c
+            chi = None
+        x = []
+        for k in range(bw):
+            t0 = jnp.broadcast_to(tab_ref[(jl * ntab) * bw + k],
+                                  (sub, LANE))
+            g0 = jnp.take_along_axis(t0, c_lo, axis=1)
+            if ntab == 2:
+                t1 = jnp.broadcast_to(tab_ref[(jl * ntab + 1) * bw + k],
+                                      (sub, LANE))
+                g0 = jnp.where(chi,
+                               jnp.take_along_axis(t1, c_lo, axis=1), g0)
+            x.append(g0)
+        ns = []
+        carry = zeros_t
+        for k in range(bw):
+            uu = s[k] & x[k]
+            tt, carry = add_with_carry(s[k], uu, carry)
+            ns.append(tt | (s[k] ^ uu))
+        acc = acc + (~ns[0] & one_t).astype(jnp.int32)
+        out = []
+        for k in range(bw):
+            hi = (ns[k + 1] << 31) if k + 1 < bw \
+                else jnp.full((sub, LANE), 1 << 31, jnp.uint32)
+            out.append((ns[k] >> 1) | hi)
+        return acc, out
+
+    ur = 16
+    assert CH % ur == 0
+
+    def body(jj, state):
+        acc, *s = state
+        s = list(s)
+        for r in range(ur // 4):
+            row = cand_ref[jj * (ur // 4) + r]
+            for u in range(4):
+                acc, s = one_step(jj * ur + r * 4 + u, row, u, (acc, s))
+        return (acc, *s)
+
+    acc = acc_ref[:, :]
+    s = [s_ref[k] for k in range(bw)]
+    rem = jnp.max(lb) - base
+    trips = jnp.clip((rem + (ur - 1)) // ur, 0, CH // ur)
+    state = jax.lax.fori_loop(0, trips, body, (acc, *s))
+    acc_ref[:, :] = state[0]
+    for k in range(bw):
+        s_ref[k] = state[1 + k]
+
+    @pl.when(t == nchunks - 1)
+    def _emit():
+        total = acc_ref[:, :]
+        for k in range(bw):
+            total = total + _popcount32(~s_ref[k])
+        out_ref[:, :] = total
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LB", "ntab", "sub", "bw", "interpret"))
+def _run_stream(scal, tabs, cand3, lb2, *, LB, ntab, bw=1, sub=SUB,
+                interpret=False):
+    CH = STREAM_CHUNK
+    assert LB % CH == 0, (LB, CH)
+    nblocks = cand3.shape[1] // sub
+    nchunks = LB // CH
+    kern = functools.partial(_stream_kernel, CH=CH, ntab=ntab, sub=sub,
+                             bw=bw, nchunks=nchunks)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((CH * ntab * bw, 1, LANE), lambda i, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH // 4, sub, LANE), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((sub, LANE), jnp.int32),
+            pltpu.VMEM((bw, sub, LANE), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(scal, tabs, cand3, lb2)
+
+
+def lcs_banded_stream_1v_many(query: np.ndarray, cand3, lb2, *,
+                              cutoff: int, mode: str = "byte",
+                              sub: int = SUB, cmax: int | None = None,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Banded LCS similarity over long (>1024-char) candidate buckets.
+
+    Same contract as :func:`lcs_banded_1v_many`; bucket length must be a
+    multiple of ``STREAM_CHUNK``.
+    """
+    q = np.asarray(query)
+    la = int(q.size)
+    if not 0 <= cutoff <= MAX_CUTOFF:
+        raise ValueError(f"cutoff {cutoff} outside [0, {MAX_CUTOFF}]")
+    LB = int(cand3.shape[0]) * 4
+    if (mode == "byte" and cmax is not None and cmax < LANE
+            and (la == 0 or int(q.max()) < LANE)):
+        mode = "local"
+    ntab = 2 if mode == "byte" else 1
+    bw = band_words(cutoff)
+    scal = jnp.array([la, cutoff], jnp.int32)
+    stabs = jnp.asarray(build_shifted_tables(q, mode, LB, bw))
+    return _run_stream(scal, stabs, cand3, lb2, LB=LB, ntab=ntab, bw=bw,
+                       sub=sub, interpret=interpret)
+
+
 def lcs_banded_1v_many(query: np.ndarray, cand3, lb2, *, cutoff: int,
                        mode: str = "byte", sub: int = SUB, staged=None,
                        cmax: int | None = None,

@@ -68,6 +68,8 @@ def _load():
             lib.rf_osa.argtypes = [p64, i64, p64, i64]
             lib.rf_damerau.restype = i64
             lib.rf_damerau.argtypes = [p64, i64, p64, i64]
+            lib.rf_damerau_rows.restype = i64
+            lib.rf_damerau_rows.argtypes = [p64, i64, p64, i64]
             lib.rf_hamming.restype = i64
             lib.rf_hamming.argtypes = [p64, i64, p64, i64]
             lib.rf_prefix_sim.restype = i64
@@ -260,6 +262,13 @@ def levenshtein_uniform_auto(a, b, cutoff=None, hint=None) -> int:
 def damerau(a, b) -> int:
     a, b = _arr(a), _arr(b)
     return int(_load().rf_damerau(a, a.size, b, b.size))
+
+
+def damerau_rows(a, b) -> int:
+    """Rolling-row Lowrance-Wagner (O((sigma+3)*M) memory — the long-input
+    route inside rf_damerau, exported for conformance tests)."""
+    a, b = _arr(a), _arr(b)
+    return int(_load().rf_damerau_rows(a, a.size, b, b.size))
 
 
 def hamming(a, b) -> int:

@@ -792,10 +792,26 @@ class CorpusScanner:
                                     if self._wscale != 1 else d)
                         return np.maximum(la, lb) - sim
             if self._stream:
+                from ..ops.pallas import lcs_band_kernel as _cbk
                 from ..ops.pallas import stream_kernel as _sk
-                sim = _sk.lcs_stream_1v_many(
-                    qk, cand3, self.lb2, mode=mode,
-                    interpret=self._interpret).reshape(-1)
+                eff = (None if score_cutoff is None or self._wscale != 1
+                       else int(score_cutoff))
+                band_cut = (eff if self.metric == "indel"
+                            else None if eff is None else 2 * eff)
+                if (band_cut is not None
+                        and 0 <= band_cut <= _cbk.MAX_CUTOFF
+                        and _cbk.band_words(band_cut) <= 2
+                        and max(1, -(-int(q.size) // 32)) >= 8
+                        and (mode == "local"
+                             or not bool(np.any(np.asarray(qk) == 0)))):
+                    sim = np.asarray(_cbk.lcs_banded_stream_1v_many(
+                        np.asarray(qk, np.int32), cand3, self.lb2,
+                        cutoff=band_cut, mode=mode, cmax=self._cmax,
+                        interpret=self._interpret)).reshape(-1)
+                else:
+                    sim = _sk.lcs_stream_1v_many(
+                        qk, cand3, self.lb2, mode=mode,
+                        interpret=self._interpret).reshape(-1)
             else:
                 sim = _ck.lcs_1v_many(qk, cand3, self.lb2, mode=mode,
                                       interpret=self._interpret).reshape(-1)

@@ -57,6 +57,29 @@ def test_lcs_band_kernel_vs_oracle(rng, LB, cutoff):
             assert got_indel > cutoff, (i, got_indel, true_indel)
 
 
+def test_lcs_band_stream_kernel(rng):
+    """Streamed band (text chunks on a second grid axis): indel cutoffs
+    at bucket lengths beyond the candidate-block VMEM budget."""
+    B, LB = 128, 1024                    # 2 STREAM_CHUNKs
+    la = 900
+    q = rng.integers(97, 123, la).astype(np.int32)
+    chars, lens, cj, lj = _mutated_corpus(rng, q, B, LB, max_edits=12)
+    cand3, lb2 = lk.prepare_corpus(cj, lj, LB=LB)
+    for cutoff in (15, 31):
+        sim = np.asarray(lbk.lcs_banded_stream_1v_many(
+            q, cand3, lb2, cutoff=cutoff, mode="byte", sub=1,
+            interpret=True)).reshape(-1)
+        for i in range(0, B, 9):
+            true_sim = oracle.lcs_seq(q.astype(np.int64),
+                                      chars[i, :lens[i]].astype(np.int64))
+            true_indel = la + lens[i] - 2 * true_sim
+            got_indel = la + int(lens[i]) - 2 * int(sim[i])
+            if true_indel <= cutoff:
+                assert sim[i] == true_sim, (i, sim[i], true_sim)
+            else:
+                assert got_indel > cutoff, (i, got_indel, true_indel)
+
+
 def test_scanner_banded_indel_route(rng, monkeypatch):
     monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
     from rapidfuzz_tpu.parallel.scan import CorpusScanner

@@ -138,3 +138,16 @@ def test_bp_empty_and_affix_edges():
     assert oracle.levenshtein_uniform_bp(a, b, 1) == 1
     assert oracle.osa_bp(a, b) == 1
     assert oracle.lcs_seq_bp(a, b) == 200
+
+
+def test_damerau_rows_matches_full_matrix(rng):
+    """The rolling-row Damerau (long-input route, O((sigma+3)*M) memory)
+    is exact vs the full Lowrance-Wagner matrix, including transposition
+    chains and repeated symbols."""
+    for _ in range(250):
+        sigma = int(rng.choice([2, 4, 26]))
+        n1 = int(rng.integers(0, 90))
+        n2 = int(rng.integers(0, 90))
+        a = rng.integers(0, sigma, n1).astype(np.int64)
+        b = rng.integers(0, sigma, n2).astype(np.int64)
+        assert oracle.damerau_rows(a, b) == oracle.damerau(a, b)
