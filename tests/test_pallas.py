@@ -342,6 +342,41 @@ def test_jaro_stream_kernel_long_candidates():
         assert abs(got - exp) < 1e-12, (i, got, exp, common[i], trans[i])
 
 
+def test_jaro_stream_8192_bucket():
+    """Round-3 cap raise (JARO_STREAM_MAX_LB 4096 -> 8192): a 16-chunk
+    bucket stays on the stream kernel instead of the scalarising XLA
+    route.  Candidates sit near the far end so late chunks do real
+    work."""
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+    from rapidfuzz_tpu.distance.jaro import sim_from_components
+
+    rng = np.random.default_rng(23)
+    Bs, LB, qlen = 4096, 8192, 24
+    q = rng.integers(97, 103, qlen).astype(np.int32)
+    lens = np.zeros(Bs, np.int32)
+    chars = np.full((Bs, LB), -1, np.int32)
+    for i in range(Bs):
+        n = int(rng.integers(0, 9)) * 1000 + int(rng.integers(0, 200))
+        n = min(n, LB)
+        chars[i, :n] = rng.integers(97, 103, n)
+        lens[i] = n
+    lens[1] = LB
+    chars[1, :] = rng.integers(97, 103, LB)
+    cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars), jnp.asarray(lens),
+                                   LB=LB)
+    common, trans = sk.jaro_stream_1v_many(q, cand3, lb2, mode="byte",
+                                           interpret=True)
+    common = np.asarray(common).reshape(-1)
+    trans = np.asarray(trans).reshape(-1)
+    for i in list(range(0, Bs, 17)) + [1]:
+        exp = oracle.jaro(q.astype(np.int64),
+                          chars[i, : lens[i]].astype(np.int64))
+        got = float(sim_from_components(
+            np.int64(common[i]), np.int64(trans[i]),
+            np.int64(qlen), np.int64(lens[i])))
+        assert abs(got - exp) < 1e-12, (i, got, exp)
+
+
 def test_damerau_long_kernel():
     """Long-candidate Damerau kernel (128 < LB <= 512): per-block scans
     with cross-block carries — exact vs the oracle, including
