@@ -32,7 +32,8 @@ import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
-EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "partial", "damerau")
+EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "indelband",
+          "partial", "damerau")
 
 
 def _child_env():
@@ -338,6 +339,31 @@ def _measure(phase: str):
         fn = lambda: bk._run_fast(scal, probe, stabs, cand3, lb2, LB=LEN,
                                   ntab=ntab, bw=1, interpret=interpret)
         pairs_per_s, _ = _rate(fn, B, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
+
+    if phase == "indelband":
+        # indel/fuzz.ratio score_cutoff as a banded-LCS scan: 512-char
+        # corpus (the band pays above ~256 chars; see
+        # evidence/lcs_band_speed_r3.log), cutoff 15, single-table path
+        import numpy as np
+        from rapidfuzz_tpu.ops.pallas import lcs_band_kernel as cbk
+        LENB = 512
+        Bb = 1 << 17 if not interpret else 1 << 10
+        rngb = np.random.default_rng(11)
+        qb = rngb.integers(97, 123, LENB).astype(np.int32)
+        charsb = np.broadcast_to(qb, (Bb, LENB)).copy()
+        mut = rngb.integers(0, LENB, (Bb, 4))
+        for k in range(4):                      # ~4 edits per candidate
+            charsb[np.arange(Bb), mut[:, k]] = rngb.integers(97, 123, Bb)
+        cand3b, lb2b = lk.prepare_corpus(
+            jnp.asarray(charsb), jnp.asarray(np.full(Bb, LENB, np.int32)),
+            LB=LENB)
+        cand3b = jax.block_until_ready(jax.device_put(cand3b))
+        fn = lambda: cbk.lcs_banded_1v_many(qb, cand3b, lb2b, cutoff=15,
+                                            mode="byte", cmax=122,
+                                            interpret=interpret)
+        pairs_per_s, _ = _rate(fn, Bb, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return
 
