@@ -530,6 +530,21 @@ static void build_pm_chunk(const int64_t* a, size_t r0, size_t r1, size_t ww,
     }
 }
 
+// Reusable per-thread buffers: the one-shot scalar path calls these
+// kernels at microsecond granularity, where per-call vector mallocs are
+// a large fraction of the total (measured ~2x on len<=128 pairs).
+struct BpScratch {
+    SymMap sm;
+    vector<uint64_t> pool;
+    vector<uint64_t> VP, VN, D0P, PMP, S;
+    vector<uint8_t> hin, trin, cin;
+};
+
+static BpScratch& bp_scratch() {
+    static thread_local BpScratch s;
+    return s;
+}
+
 // hin/hout encoding in the boundary stream: 0 -> -1, 1 -> 0, 2 -> +1.
 
 // Full Myers blockwise uniform Levenshtein, row-chunked.  The distance is
@@ -542,10 +557,15 @@ static int64_t lev_bp_full(const int64_t* a, size_t m,
     size_t W = (m + 63) >> 6;
     size_t bit = (m - 1) & 63;                 // score bit in word W-1
     size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
-    vector<uint8_t> hin(n, 2);                 // top boundary: D[0][j] = j
-    vector<uint64_t> VP(CHUNK_WORDS), VN(CHUNK_WORDS);
-    SymMap sm;
-    vector<uint64_t> pool;
+    BpScratch& bs = bp_scratch();
+    vector<uint8_t>& hin = bs.hin;
+    hin.assign(n, 2);                          // top boundary: D[0][j] = j
+    vector<uint64_t>& VP = bs.VP;
+    vector<uint64_t>& VN = bs.VN;
+    VP.resize(CHUNK_WORDS);
+    VN.resize(CHUNK_WORDS);
+    SymMap& sm = bs.sm;
+    vector<uint64_t>& pool = bs.pool;
     int64_t dist = (int64_t)m;
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
@@ -601,8 +621,9 @@ static int64_t lev_bp_banded(const int64_t* a, size_t m,
             if (probe.n * W > cap_words) return INT64_MIN;
         }
     }
-    SymMap sm;
-    vector<uint64_t> pool;
+    BpScratch& bs = bp_scratch();
+    SymMap& sm = bs.sm;
+    vector<uint64_t>& pool = bs.pool;
     build_pm_chunk(a, 0, m, W, sm, pool);
     // score[w] = value at block w's bottom row (row (w+1)*64, or m for the
     // last block).  The bit state carries deltas only, so an entering
@@ -699,10 +720,13 @@ int64_t rf_lcs_seq_bp(const int64_t* a, int64_t n1_,
     size_t m = n1, n = n2;
     size_t W = (m + 63) >> 6;
     size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
-    vector<uint8_t> cin(n, 0);
-    vector<uint64_t> S(CHUNK_WORDS);
-    SymMap sm;
-    vector<uint64_t> pool;
+    BpScratch& bs = bp_scratch();
+    vector<uint8_t>& cin = bs.cin;
+    cin.assign(n, 0);
+    vector<uint64_t>& S = bs.S;
+    S.resize(CHUNK_WORDS);
+    SymMap& sm = bs.sm;
+    vector<uint64_t>& pool = bs.pool;
     int64_t lcs = 0;
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
@@ -751,12 +775,21 @@ int64_t rf_osa_bp(const int64_t* a, int64_t n1_,
     size_t W = (m + 63) >> 6;
     size_t bit = (m - 1) & 63;                 // score bit in word W-1
     size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
-    vector<uint8_t> hin(n, 2);
-    vector<uint8_t> trin(n, 0);
-    vector<uint64_t> VP(CHUNK_WORDS), VN(CHUNK_WORDS);
-    vector<uint64_t> D0P(CHUNK_WORDS), PMP(CHUNK_WORDS);
-    SymMap sm;
-    vector<uint64_t> pool;
+    BpScratch& bs = bp_scratch();
+    vector<uint8_t>& hin = bs.hin;
+    vector<uint8_t>& trin = bs.trin;
+    hin.assign(n, 2);
+    trin.assign(n, 0);
+    vector<uint64_t>& VP = bs.VP;
+    vector<uint64_t>& VN = bs.VN;
+    vector<uint64_t>& D0P = bs.D0P;
+    vector<uint64_t>& PMP = bs.PMP;
+    VP.resize(CHUNK_WORDS);
+    VN.resize(CHUNK_WORDS);
+    D0P.resize(CHUNK_WORDS);
+    PMP.resize(CHUNK_WORDS);
+    SymMap& sm = bs.sm;
+    vector<uint64_t>& pool = bs.pool;
     int64_t dist = (int64_t)m;
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);

@@ -77,6 +77,9 @@ static int64_t lev_auto(const int64_t* a, int64_t m, const int64_t* b,
     }
     if (cutoff >= 0 && (hint < 0 || hint >= cutoff))
         return rf_levenshtein_uniform_bp(a, m, b, n, cutoff);
+    int64_t lim0 = m > n ? m : n;
+    if (cutoff < 0 && hint < 0 && lim0 <= 512)
+        return rf_levenshtein_uniform_bp(a, m, b, n, -1);  // ladder loses
     int64_t ldiff = m > n ? m - n : n - m;
     int64_t k = hint >= 0 ? hint : 64;
     if (k < ldiff) k = ldiff;

@@ -248,6 +248,9 @@ def levenshtein_uniform_auto(a, b, cutoff=None, hint=None) -> int:
         return d if cutoff is None or d <= cutoff else int(cutoff) + 1
     if cutoff is not None and (hint is None or hint >= cutoff):
         return int(lib.rf_levenshtein_uniform_bp(a, m, b, n, int(cutoff)))
+    if cutoff is None and hint is None and max(m, n) <= 512:
+        # short pairs: one full blockwise pass beats the band ladder
+        return int(lib.rf_levenshtein_uniform_bp(a, m, b, n, -1))
     k = max(int(hint) if hint is not None else 64, abs(m - n), 16)
     lim = max(m, n)
     while True:
