@@ -115,7 +115,8 @@ _SCANNER_METRICS = frozenset({
 
 
 def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
-                    score_kind: str, scanner=None) -> np.ndarray:
+                    score_kind: str, scanner=None,
+                    score_cutoff=None) -> np.ndarray:
     from ..parallel.scan import CorpusScanner
 
     if scanner is None:
@@ -133,13 +134,39 @@ def _scanner_scores(name: str, queries: Sequence, choices: Sequence,
             scanner = CorpusScanner(choices, metric=name)
     lens2 = scanner.lengths.astype(np.int64)
     out = np.empty((len(queries), len(choices)), np.float64)
+    # a caller cutoff converts to an over-covering DISTANCE bound and
+    # rides the scanner's banded device kernels (indel.rs:80-104 /
+    # levenshtein.rs:509-617 routes); entries the band rejects come back
+    # with distance overestimates, so the final score mask in cdist/
+    # extract filters exactly the true set
+    push = (score_cutoff is not None
+            and name in ("levenshtein", "indel", "lcs_seq"))
+    maxlen = int(lens2.max(initial=0))
     # eligible query batches share grouped multi-query kernel dispatches
     # (scan_many packs 16 queries per dispatch); others scan one by one
     dmat = (np.asarray(scanner.scan_many(queries))
-            if len(queries) > 1 and scanner._nq_eligible() else None)
+            if len(queries) > 1 and scanner._nq_eligible() and not push
+            else None)
     for qi, q in enumerate(queries):
-        d = (dmat[qi] if dmat is not None
-             else np.asarray(scanner.distances(q)))
+        dcut = None
+        if push and dmat is None:
+            l1q = _codec.encode_one(q).size
+            mx_max = l1q + maxlen if name == "indel" else max(l1q, maxlen)
+            if score_kind == "distance":
+                dcut = int(score_cutoff)
+            elif score_kind == "similarity":
+                dcut = max(mx_max - int(score_cutoff), 0)
+            elif score_kind == "normalized_distance":
+                dcut = int(score_cutoff * mx_max) + 1
+            else:
+                dcut = int((1.0 - score_cutoff) * mx_max) + 1
+        if dmat is not None:
+            d = dmat[qi]
+        elif dcut is not None:
+            d = np.asarray(
+                scanner.distances(q, score_cutoff=dcut).values)
+        else:
+            d = np.asarray(scanner.distances(q))
         if name in ("jaro", "jaro_winkler", "partial_ratio"):
             # scanner yields f64 distance = 1 - similarity; maximum = 1.0
             out[qi] = 1.0 - d if score_kind.endswith("similarity") else d
@@ -170,6 +197,11 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
     that already holds a device-resident :class:`CorpusScanner` over
     ``choices`` (the serving layer) reuse it instead of rebuilding one.
 
+    With a ``score_cutoff``, the cutoff is pushed into the scan as a
+    banded-kernel bound: masked (invalid) entries are only guaranteed to
+    FAIL the cutoff — their ``values`` may be score underestimates (the
+    reference's Option-None contract; valid entries are always exact).
+
     >>> from rapidfuzz_tpu.models import cdist
     >>> cdist(["kitten"], ["mitten", "kitty"], scorer="levenshtein",
     ...       score_kind="distance").values.tolist()
@@ -184,7 +216,8 @@ def cdist(queries: Sequence, choices: Sequence, *, scorer="levenshtein",
     if (isinstance(scorer, str) and scorer in _SCANNER_METRICS
             and (len(choices) >= 2 or _scanner is not None)):
         scores = _scanner_scores(scorer, queries, choices, score_kind,
-                                 scanner=_scanner)
+                                 scanner=_scanner,
+                                 score_cutoff=score_cutoff)
     else:
         scores = _pairwise_scores(scorer, queries, choices, score_kind)
     if score_cutoff is None:
@@ -210,6 +243,7 @@ def extract(query, choices: Sequence, *, scorer="levenshtein",
     choices = list(choices)
     scores = cdist([query], choices, scorer=scorer,
                    score_kind=score_kind, processor=processor,
+                   score_cutoff=score_cutoff,
                    _scanner=_scanner).values[0]
     descending = not score_kind.endswith("distance")
     order = np.argsort(-scores if descending else scores, kind="stable")

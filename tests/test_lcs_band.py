@@ -137,3 +137,35 @@ def test_fuzz_ratio_many_cutoff_banded(rng, monkeypatch):
             assert cut.valid[i] and abs(float(cut.values[i]) - v) < 1e-12
         else:
             assert not cut.valid[i]
+
+
+def test_cdist_extract_cutoff_push(rng, monkeypatch):
+    """cdist/extract push a score_cutoff into the scanner (banded route):
+    valid entries and the accepted set are identical to the uncut run."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.models import cdist, extract
+
+    q = "".join(chr(rng.integers(97, 123)) for _ in range(280))
+    corpus = []
+    for _ in range(40):
+        arr = list(q)
+        for _ in range(int(rng.integers(0, 10))):
+            pos = int(rng.integers(0, len(arr)))
+            arr[pos] = chr(rng.integers(97, 123))
+        corpus.append("".join(arr))
+    corpus += ["zzz" * 80, q]
+    plain = cdist([q], corpus, scorer="indel")
+    cut = cdist([q], corpus, scorer="indel", score_cutoff=0.97)
+    for i in range(len(corpus)):
+        v = float(plain.values[0][i])
+        if v >= 0.97:
+            assert cut.valid[0][i] and abs(float(cut.values[0][i]) - v) \
+                < 1e-12
+        else:
+            assert not cut.valid[0][i]
+    top = extract(q, corpus, scorer="indel", score_cutoff=0.97, limit=50)
+    want = sorted(((float(plain.values[0][i]), i)
+                   for i in range(len(corpus))
+                   if plain.values[0][i] >= 0.97), key=lambda t: -t[0])
+    assert [i for _, i in want] == [i for _, _, i in top] or \
+        len(want) == len(top)     # stable-order ties may differ in index

@@ -130,8 +130,13 @@ def check_weights(rng: random.Random, s1: str, s2: str) -> str | None:
     sub >= ins+del collapses to indel), batch == scalar, cutoff masks."""
     from rapidfuzz_tpu.distance import indel, levenshtein
 
-    ins, dele, sub = (rng.randint(0, 4), rng.randint(0, 4),
-                      rng.randint(0, 4))
+    # weights are STATIC args to the batch kernels — a compilation per
+    # distinct triple.  A fixed pool bounds XLA-CPU's JIT code sections
+    # (unbounded random triples exhausted them: "LLVM compilation error:
+    # Cannot allocate memory" after a few hundred execs)
+    pool = ((1, 1, 2), (2, 1, 3), (0, 2, 2), (3, 3, 3), (1, 2, 0),
+            (2, 2, 5), (0, 0, 1), (4, 1, 1))
+    ins, dele, sub = pool[rng.randrange(len(pool))]
     w = levenshtein.WeightTable(ins, dele, sub)
     wt = levenshtein.WeightTable(dele, ins, sub)
     d = levenshtein.distance(s1, s2, weights=w)
