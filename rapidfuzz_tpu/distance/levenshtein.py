@@ -32,7 +32,8 @@ from ..utils import codec as _codec
 from . import _int_metric
 
 __all__ = [
-    "WeightTable", "Args", "distance", "similarity", "normalized_distance",
+    "WeightTable", "as_weight_table", "Args", "distance", "similarity",
+    "normalized_distance",
     "normalized_similarity", "distance_with_args", "similarity_with_args",
     "normalized_distance_with_args", "normalized_similarity_with_args",
     "BatchComparator", "distance_many", "similarity_many",
@@ -99,6 +100,24 @@ class WeightTable:
 _UNIFORM = WeightTable()
 
 
+def as_weight_table(w) -> WeightTable:
+    """Coerce ``weights`` to a :class:`WeightTable`.
+
+    Plain ``(insertion, deletion, substitution)`` sequences are accepted
+    for drop-in ergonomics with the rapidfuzz Python API (the reference
+    crate only takes the struct form, ``levenshtein.rs:129-148``).
+
+    >>> as_weight_table((1, 1, 2))
+    WeightTable(insertion_cost=1, deletion_cost=1, substitution_cost=2)
+    """
+    if w is None:
+        return _UNIFORM
+    if isinstance(w, WeightTable):
+        return w
+    ins, dele, sub = w
+    return WeightTable(int(ins), int(dele), int(sub))
+
+
 class Args(_c.ArgsBase):
     __slots__ = ("weights_",)
 
@@ -108,13 +127,14 @@ class Args(_c.ArgsBase):
 
     def weights(self, w: WeightTable):
         new = self._copy()
-        new.weights_ = w
+        new.weights_ = as_weight_table(w)
         return new
 
 
 def maximum(len1, len2, weights: WeightTable = _UNIFORM):
     """Maximum possible distance (``levenshtein.rs:263-277``); vectorises
     over numpy length arrays."""
+    weights = as_weight_table(weights)
     ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
                       weights.substitution_cost)
     if type(len1) is int and type(len2) is int:    # scalar fast path
@@ -167,6 +187,7 @@ def _scalar(s1, s2, weights: WeightTable,
     The raw distance is exact when <= ``cutoff`` (distance units), else
     any value above it — callers mask with the cutoff algebra.
     """
+    weights = as_weight_table(weights)
     if (type(s1) in (str, bytes) and type(s2) in (str, bytes)
             and _c.scalar_backend() != "device"):
         fast = _oracle.fast_scalar()
@@ -361,6 +382,7 @@ def _raw_distance_batch(c1, l1, c2, l2, weights: WeightTable) -> np.ndarray:
 
 
 def _batch_raw(s1s, s2s, weights: WeightTable):
+    weights = as_weight_table(weights)
     if len(s1s) == 1 and len(s2s) >= _int_metric.SCAN_MIN:
         d = _int_metric.scan_one_vs_many("levenshtein", s1s[0], s2s,
                                          weights=weights)
@@ -417,7 +439,7 @@ class BatchComparator:
 
     def __init__(self, s1, weights: WeightTable = _UNIFORM):
         self._u1 = _codec.encode_one(s1)
-        self._weights = weights
+        self._weights = as_weight_table(weights)
 
     # scalar parity API
     def distance(self, s2, **kw):

@@ -32,6 +32,23 @@ flat TPU body pads the window span to ``M = 32*W`` chars and masks the
 tail.  Interpret mode (tests) uses fori char loops instead — flat
 bodies beyond ~56 steps blow up exponentially in the XLA-CPU
 interpreter.
+
+The default hardware route is the QUANTIZED-STATIC body (``_kernel_q``):
+the window span rounds up to ``M8 = ceil(m/8)*8`` as a *static* compile
+key (≤8 compiles per word class, persisted by the JIT disk cache), which
+removes the dominant per-window ALU overhead of the dynamic body:
+
+* window-active ranges ``p in [w, w+M8)`` become Python-static, so
+  inactive windows cost zero ops instead of a masked no-op;
+* the candidate-end mask folds into the PM word — ``u = s & 0`` makes
+  the Hyyrö step ``s' = (s+u)|(s-u) = s`` an exact identity — so the
+  per-word ``jnp.where`` freeze select disappears;
+* only the last ``8 - m%8`` steps of each window carry a dynamic mask
+  (none when ``m % 8 == 0``);
+* eight window starts share each gather trip instead of four.
+
+Per the op-count model this is ~2x fewer VPU ops per window-char than
+the dynamic body (hardware numbers in experiments/evidence/).
 """
 
 from __future__ import annotations
@@ -207,14 +224,142 @@ def _kernel(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref,
     en_ref[:, :] = jnp.where(valid, be, 0)
 
 
+def _kernel_q(la_ref, tab_ref, cand_ref, lb_ref, num_ref, den_ref,
+              st_ref, en_ref, *, LB: int, W: int, ntab: int, sub: int,
+              M8: int, exact: bool, G: int):
+    """Quantized-static flat body (hardware default; see module doc).
+
+    ``M8`` is the window span rounded up to a multiple of 8 (static);
+    ``exact`` means ``m == M8`` so no dynamic tail mask is needed;
+    ``G`` window starts advance per char trip (must be a multiple of 4:
+    packed rows hold 4 chars).
+    """
+    m = la_ref[0]
+    lb = lb_ref[:, :]
+    ones = jnp.full((sub, LANE), 0xFFFFFFFF, jnp.uint32)
+    zeros_u = jnp.zeros((sub, LANE), jnp.uint32)
+    zeros_i = jnp.zeros((sub, LANE), jnp.int32)
+
+    def gather_pm(c):
+        if ntab == 2:
+            clo = jnp.where(c < LANE, c, c - LANE)
+            chi = c >= LANE
+        else:
+            clo = c
+            chi = None
+        pms = []
+        for w in range(W):
+            t0 = jnp.take_along_axis(tab_ref[w * ntab], clo, axis=1)
+            if ntab == 2:
+                t1 = jnp.take_along_axis(tab_ref[w * ntab + 1], clo, axis=1)
+                pms.append(jnp.where(chi, t1, t0))
+            else:
+                pms.append(t0)
+        return pms
+
+    def lcs_step(s, pms):
+        carry = None
+        new = []
+        for w in range(W):
+            sw = s[w]
+            um = sw & pms[w]
+            x1 = sw + um
+            x2 = x1 if carry is None else x1 + carry
+            if w != W - 1:
+                c1 = (x1 < sw).astype(jnp.uint32)
+                carry = c1 if carry is None else c1 | (x2 < x1).astype(
+                    jnp.uint32)
+            new.append(x2 | (sw - um))
+        return new
+
+    def popc2(s):
+        t = jnp.zeros((sub, LANE), jnp.int32)
+        for w in range(W):
+            t = t + lax.population_count(~s[w]).astype(jnp.int32)
+        return 2 * t
+
+    def better(num, den, st, en, best):
+        bn, bd, bs, be = best
+        upd = num * bd > bn * den
+        return (jnp.where(upd, num, bn), jnp.where(upd, den, bd),
+                jnp.where(upd, st, bs), jnp.where(upd, en, be))
+
+    best0 = (jnp.full((sub, LANE), -1, jnp.int32),
+             jnp.ones((sub, LANE), jnp.int32), zeros_i, zeros_i)
+
+    # ---- prefix windows [0, e), e = 1..m-1 (dynamic upd mask keeps the
+    # e < m contract; states past lb freeze via the masked-PM identity)
+    best = best0
+    s = [ones] * W
+    row = None
+    for p in range(M8 - 1):
+        if p % 4 == 0:
+            row = cand_ref[min(p // 4, LB // 4 - 1)]
+        act = jnp.where(p < lb, ~zeros_u, zeros_u)
+        pms = [pm & act for pm in gather_pm(unpack_byte(row, p))]
+        s = lcs_step(s, pms)
+        en = jnp.minimum(p + 1, lb)
+        num = popc2(s)
+        den = m + en
+        upd = (num * best[1] > best[0] * den) & (p + 1 < m)
+        best = tuple(jnp.where(upd, v, b) for v, b in
+                     zip((num, den, zeros_i, en), best))
+
+    # ---- windows [st, min(st+m, lb)), st = 0..lb-1, G starts per trip;
+    # window w is active only for p in [w, w+M8) (static range), with a
+    # dynamic mask on the last 8 offsets when m < M8
+    def group(g, carry):
+        best = carry
+        base = g * G
+        s4 = [[ones] * W for _ in range(G)]
+        row = None
+        for p in range(M8 + G - 1):
+            if p % 4 == 0:
+                row = cand_ref[jnp.minimum(g * (G // 4) + p // 4,
+                                           LB // 4 - 1)]
+            act = jnp.where((base + p) < lb, ~zeros_u, zeros_u)
+            pms = [pm & act for pm in gather_pm(unpack_byte(row, p))]
+            for w in range(G):
+                o = p - w
+                if o < 0 or o >= M8:
+                    continue
+                if exact or o < M8 - 8:
+                    s4[w] = lcs_step(s4[w], pms)
+                else:
+                    # tail offset that may lie past the true window end:
+                    # zero the PM (identity step) when o >= m
+                    pmw = [jnp.where(o < m, pm, zeros_u) for pm in pms]
+                    s4[w] = lcs_step(s4[w], pmw)
+        for w in range(G):
+            st = base + w
+            wlen = jnp.clip(lb - st, 0, m)
+            best = better(popc2(s4[w]), m + wlen, zeros_i + st,
+                          st + wlen, best)
+        return best
+
+    gmax = (jnp.max(lb) + G - 1) // G
+    best = lax.fori_loop(0, gmax, group, best)
+    bn, bd, bs, be = best
+    valid = bn >= 0
+    num_ref[:, :] = jnp.where(valid, bn, 0)
+    den_ref[:, :] = jnp.where(valid, bd, 1)
+    st_ref[:, :] = jnp.where(valid, bs, 0)
+    en_ref[:, :] = jnp.where(valid, be, 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("LB", "W", "ntab", "sub", "interpret",
-                                    "flat"))
+                                    "flat", "M8", "exact", "G"))
 def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False,
-         flat=None):
+         flat=None, M8=0, exact=False, G=8):
     nblocks = cand3.shape[1] // sub
-    kern = functools.partial(_kernel, LB=LB, W=W, ntab=ntab, sub=sub,
-                             flat=(not interpret) if flat is None else flat)
+    if M8:
+        kern = functools.partial(_kernel_q, LB=LB, W=W, ntab=ntab,
+                                 sub=sub, M8=M8, exact=exact, G=G)
+    else:
+        kern = functools.partial(
+            _kernel, LB=LB, W=W, ntab=ntab, sub=sub,
+            flat=(not interpret) if flat is None else flat)
     out = jax.ShapeDtypeStruct((cand3.shape[1], LANE), jnp.int32)
     spec = pl.BlockSpec((sub, LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -236,9 +381,16 @@ def _run(la, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB, interpret=False,
     )(la, tabs, cand3, lb2)
 
 
+def quantize_m(la: int):
+    """Static-body compile keys for query length ``la``: ``(M8, exact)``."""
+    M8 = -(-la // 8) * 8
+    return M8, (la == M8)
+
+
 def partial_ratio_1v_many(query: np.ndarray, cand3, lb2, *,
                           mode: str = "byte", staged=None,
-                          interpret: bool = False, flat=None):
+                          interpret: bool = False, flat=None,
+                          static_m: bool | None = None):
     """Best windows -> ``(num, den, start, end)`` i32 ``[B/128, 128]``.
 
     ``score = num / den`` (f64 on host); ``[start, end)`` is the best
@@ -257,5 +409,8 @@ def partial_ratio_1v_many(query: np.ndarray, cand3, lb2, *,
     ntab = 2 if mode == "byte" else 1
     la_arr, tabs = staged if staged is not None else (
         jnp.array([la], jnp.int32), jnp.asarray(build_pm_tables(q, mode)))
+    if static_m is None:
+        static_m = not interpret       # hardware default: quantized body
+    M8, exact = quantize_m(la) if static_m else (0, False)
     return _run(la_arr, tabs, cand3, lb2, LB=LB, W=W, ntab=ntab,
-                interpret=interpret, flat=flat)
+                interpret=interpret, flat=flat, M8=M8, exact=exact)

@@ -139,6 +139,9 @@ class CorpusScanner:
         self._wscale = 1
         self._weights = None
         self._zero = False
+        if weights is not None and metric == "levenshtein":
+            from ..distance.levenshtein import as_weight_table
+            weights = as_weight_table(weights)
         if weights is not None and metric == "levenshtein" \
                 and not weights.uniform:
             ins, dele, sub = (weights.insertion_cost, weights.deletion_cost,
@@ -482,9 +485,11 @@ class CorpusScanner:
             ntab = 2 if mode == "byte" else 1
             tabs = jnp.asarray(_lk.build_pm_tables(
                 np.asarray(qk, np.int32), mode))
+            M8, exact = (_pk.quantize_m(m) if not self._interpret
+                         else (0, False))
             num, den, _, _ = self._pallas_sharded(
                 _pk._run, jnp.array([m], jnp.int32), tabs,
-                dict(LB=self._LB, W=W, ntab=ntab,
+                dict(LB=self._LB, W=W, ntab=ntab, M8=M8, exact=exact,
                      interpret=self._interpret), nouts=4, cand3=cand3)
         else:
             num, den, _, _ = _pk.partial_ratio_1v_many(

@@ -357,6 +357,32 @@ def test_device_scalar_backend(monkeypatch):
                                 weights=WeightTable(1, 1, 2)) == w_exp
 
 
+def test_weights_tuple_coercion():
+    """Plain ``(ins, del, sub)`` tuples are accepted everywhere a
+    ``WeightTable`` is (rapidfuzz-python drop-in ergonomics; the crate
+    only takes the struct form, ``levenshtein.rs:129-148``)."""
+    from rapidfuzz_tpu.distance import levenshtein
+    from rapidfuzz_tpu.distance.levenshtein import WeightTable
+
+    wt = WeightTable(1, 1, 2)
+    assert (levenshtein.distance("kitten", "sitting", weights=(1, 1, 2))
+            == levenshtein.distance("kitten", "sitting", weights=wt) == 5)
+    assert levenshtein.similarity("kitten", "sitting", weights=[2, 3, 4]) \
+        == levenshtein.similarity("kitten", "sitting",
+                                  weights=WeightTable(2, 3, 4))
+    assert levenshtein.maximum(3, 5, (1, 1, 2)) \
+        == levenshtein.maximum(3, 5, WeightTable(1, 1, 2))
+    a = levenshtein.Args().weights((1, 1, 2))
+    assert a.weights_ == wt
+    bc = levenshtein.BatchComparator("kitten", weights=(1, 1, 2))
+    assert bc.distance("sitting") == 5
+    got = levenshtein.distance_many(
+        ["kitten"] * 2, ["sitting", "mitten"], weights=(1, 1, 2))
+    exp = levenshtein.distance_many(
+        ["kitten"] * 2, ["sitting", "mitten"], weights=wt)
+    np.testing.assert_array_equal(got.values, exp.values)
+
+
 # ---------------------------------------------------- batch comparators
 
 def test_batch_comparators_match_scalar():

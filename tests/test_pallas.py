@@ -510,6 +510,42 @@ def test_partial_ratio_window_kernel():
             assert (wst[i], wen[i]) == (es, ee), (LB, qlen, i)
 
 
+def test_partial_ratio_static_body():
+    """The quantized-static window body (``_kernel_q``, the hardware
+    default) returns (num, den, start, end) IDENTICAL to the dynamic
+    body on every lane — across word classes, table modes, exact
+    (m % 8 == 0) and tail-masked quantization, and clipped/empty
+    candidates."""
+    from rapidfuzz_tpu.ops.pallas import partial_kernel as pk
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (32, 5, 97, 105),     # W=1, M8=8 tail-masked, local mode
+        (32, 24, 60, 200),    # W=1, M8=24 exact, byte mode
+        (48, 33, 97, 105),    # W=2, M8=40 tail-masked
+    ]
+    for LB, qlen, lo, hi in cases:
+        Bs = 128
+        q = rng.integers(lo, hi, qlen).astype(np.int32)
+        lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+        lens[0] = 0
+        lens[1] = LB
+        lens[2] = min(qlen, LB)
+        chars = rng.integers(lo, hi, (Bs, LB)).astype(np.int32)
+        for i, l in enumerate(lens):
+            chars[i, l:] = -1
+        cand3, lb2 = lk.prepare_corpus(jnp.asarray(chars),
+                                       jnp.asarray(lens), LB=LB)
+        mode = lk.pick_mode(q, int(chars.max()))
+        dyn = pk.partial_ratio_1v_many(q, cand3, lb2, mode=mode,
+                                       interpret=True, static_m=False)
+        sta = pk.partial_ratio_1v_many(q, cand3, lb2, mode=mode,
+                                       interpret=True, static_m=True)
+        for name, a, b in zip(("num", "den", "st", "en"), dyn, sta):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{LB},{qlen},{name}")
+
+
 def test_damerau_lastpos_variant():
     """The lastpos-tile Damerau kernel (``_kernel_lp``: strict last-match
     positions hoisted out of the row loop into per-distinct-char packed
