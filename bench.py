@@ -32,8 +32,14 @@ import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
+# partial runs LAST: its ~6.6k-op window body costs ~190s of remote
+# Mosaic compile at EVERY first dispatch (the axon server recompiles
+# per process; the local persistent cache only covers the XLA step —
+# measured 189s first-call with a fully warm .jax_cache), plus tunnel
+# variance.  Keeping it last means a slow partial can never starve the
+# cheaper phases of budget.
 EXTRAS = ("nq", "indel", "osa", "jaro", "banded", "indelband",
-          "partial", "damerau")
+          "damerau", "partial")
 
 
 def _child_env():
@@ -67,7 +73,7 @@ def main():
     # instead of burning the budget on doomed 4-minute attempts
     while True:
         try:
-            _run_phase("ping", 90.0)
+            _run_phase("ping", 45.0)
             break
         except (subprocess.TimeoutExpired, RuntimeError) as e:
             left = deadline - time.time()
@@ -76,7 +82,7 @@ def main():
             if left < 400.0:
                 raise SystemExit("bench failed: TPU tunnel unreachable "
                                  "(ping timed out until budget floor)")
-            time.sleep(45.0)
+            time.sleep(20.0)
     profile_argv = ()
     if "--profile" in sys.argv:
         profile_argv = ("--profile", sys.argv[sys.argv.index("--profile") + 1])
@@ -114,9 +120,11 @@ def main():
         # and wedges every later dispatch (observed: the NEXT bench run's
         # lev phases all timed out for 13 min) — so give it a window that
         # covers the compile or skip it outright
-        # partial's flat window body (~6.6k ops) also has a long cold
-        # compile; both get windows that cover it or are skipped outright
-        need = {"damerau": 420.0, "partial": 300.0}.get(phase, 90.0)
+        # partial's window body (~6.6k ops) costs ~190s of remote Mosaic
+        # compile at every first dispatch (measured with a warm local
+        # cache; tunnel variance took one clean run to 302s) — give it a
+        # window that covers compile + variance or skip it outright
+        need = {"damerau": 420.0, "partial": 420.0}.get(phase, 90.0)
         if remaining < need:
             extras[f"{phase}_skipped"] = "budget exhausted"
             continue

@@ -289,11 +289,16 @@ int64_t rf_damerau(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_)
         return (size_t)(std::lower_bound(syms.begin(), syms.end(), c) - syms.begin());
     };
     vector<int64_t> da(syms.size(), 0);
+    // hoist the per-symbol binary search out of the O(N*M) loop: a
+    // lower_bound per CELL dominated the whole DP (measured ~3x)
+    vector<size_t> aid(n1), bid(n2);
+    for (size_t i = 0; i < n1; i++) aid[i] = sym_id(a[i]);
+    for (size_t j = 0; j < n2; j++) bid[j] = sym_id(b[j]);
 
     for (size_t i = 1; i <= n1; i++) {
         int64_t db = 0;
         for (size_t j = 1; j <= n2; j++) {
-            int64_t k = da[sym_id(b[j - 1])];   // last row < i with a[k]==b[j]
+            int64_t k = da[bid[j - 1]];         // last row < i with a[k]==b[j]
             int64_t l = db;                     // last col < j with b[l]==a[i]
             int64_t cost = 1;
             if (a[i - 1] == b[j - 1]) { cost = 0; db = (int64_t)j; }
@@ -304,7 +309,7 @@ int64_t rf_damerau(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_)
                            (int64_t)(j - l - 1));          // transposition
             D(i + 1, j + 1) = v;
         }
-        da[sym_id(a[i - 1])] = (int64_t)i;
+        da[aid[i - 1]] = (int64_t)i;
     }
     return D(n1 + 1, n2 + 1);
 }
@@ -332,6 +337,13 @@ int64_t rf_postfix_sim(const int64_t* a, int64_t n1, const int64_t* b, int64_t n
 // longer string to shorter+bound, common prefix excluded from transposition
 // counting, then per text char greedily claim the lowest unflagged matching
 // pattern position inside the moving window.
+
+// bit-parallel flagging fast path (defined with the BP kernels below);
+// returns 1 and fills common_add/transpositions when it applies
+static int jaro_try_bitflag(const int64_t* pa, size_t m, const int64_t* pb,
+                            size_t t, size_t bound, size_t* common_add,
+                            size_t* transpositions);
+
 double rf_jaro(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_) {
     size_t len1 = (size_t)n1_, len2 = (size_t)n2_;
     size_t o1 = len1, o2 = len2;
@@ -355,23 +367,29 @@ double rf_jaro(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_) {
     size_t transpositions = 0;
 
     if (m != 0 && t != 0) {
-        vector<char> pflag(m, 0), tflag(t, 0);
-        for (size_t j = 0; j < t; j++) {
-            size_t lo = (j > bound) ? j - bound : 0;
-            size_t hi = min(m, j + bound + 1);
-            for (size_t i = lo; i < hi; i++) {
-                if (!pflag[i] && pa[i] == pb[j]) {
-                    pflag[i] = 1; tflag[j] = 1; common++;
-                    break;
+        size_t cadd = 0;
+        if (jaro_try_bitflag(pa, m, pb, t, bound, &cadd,
+                             &transpositions)) {
+            common += cadd;
+        } else {
+            vector<char> pflag(m, 0), tflag(t, 0);
+            for (size_t j = 0; j < t; j++) {
+                size_t lo = (j > bound) ? j - bound : 0;
+                size_t hi = min(m, j + bound + 1);
+                for (size_t i = lo; i < hi; i++) {
+                    if (!pflag[i] && pa[i] == pb[j]) {
+                        pflag[i] = 1; tflag[j] = 1; common++;
+                        break;
+                    }
                 }
             }
+            // transpositions: rank-matched flagged chars that differ
+            vector<int64_t> fa, fb;
+            for (size_t i = 0; i < m; i++) if (pflag[i]) fa.push_back(pa[i]);
+            for (size_t j = 0; j < t; j++) if (tflag[j]) fb.push_back(pb[j]);
+            for (size_t k = 0; k < fa.size(); k++)
+                transpositions += (fa[k] != fb[k]);
         }
-        // transpositions: rank-matched flagged chars that differ
-        vector<int64_t> fa, fb;
-        for (size_t i = 0; i < m; i++) if (pflag[i]) fa.push_back(pa[i]);
-        for (size_t j = 0; j < t; j++) if (tflag[j]) fb.push_back(pb[j]);
-        for (size_t k = 0; k < fa.size(); k++)
-            transpositions += (fa[k] != fb[k]);
     }
 
     if (common == 0) return 0.0;
@@ -519,14 +537,321 @@ struct SymMap {
 
 // PM table for pattern rows [r0, r1): pool[id*ww + w] has bit (i - r0) % 64
 // set iff a[i] == symbol(id), w = (i - r0) / 64.
-static void build_pm_chunk(const int64_t* a, size_t r0, size_t r1, size_t ww,
-                           SymMap& sm, vector<uint64_t>& pool) {
+// Direct extended-ASCII PM table (pattern_match_vector.rs:67-155 shape:
+// a [256] array fast path + hashmap overflow).  Worth the 2KB*ww memset
+// only while the per-column hash find is a visible fraction of the word
+// loop — i.e. small word counts (one-shot latency regime).
+constexpr size_t DIRECT_MAX_WW = 8;            // direct path for m <= 512
+
+static bool build_pm_chunk(const int64_t* a, size_t r0, size_t r1, size_t ww,
+                           SymMap& sm, vector<uint64_t>& pool,
+                           vector<uint64_t>& d256) {
+    bool direct = ww <= DIRECT_MAX_WW;
+    if (direct) {
+        d256.assign(256 * ww, 0);
+        bool all_small = true;
+        for (size_t i = r0; i < r1; i++)
+            if ((uint64_t)a[i] >= 256) { all_small = false; break; }
+        if (all_small) {
+            for (size_t i = r0; i < r1; i++)
+                d256[(size_t)a[i] * ww + ((i - r0) >> 6)] |=
+                    1ULL << ((i - r0) & 63);
+            sm.init(1);                        // empty map: finds miss
+            pool.clear();
+            return true;
+        }
+    }
     sm.init(r1 - r0);
     pool.clear();
     for (size_t i = r0; i < r1; i++) {
+        if (direct && (uint64_t)a[i] < 256) {
+            d256[(size_t)a[i] * ww + ((i - r0) >> 6)] |=
+                1ULL << ((i - r0) & 63);
+            continue;
+        }
         int32_t id = sm.insert(a[i]);
         if ((size_t)(id + 1) * ww > pool.size()) pool.resize((id + 1) * ww, 0);
         pool[(size_t)id * ww + ((i - r0) >> 6)] |= 1ULL << ((i - r0) & 63);
+    }
+    return direct;
+}
+
+// Per-column PM row lookup; nullptr means an all-zero row.
+static inline const uint64_t* pm_find(bool direct, const SymMap& sm,
+                                      const vector<uint64_t>& pool,
+                                      const vector<uint64_t>& d256,
+                                      size_t ww, int64_t key) {
+    if (direct && (uint64_t)key < 256)
+        return d256.data() + (uint64_t)key * ww;
+    int32_t id = sm.find(key);
+    return id >= 0 ? pool.data() + (size_t)id * ww : nullptr;
+}
+
+static inline bool all_small(const int64_t* a, size_t m) {
+    for (size_t i = 0; i < m; i++)
+        if ((uint64_t)a[i] >= 256) return false;
+    return true;
+}
+
+// ---- 1-word (pattern <= 64 rows, chars < 256) specializations: PM in a
+// stack table, no scratch machinery — the reference's dominant one-shot
+// class (hyrroe2003 `levenshtein.rs:435-507`, `lcs_seq.rs:199-261` N=1,
+// `osa.rs:84-135`).  Text chars >= 256 cannot match (PM row = 0).
+
+static int64_t lev_1w(const int64_t* a, size_t m,
+                      const int64_t* b, size_t n) {
+    uint64_t pm[256] = {0};
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
+    uint64_t VP = ~0ULL, VN = 0;
+    uint64_t mask = 1ULL << (m - 1);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        uint64_t x = (uint64_t)b[j] < 256 ? pm[b[j]] : 0;
+        uint64_t d0 = (((x & VP) + VP) ^ VP) | x | VN;
+        uint64_t hp = VN | ~(d0 | VP);
+        uint64_t hn = d0 & VP;
+        dist += (int64_t)((hp & mask) != 0) - (int64_t)((hn & mask) != 0);
+        uint64_t hp_s = (hp << 1) | 1;       // top boundary: D[0][j] = j
+        uint64_t hn_s = hn << 1;
+        VP = hn_s | ~(d0 | hp_s);
+        VN = hp_s & d0;
+    }
+    return dist;
+}
+
+static int64_t lcs_1w(const int64_t* a, size_t m,
+                      const int64_t* b, size_t n) {
+    uint64_t pm[256] = {0};
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
+    uint64_t S = ~0ULL;
+    for (size_t j = 0; j < n; j++) {
+        uint64_t u = S & ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
+        S = (S + u) | (S - u);               // padding bits stay 1
+    }
+    return (int64_t)__builtin_popcountll(~S);
+}
+
+static int64_t osa_1w(const int64_t* a, size_t m,
+                      const int64_t* b, size_t n) {
+    uint64_t pm[256] = {0};
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
+    uint64_t VP = ~0ULL, VN = 0, D0P = 0, PMP = 0;
+    uint64_t mask = 1ULL << (m - 1);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        uint64_t pmw = (uint64_t)b[j] < 256 ? pm[b[j]] : 0;
+        uint64_t tr = ((~D0P & pmw) << 1) & PMP;
+        uint64_t d0 = ((((pmw & VP) + VP) ^ VP) | pmw | VN) | tr;
+        uint64_t hp = VN | ~(d0 | VP);
+        uint64_t hn = d0 & VP;
+        dist += (int64_t)((hp & mask) != 0) - (int64_t)((hn & mask) != 0);
+        uint64_t hp_s = (hp << 1) | 1;
+        uint64_t hn_s = hn << 1;
+        VP = hn_s | ~(d0 | hp_s);
+        VN = hp_s & d0;
+        D0P = d0;
+        PMP = pmw;
+    }
+    return dist;
+}
+
+// ---- small-W (pattern <= 512 rows, chars < 256) specializations: PM and
+// state on the stack, word loop unrolled at compile time — the
+// `lcs_unroll::<N>` monomorphization idea (lcs_seq.rs:370-403) applied to
+// all three bit-parallel metrics.  Dispatch picks W = ceil(m/64) exactly,
+// so the score row always lives in word W-1.
+
+template <size_t W>
+static int64_t lev_w(const int64_t* a, size_t m,
+                     const int64_t* b, size_t n) {
+    uint64_t pm[256 * W];
+    memset(pm, 0, sizeof(pm));
+    for (size_t i = 0; i < m; i++)
+        pm[(size_t)a[i] * W + (i >> 6)] |= 1ULL << (i & 63);
+    uint64_t VP[W], VN[W];
+    for (size_t w = 0; w < W; w++) { VP[w] = ~0ULL; VN[w] = 0; }
+    uint64_t mask = 1ULL << ((m - 1) & 63);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        const uint64_t* pmv =
+            (uint64_t)b[j] < 256 ? pm + (uint64_t)b[j] * W : nullptr;
+        uint64_t hp_c = 1, hn_c = 0;           // top boundary: D[0][j] = j
+        for (size_t w = 0; w < W; w++) {
+            uint64_t x = (pmv ? pmv[w] : 0) | hn_c;
+            uint64_t vp = VP[w], vn = VN[w];
+            uint64_t d0 = (((x & vp) + vp) ^ vp) | x | vn;
+            uint64_t hp = vn | ~(d0 | vp);
+            uint64_t hn = d0 & vp;
+            if (w == W - 1)
+                dist += (int64_t)((hp & mask) != 0)
+                      - (int64_t)((hn & mask) != 0);
+            uint64_t hp_s = (hp << 1) | hp_c;
+            uint64_t hn_s = (hn << 1) | hn_c;
+            hp_c = hp >> 63;
+            hn_c = hn >> 63;
+            VP[w] = hn_s | ~(d0 | hp_s);
+            VN[w] = hp_s & d0;
+        }
+    }
+    return dist;
+}
+
+template <size_t W>
+static int64_t lcs_w(const int64_t* a, size_t m,
+                     const int64_t* b, size_t n) {
+    uint64_t pm[256 * W];
+    memset(pm, 0, sizeof(pm));
+    for (size_t i = 0; i < m; i++)
+        pm[(size_t)a[i] * W + (i >> 6)] |= 1ULL << (i & 63);
+    uint64_t S[W];
+    for (size_t w = 0; w < W; w++) S[w] = ~0ULL;
+    for (size_t j = 0; j < n; j++) {
+        const uint64_t* pmv =
+            (uint64_t)b[j] < 256 ? pm + (uint64_t)b[j] * W : nullptr;
+        uint64_t carry = 0;
+        for (size_t w = 0; w < W; w++) {
+            uint64_t s = S[w];
+            uint64_t u = s & (pmv ? pmv[w] : 0);
+            uint64_t t = s + u;
+            uint64_t c1 = t < s;
+            uint64_t t2 = t + carry;
+            uint64_t c2 = t2 < t;
+            carry = c1 | c2;
+            S[w] = t2 | (s - u);               // padding bits stay 1
+        }
+    }
+    int64_t lcs = 0;
+    for (size_t w = 0; w < W; w++)
+        lcs += __builtin_popcountll(~S[w]);
+    return lcs;
+}
+
+template <size_t W>
+static int64_t osa_w(const int64_t* a, size_t m,
+                     const int64_t* b, size_t n) {
+    uint64_t pm[256 * W];
+    memset(pm, 0, sizeof(pm));
+    for (size_t i = 0; i < m; i++)
+        pm[(size_t)a[i] * W + (i >> 6)] |= 1ULL << (i & 63);
+    uint64_t VP[W], VN[W], D0P[W], PMP[W];
+    for (size_t w = 0; w < W; w++) {
+        VP[w] = ~0ULL; VN[w] = 0; D0P[w] = 0; PMP[w] = 0;
+    }
+    uint64_t mask = 1ULL << ((m - 1) & 63);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        const uint64_t* pmv =
+            (uint64_t)b[j] < 256 ? pm + (uint64_t)b[j] * W : nullptr;
+        uint64_t hp_c = 1, hn_c = 0, tr_c = 0;
+        for (size_t w = 0; w < W; w++) {
+            uint64_t pmw = pmv ? pmv[w] : 0;
+            uint64_t d0p = D0P[w];
+            uint64_t tr = (((~d0p & pmw) << 1) | tr_c) & PMP[w];
+            tr_c = (~d0p & pmw) >> 63;
+            uint64_t x = pmw | hn_c;
+            uint64_t vp = VP[w], vn = VN[w];
+            uint64_t d0 = ((((x & vp) + vp) ^ vp) | x | vn) | tr;
+            uint64_t hp = vn | ~(d0 | vp);
+            uint64_t hn = d0 & vp;
+            if (w == W - 1)
+                dist += (int64_t)((hp & mask) != 0)
+                      - (int64_t)((hn & mask) != 0);
+            uint64_t hp_s = (hp << 1) | hp_c;
+            uint64_t hn_s = (hn << 1) | hn_c;
+            hp_c = hp >> 63;
+            hn_c = hn >> 63;
+            VP[w] = hn_s | ~(d0 | hp_s);
+            VN[w] = hp_s & d0;
+            D0P[w] = d0;
+            PMP[w] = pmw;
+        }
+    }
+    return dist;
+}
+
+// W = ceil(m/64) in [2, 8] dispatchers; INT64_MIN = caller falls through.
+#define SMALLW_DISPATCH(fn)                                            \
+    switch ((m + 63) >> 6) {                                           \
+        case 2: return fn<2>(a, m, b, n);                              \
+        case 3: return fn<3>(a, m, b, n);                              \
+        case 4: return fn<4>(a, m, b, n);                              \
+        case 5: return fn<5>(a, m, b, n);                              \
+        case 6: return fn<6>(a, m, b, n);                              \
+        case 7: return fn<7>(a, m, b, n);                              \
+        case 8: return fn<8>(a, m, b, n);                              \
+        default: return INT64_MIN;                                     \
+    }
+
+static int64_t lev_smallw(const int64_t* a, size_t m,
+                          const int64_t* b, size_t n) {
+    SMALLW_DISPATCH(lev_w)
+}
+
+static int64_t lcs_smallw(const int64_t* a, size_t m,
+                          const int64_t* b, size_t n) {
+    SMALLW_DISPATCH(lcs_w)
+}
+
+static int64_t osa_smallw(const int64_t* a, size_t m,
+                          const int64_t* b, size_t n) {
+    SMALLW_DISPATCH(osa_w)
+}
+
+// Bit-parallel Jaro flagging (flag_similar_characters_word generalized to
+// W pattern words, jaro.rs:147-190): per text char, candidates =
+// PM[c] & window & ~flagged, claim the lowest set bit (blsi semantics).
+// The text side needs no bitmask — matched text chars are collected in
+// scan order for the rank-wise transposition count (jaro.rs:339-368).
+template <size_t W>
+static size_t jaro_flag_w(const int64_t* pa, size_t m, const int64_t* pb,
+                          size_t t, size_t bound, int64_t* fb,
+                          uint64_t* pflag_out) {
+    uint64_t pm[256 * W];
+    memset(pm, 0, sizeof(pm));
+    for (size_t i = 0; i < m; i++)
+        pm[(size_t)pa[i] * W + (i >> 6)] |= 1ULL << (i & 63);
+    uint64_t pflag[W];
+    for (size_t w = 0; w < W; w++) pflag[w] = 0;
+    size_t nf = 0;
+    for (size_t j = 0; j < t; j++) {
+        size_t lo = (j > bound) ? j - bound : 0;
+        if (lo >= m) break;                    // window left the pattern
+        size_t hi = j + bound + 1;
+        if (hi > m) hi = m;
+        uint64_t c = (uint64_t)pb[j];
+        if (c >= 256) continue;                // cannot match a small char
+        const uint64_t* pmv = pm + c * W;
+        size_t w0 = lo >> 6, w1 = (hi - 1) >> 6;
+        for (size_t w = w0; w <= w1; w++) {
+            size_t base = w << 6;
+            size_t l = lo > base ? lo - base : 0;
+            size_t h = hi - base > 64 ? 64 : hi - base;
+            uint64_t mask = (h == 64 ? ~0ULL : ((1ULL << h) - 1))
+                          & ~(l == 0 ? 0ULL : ((1ULL << l) - 1));
+            uint64_t cand = pmv[w] & mask & ~pflag[w];
+            if (cand) {
+                pflag[w] |= cand & (~cand + 1);    // lowest set bit
+                fb[nf++] = pb[j];
+                break;
+            }
+        }
+    }
+    for (size_t w = 0; w < W; w++) pflag_out[w] = pflag[w];
+    return nf;
+}
+
+static size_t jaro_flag_smallw(const int64_t* a, size_t m,
+                               const int64_t* b, size_t t, size_t bound,
+                               int64_t* fb, uint64_t* pflag_out) {
+    switch ((m + 63) >> 6) {
+        case 1: return jaro_flag_w<1>(a, m, b, t, bound, fb, pflag_out);
+        case 2: return jaro_flag_w<2>(a, m, b, t, bound, fb, pflag_out);
+        case 3: return jaro_flag_w<3>(a, m, b, t, bound, fb, pflag_out);
+        case 4: return jaro_flag_w<4>(a, m, b, t, bound, fb, pflag_out);
+        case 5: return jaro_flag_w<5>(a, m, b, t, bound, fb, pflag_out);
+        case 6: return jaro_flag_w<6>(a, m, b, t, bound, fb, pflag_out);
+        case 7: return jaro_flag_w<7>(a, m, b, t, bound, fb, pflag_out);
+        default: return jaro_flag_w<8>(a, m, b, t, bound, fb, pflag_out);
     }
 }
 
@@ -535,7 +860,7 @@ static void build_pm_chunk(const int64_t* a, size_t r0, size_t r1, size_t ww,
 // a large fraction of the total (measured ~2x on len<=128 pairs).
 struct BpScratch {
     SymMap sm;
-    vector<uint64_t> pool;
+    vector<uint64_t> pool, d256;
     vector<uint64_t> VP, VN, D0P, PMP, S;
     vector<uint8_t> hin, trin, cin;
 };
@@ -570,12 +895,13 @@ static int64_t lev_bp_full(const int64_t* a, size_t m,
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
         size_t ww = w1 - w0;
-        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        bool direct = build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm,
+                                     pool, bs.d256);
         for (size_t w = 0; w < ww; w++) { VP[w] = ~0ULL; VN[w] = 0; }
         bool lastc = (c == nch - 1);
         for (size_t j = 0; j < n; j++) {
-            int32_t id = sm.find(b[j]);
-            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            const uint64_t* pmv = pm_find(direct, sm, pool, bs.d256, ww,
+                                          b[j]);
             uint64_t hp_c = hin[j] == 2, hn_c = hin[j] == 0;
             for (size_t w = 0; w < ww; w++) {
                 uint64_t x = (pmv ? pmv[w] : 0) | hn_c;
@@ -624,7 +950,7 @@ static int64_t lev_bp_banded(const int64_t* a, size_t m,
     BpScratch& bs = bp_scratch();
     SymMap& sm = bs.sm;
     vector<uint64_t>& pool = bs.pool;
-    build_pm_chunk(a, 0, m, W, sm, pool);
+    bool direct = build_pm_chunk(a, 0, m, W, sm, pool, bs.d256);
     // score[w] = value at block w's bottom row (row (w+1)*64, or m for the
     // last block).  The bit state carries deltas only, so an entering
     // block's stand-in is anchored at the computed boundary row above it:
@@ -655,8 +981,8 @@ static int64_t lev_bp_banded(const int64_t* a, size_t m,
         int64_t minrow = (int64_t)j - k;
         if (minrow > (int64_t)m) return k + 1;     // band left the matrix
         if (minrow > 1) first = max(first, (size_t)((minrow - 1) >> 6));
-        int32_t id = sm.find(b[j - 1]);
-        const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * W] : nullptr;
+        const uint64_t* pmv = pm_find(direct, sm, pool, bs.d256, W,
+                                      b[j - 1]);
         uint64_t hp_c = 1, hn_c = 0;           // top boundary / frozen rule
         for (size_t w = first; w <= last; w++) {
             uint64_t x = (pmv ? pmv[w] : 0) | hn_c;
@@ -681,6 +1007,27 @@ static int64_t lev_bp_banded(const int64_t* a, size_t m,
 
 }  // namespace
 
+static int jaro_try_bitflag(const int64_t* pa, size_t m, const int64_t* pb,
+                            size_t t, size_t bound, size_t* common_add,
+                            size_t* transpositions) {
+    if (m == 0 || m > 512 || !all_small(pa, m)) return 0;
+    int64_t fbbuf[512];                        // nf <= m <= 512
+    uint64_t pflag[8] = {0};
+    size_t nf = jaro_flag_smallw(pa, m, pb, t, bound, fbbuf, pflag);
+    *common_add = nf;
+    size_t W = (m + 63) >> 6, k = 0, tr = 0;
+    for (size_t w = 0; w < W; w++) {
+        uint64_t f = pflag[w];
+        while (f) {
+            size_t i = (w << 6) + (size_t)__builtin_ctzll(f);
+            f &= f - 1;
+            tr += (pa[i] != fbbuf[k++]);
+        }
+    }
+    *transpositions = tr;
+    return 1;
+}
+
 extern "C" {
 
 // Uniform Levenshtein, bit-parallel: exact if the distance <= cutoff, else
@@ -694,11 +1041,21 @@ int64_t rf_levenshtein_uniform_bp(const int64_t* a, int64_t n1_,
     if (n2 == 0) return (int64_t)n1;
     int64_t ldiff = n1 > n2 ? (int64_t)(n1 - n2) : (int64_t)(n2 - n1);
     if (cutoff >= 0 && ldiff > cutoff) return cutoff + 1;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (n1 <= 64 && all_small(a, n1)) {
+        int64_t d = lev_1w(a, n1, b, n2);
+        return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
+    }
     // banded pays off when the band is well under the pattern height
     if (cutoff >= 0 && (size_t)cutoff + 128 < n1) {
         int64_t r = lev_bp_banded(a, n1, b, n2, cutoff);
         if (r != INT64_MIN) return r;
         return lev_banded(a, n1, b, n2, cutoff);   // PM cap hit: O(k*M) DP
+    }
+    if (n1 <= 512 && all_small(a, n1)) {
+        int64_t d = lev_smallw(a, n1, b, n2);
+        if (d != INT64_MIN)
+            return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
     }
     int64_t d = lev_bp_full(a, n1, b, n2);
     return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
@@ -717,6 +1074,14 @@ int64_t rf_lcs_seq_bp(const int64_t* a, int64_t n1_,
     a += pre; b += pre; n1 -= pre; n2 -= pre;
     int64_t affix = (int64_t)(pre + suf);
     if (n1 == 0 || n2 == 0) return affix;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (all_small(a, n1)) {
+        if (n1 <= 64) return affix + lcs_1w(a, n1, b, n2);
+        if (n1 <= 512) {
+            int64_t l = lcs_smallw(a, n1, b, n2);
+            if (l != INT64_MIN) return affix + l;
+        }
+    }
     size_t m = n1, n = n2;
     size_t W = (m + 63) >> 6;
     size_t nch = (W + CHUNK_WORDS - 1) / CHUNK_WORDS;
@@ -731,11 +1096,12 @@ int64_t rf_lcs_seq_bp(const int64_t* a, int64_t n1_,
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
         size_t ww = w1 - w0;
-        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        bool direct = build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm,
+                                     pool, bs.d256);
         for (size_t w = 0; w < ww; w++) S[w] = ~0ULL;
         for (size_t j = 0; j < n; j++) {
-            int32_t id = sm.find(b[j]);
-            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            const uint64_t* pmv = pm_find(direct, sm, pool, bs.d256, ww,
+                                          b[j]);
             uint64_t carry = cin[j];
             for (size_t w = 0; w < ww; w++) {
                 uint64_t s = S[w];
@@ -771,6 +1137,14 @@ int64_t rf_osa_bp(const int64_t* a, int64_t n1_,
     strip_affix(a, n1, b, n2);
     if (n1 == 0) return (int64_t)n2;
     if (n2 == 0) return (int64_t)n1;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (all_small(a, n1)) {
+        if (n1 <= 64) return osa_1w(a, n1, b, n2);
+        if (n1 <= 512) {
+            int64_t d = osa_smallw(a, n1, b, n2);
+            if (d != INT64_MIN) return d;
+        }
+    }
     size_t m = n1, n = n2;
     size_t W = (m + 63) >> 6;
     size_t bit = (m - 1) & 63;                 // score bit in word W-1
@@ -794,14 +1168,15 @@ int64_t rf_osa_bp(const int64_t* a, int64_t n1_,
     for (size_t c = 0; c < nch; c++) {
         size_t w0 = c * CHUNK_WORDS, w1 = min(W, w0 + CHUNK_WORDS);
         size_t ww = w1 - w0;
-        build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm, pool);
+        bool direct = build_pm_chunk(a, w0 * 64, min(m, w1 * 64), ww, sm,
+                                     pool, bs.d256);
         for (size_t w = 0; w < ww; w++) {
             VP[w] = ~0ULL; VN[w] = 0; D0P[w] = 0; PMP[w] = 0;
         }
         bool lastc = (c == nch - 1);
         for (size_t j = 0; j < n; j++) {
-            int32_t id = sm.find(b[j]);
-            const uint64_t* pmv = id >= 0 ? &pool[(size_t)id * ww] : nullptr;
+            const uint64_t* pmv = pm_find(direct, sm, pool, bs.d256, ww,
+                                          b[j]);
             uint64_t hp_c = hin[j] == 2, hn_c = hin[j] == 0;
             uint64_t tr_c = trin[j];           // (~d0_prev & pm)>>63, word below
             for (size_t w = 0; w < ww; w++) {

@@ -23,7 +23,7 @@
 
 namespace {
 
-constexpr int64_t BP_MIN_CELLS = 2048;    // oracle.__init__._BP_MIN_CELLS
+constexpr int64_t BP_MIN_CELLS = 64;      // oracle.__init__._BP_MIN_CELLS
 
 struct Buf {
     int64_t stackbuf[512];

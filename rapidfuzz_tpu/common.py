@@ -37,9 +37,22 @@ __all__ = [
 ]
 
 
-def scalar_backend() -> str:
-    """'cpp' (host oracle) or 'device' for one-shot scalar calls."""
-    return os.environ.get("RAPIDFUZZ_TPU_SCALAR_BACKEND", "cpp")
+try:
+    # os.environ.get costs ~0.9 us/call (Python-level key encoding) —
+    # visible against the C one-shot path (~0.15 us).  Read the backing
+    # dict directly; writes through os.environ (incl. monkeypatch.setenv)
+    # stay visible because _Environ mutates the same dict.
+    _ENV_DATA = os.environ._data
+    _SB_KEY = os.environ.encodekey("RAPIDFUZZ_TPU_SCALAR_BACKEND")
+
+    def scalar_backend() -> str:
+        """'cpp' (host oracle) or 'device' for one-shot scalar calls."""
+        v = _ENV_DATA.get(_SB_KEY)
+        return "cpp" if v is None else os.fsdecode(v)
+except AttributeError:                     # non-CPython fallback
+    def scalar_backend() -> str:
+        """'cpp' (host oracle) or 'device' for one-shot scalar calls."""
+        return os.environ.get("RAPIDFUZZ_TPU_SCALAR_BACKEND", "cpp")
 
 
 class ArgsBase:

@@ -167,17 +167,60 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=(),
 
     Args.__qualname__ = f"{metric.name}.Args"
 
+    # The scalar wrappers inline the str/bytes C fast route (one closure
+    # load + one extension call) — every interposed frame here is a
+    # visible fraction of the reference's one-shot latency class
+    # (criterion charts, SURVEY.md §6: indel/LCS 50-500 ns).
+    _sb = _c.scalar_backend
+    _fast = metric.fast_distance
+    _mx = metric.maximum
+    _SB = (str, bytes)
+
     def distance(s1, s2, *, score_cutoff=None, score_hint=None):
+        if (_fast is not None and type(s1) in _SB and type(s2) in _SB
+                and _sb() != "device"):
+            d = _fast(s1, s2)
+            if d is not None:
+                if score_cutoff is None or d <= score_cutoff:
+                    return d
+                return None
         return metric.distance(s1, s2, score_cutoff=score_cutoff)
 
     def similarity(s1, s2, *, score_cutoff=None, score_hint=None):
+        if (_fast is not None and type(s1) in _SB and type(s2) in _SB
+                and _sb() != "device"):
+            d = _fast(s1, s2)
+            if d is not None:
+                s = _mx(len(s1), len(s2)) - d
+                if score_cutoff is None or s >= score_cutoff:
+                    return s
+                return None
         return metric.similarity(s1, s2, score_cutoff=score_cutoff)
 
     def normalized_distance(s1, s2, *, score_cutoff=None, score_hint=None):
+        if (_fast is not None and type(s1) in _SB and type(s2) in _SB
+                and _sb() != "device"):
+            d = _fast(s1, s2)
+            if d is not None:
+                mx = _mx(len(s1), len(s2))
+                nd = d / mx if mx else 0.0
+                if score_cutoff is None or nd <= score_cutoff:
+                    return nd
+                return None
         return metric.normalized_distance(s1, s2, score_cutoff=score_cutoff)
 
     def normalized_similarity(s1, s2, *, score_cutoff=None, score_hint=None):
-        return metric.normalized_similarity(s1, s2, score_cutoff=score_cutoff)
+        if (_fast is not None and type(s1) in _SB and type(s2) in _SB
+                and _sb() != "device"):
+            d = _fast(s1, s2)
+            if d is not None:
+                mx = _mx(len(s1), len(s2))
+                ns = 1.0 - (d / mx if mx else 0.0)
+                if score_cutoff is None or ns >= score_cutoff:
+                    return ns
+                return None
+        return metric.normalized_similarity(s1, s2,
+                                            score_cutoff=score_cutoff)
 
     def distance_with_args(s1, s2, args):
         return metric.distance(s1, s2, score_cutoff=args.cutoff)

@@ -263,6 +263,20 @@ def distance(s1, s2, *, weights: WeightTable = _UNIFORM,
     ...                      weights=levenshtein.WeightTable(1, 1, 2))
     5
     """
+    # uniform str/bytes one-shot: single C-extension call (the
+    # reference's dominant latency class; frames cost here)
+    if (weights is _UNIFORM and type(s1) in (str, bytes)
+            and type(s2) in (str, bytes)
+            and _c.scalar_backend() != "device"):
+        fast = _oracle.fast_scalar()
+        if fast is not None:
+            cut = -1 if score_cutoff is None else score_cutoff
+            hint = -1 if score_hint is None else max(score_hint, 1)
+            d = fast.lev_uniform(s1, s2, cut, hint)
+            if d is not None:
+                if score_cutoff is None or d <= score_cutoff:
+                    return d
+                return None
     dist, _ = _scalar(s1, s2, weights, score_cutoff, score_hint)
     return _c.apply_distance_cutoff(dist, score_cutoff)
 

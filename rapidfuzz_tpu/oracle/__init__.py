@@ -101,7 +101,7 @@ def _load():
 #: above this len1*len2 product the bit-parallel u64 kernels beat the
 #: textbook row DP (PM-table setup amortizes); below it the quadratic
 #: third-opinion code is cheapest and battle-tested
-_BP_MIN_CELLS = 2048
+_BP_MIN_CELLS = 64
 
 _SCALAR_SRC = os.path.join(_ROOT, "native", "rf_scalar.cpp")
 _SCALAR_SO = os.path.join(_HERE, "_rf_scalar.so")
