@@ -235,21 +235,35 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=(),
         return metric.normalized_similarity(s1, s2, score_cutoff=args.cutoff)
 
     class BatchComparator:
-        """One-vs-many comparator with device batch APIs."""
+        """One-vs-many comparator with device batch APIs.
+
+        Scalar calls keep the original str/bytes query so they ride the
+        C one-shot route (the reference's BatchComparator is its FASTEST
+        scalar path, criterion charts — an encoded-array detour here was
+        measured 20x slower than the one-shot API)."""
 
         def __init__(self, s1):
+            self._s1 = s1 if type(s1) in _SB else None
             self._u1 = _codec.encode_one(s1)
 
         def distance(self, s2, **kw):
+            if self._s1 is not None and type(s2) in _SB:
+                return distance(self._s1, s2, **kw)
             return metric.distance(self._u1, s2, **kw)
 
         def similarity(self, s2, **kw):
+            if self._s1 is not None and type(s2) in _SB:
+                return similarity(self._s1, s2, **kw)
             return metric.similarity(self._u1, s2, **kw)
 
         def normalized_distance(self, s2, **kw):
+            if self._s1 is not None and type(s2) in _SB:
+                return normalized_distance(self._s1, s2, **kw)
             return metric.normalized_distance(self._u1, s2, **kw)
 
         def normalized_similarity(self, s2, **kw):
+            if self._s1 is not None and type(s2) in _SB:
+                return normalized_similarity(self._s1, s2, **kw)
             return metric.normalized_similarity(self._u1, s2, **kw)
 
         def distance_with_args(self, s2, args):

@@ -130,31 +130,38 @@ normalized_distance_many = distance_many
 
 class BatchComparator:
     def __init__(self, s1):
+        # keep str/bytes queries for the C one-shot route (the
+        # reference's BatchComparator is its fastest scalar path)
+        self._s1 = s1 if type(s1) in (str, bytes) else None
         self._u1 = _codec.encode_one(s1)
 
+    def _q(self, s2):
+        return (self._s1 if self._s1 is not None
+                and type(s2) in (str, bytes) else self._u1)
+
     def similarity(self, s2, **kw):
-        return similarity(self._u1, s2, **kw)
+        return similarity(self._q(s2), s2, **kw)
 
     def distance(self, s2, **kw):
-        return distance(self._u1, s2, **kw)
+        return distance(self._q(s2), s2, **kw)
 
     def normalized_similarity(self, s2, **kw):
-        return similarity(self._u1, s2, **kw)
+        return similarity(self._q(s2), s2, **kw)
 
     def normalized_distance(self, s2, **kw):
-        return distance(self._u1, s2, **kw)
+        return distance(self._q(s2), s2, **kw)
 
     def similarity_with_args(self, s2, args: Args):
-        return similarity(self._u1, s2, score_cutoff=args.cutoff)
+        return similarity(self._q(s2), s2, score_cutoff=args.cutoff)
 
     def distance_with_args(self, s2, args: Args):
-        return distance(self._u1, s2, score_cutoff=args.cutoff)
+        return distance(self._q(s2), s2, score_cutoff=args.cutoff)
 
     def normalized_similarity_with_args(self, s2, args: Args):
-        return similarity(self._u1, s2, score_cutoff=args.cutoff)
+        return similarity(self._q(s2), s2, score_cutoff=args.cutoff)
 
     def normalized_distance_with_args(self, s2, args: Args):
-        return distance(self._u1, s2, score_cutoff=args.cutoff)
+        return distance(self._q(s2), s2, score_cutoff=args.cutoff)
 
     def similarities(self, corpus, *, score_cutoff=None):
         return similarity_many([self._u1], corpus, score_cutoff=score_cutoff)

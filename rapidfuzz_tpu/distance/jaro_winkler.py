@@ -136,16 +136,23 @@ normalized_distance_many = distance_many
 
 class BatchComparator:
     def __init__(self, s1, prefix_weight: float = 0.1):
+        # keep str/bytes queries for the C one-shot route (the
+        # reference's BatchComparator is its fastest scalar path)
+        self._s1 = s1 if type(s1) in (str, bytes) else None
         self._u1 = _codec.encode_one(s1)
         self._pw = prefix_weight
 
+    def _q(self, s2):
+        return (self._s1 if self._s1 is not None
+                and type(s2) in (str, bytes) else self._u1)
+
     def similarity(self, s2, **kw):
         kw.setdefault("prefix_weight", self._pw)
-        return similarity(self._u1, s2, **kw)
+        return similarity(self._q(s2), s2, **kw)
 
     def distance(self, s2, **kw):
         kw.setdefault("prefix_weight", self._pw)
-        return distance(self._u1, s2, **kw)
+        return distance(self._q(s2), s2, **kw)
 
     def normalized_similarity(self, s2, **kw):
         return self.similarity(s2, **kw)
@@ -154,11 +161,11 @@ class BatchComparator:
         return self.distance(s2, **kw)
 
     def similarity_with_args(self, s2, args: Args):
-        return similarity(self._u1, s2, prefix_weight=args.prefix_weight_,
+        return similarity(self._q(s2), s2, prefix_weight=args.prefix_weight_,
                           score_cutoff=args.cutoff)
 
     def distance_with_args(self, s2, args: Args):
-        return distance(self._u1, s2, prefix_weight=args.prefix_weight_,
+        return distance(self._q(s2), s2, prefix_weight=args.prefix_weight_,
                         score_cutoff=args.cutoff)
 
     def normalized_similarity_with_args(self, s2, args: Args):

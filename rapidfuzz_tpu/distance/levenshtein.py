@@ -452,21 +452,31 @@ class BatchComparator:
     """
 
     def __init__(self, s1, weights: WeightTable = _UNIFORM):
+        # keep the original str/bytes so scalar calls ride the C one-shot
+        # route (the reference's BatchComparator is its fastest scalar
+        # path); the encoded form serves non-text and batch APIs
+        self._s1 = s1 if type(s1) in (str, bytes) else None
         self._u1 = _codec.encode_one(s1)
         self._weights = as_weight_table(weights)
 
+    def _q(self, s2):
+        return (self._s1 if self._s1 is not None
+                and type(s2) in (str, bytes) else self._u1)
+
     # scalar parity API
     def distance(self, s2, **kw):
-        return distance(self._u1, s2, weights=self._weights, **kw)
+        return distance(self._q(s2), s2, weights=self._weights, **kw)
 
     def similarity(self, s2, **kw):
-        return similarity(self._u1, s2, weights=self._weights, **kw)
+        return similarity(self._q(s2), s2, weights=self._weights, **kw)
 
     def normalized_distance(self, s2, **kw):
-        return normalized_distance(self._u1, s2, weights=self._weights, **kw)
+        return normalized_distance(self._q(s2), s2,
+                                   weights=self._weights, **kw)
 
     def normalized_similarity(self, s2, **kw):
-        return normalized_similarity(self._u1, s2, weights=self._weights, **kw)
+        return normalized_similarity(self._q(s2), s2,
+                                     weights=self._weights, **kw)
 
     def distance_with_args(self, s2, args: Args):
         return distance(self._u1, s2, weights=args.weights_,

@@ -78,14 +78,21 @@ class RatioBatchComparator:
     """One-vs-many ``ratio`` (``fuzz.rs:98-150``)."""
 
     def __init__(self, s1):
+        # keep str/bytes queries for the C one-shot route (the
+        # reference's BatchComparator is its fastest scalar path)
+        self._s1 = s1 if type(s1) in (str, bytes) else None
         self._u1 = _codec.encode_one(s1)
 
+    def _q(self, s2):
+        return (self._s1 if self._s1 is not None
+                and type(s2) in (str, bytes) else self._u1)
+
     def similarity(self, s2, *, score_cutoff=None, score_hint=None):
-        return ratio(self._u1, s2, score_cutoff=score_cutoff,
+        return ratio(self._q(s2), s2, score_cutoff=score_cutoff,
                      score_hint=score_hint)
 
     def similarity_with_args(self, s2, args: Args):
-        return ratio(self._u1, s2, score_cutoff=args.cutoff,
+        return ratio(self._q(s2), s2, score_cutoff=args.cutoff,
                      score_hint=args.hint)
 
     def similarities(self, corpus, *, score_cutoff=None

@@ -398,6 +398,39 @@ def test_batch_comparators_match_scalar():
         assert g == jaro.similarity("abcd", s)
 
 
+def test_batch_comparator_scalar_fast_path_matches_encoded():
+    """Scalar BatchComparator calls with str queries ride the C one-shot
+    route (the reference keeps its BatchComparator the fastest scalar
+    path, ``levenshtein.rs:1625-1657``); an encoded-array query must give
+    identical results through every method, including jaro_winkler's
+    prefix_weight plumbing and fuzz's RatioBatchComparator."""
+    import rapidfuzz_tpu.fuzz as fz
+    pairs = [("abcd", "axbcd"), ("", "abc"), ("martha", "marhta"),
+             ("kitten", "sitting")]
+    mods = (levenshtein, indel, lcs_seq, osa, damerau_levenshtein,
+            prefix, postfix, jaro, jaro_winkler)
+    for mod in mods:
+        for a, b in pairs:
+            bc, enc = mod.BatchComparator(a), mod.BatchComparator(
+                [ord(c) for c in a])
+            for meth in ("distance", "similarity",
+                         "normalized_distance", "normalized_similarity"):
+                if not hasattr(bc, meth):
+                    continue
+                v1 = getattr(bc, meth)(b)
+                v2 = getattr(enc, meth)([ord(c) for c in b])
+                assert abs(float(v1) - float(v2)) < 1e-12, (mod, meth, a, b)
+    jw = jaro_winkler.BatchComparator("martha", prefix_weight=0.2)
+    jw2 = jaro_winkler.BatchComparator([ord(c) for c in "martha"],
+                                       prefix_weight=0.2)
+    assert jw.similarity("marhta") == jw2.similarity(
+        [ord(c) for c in "marhta"])
+    rb = fz.RatioBatchComparator("this is a test")
+    rb2 = fz.RatioBatchComparator([ord(c) for c in "this is a test"])
+    assert rb.similarity("this is a test!") == rb2.similarity(
+        [ord(c) for c in "this is a test!"])
+
+
 # ------------------------------------------- reference regression sweep
 
 def test_indel_banded_regressions_full():
