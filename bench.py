@@ -263,12 +263,12 @@ def _measure(phase: str):
         Bd = 1 << 18 if not interpret else 1 << 10
         rngd = np.random.default_rng(7)
         chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
-        bt, lt, seg = dk.prepare_corpus_cols(chars,
-                                             np.full(Bd, LEN, np.int32))
+        bt, lt, lbmax = dk.prepare_corpus_seq(chars,
+                                              np.full(Bd, LEN, np.int32))
         btd = jax.block_until_ready(jax.device_put(jnp.asarray(bt)))
         ltd = jax.device_put(jnp.asarray(lt))
-        fn = lambda: dk.damerau_1v_many(query, btd, ltd, seg=seg,
-                                        interpret=interpret)
+        fn = lambda: dk.damerau_seq_1v_many(query, btd, ltd, lbmax=lbmax,
+                                            interpret=interpret)
         pairs_per_s, _ = _rate(fn, Bd, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return

@@ -432,6 +432,169 @@ def _encode_query_lp(query: np.ndarray):
     return qpad, ci, qd, la, nd
 
 
+# --------------------------------------- sequential-pair variant (<= 128)
+
+SEQ_SUB = 16       # tile height for the sequential-pair kernel: measured
+                   # v5e len-64 B=2^18 — sub=8 26.7M, 16 35.5M, 32 35.0M
+                   # pairs/s (evidence/damerau_seq_probe_r3.log)
+
+
+def _kernel_sq(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
+               kk_ref, *, sub: int, lbmax: int):
+    """Zhao-Sahni with **pairs in lanes** and a fully sequential (i, j) DP.
+
+    The lane-transposed kernels above pay two log2(SEG)-step Hillis-
+    Steele scans per row (last-match + min-plus) — ~60% of their runtime
+    and an ~8.7M pairs/s design ceiling (experiments/damerau_ablate.py).
+    Here each of the ``sub * 128`` lanes owns one whole candidate and the
+    DP walks (row i, column j) sequentially, so both scans collapse into
+    register carries: the min-plus lane scan becomes ``d_left + 1`` and
+    the last-match scan becomes the per-row ``(reg_l, reg_t)`` pair.
+    Every op is elementwise; the three O(lb) row structures (D ping-pong
+    by row parity, FR, K) live in VMEM scratch indexed by the unrolled
+    column.  Semantics identical to :func:`_kernel`
+    (``damerau_levenshtein.rs:111-168``); measured 35.5M len-64 pairs/s
+    vs 8.4M for the lane-transposed form.
+    """
+    la = la_ref[0]
+    lb = lb_ref[0]
+    zeros = jnp.zeros((sub, LANE), jnp.int32)
+    bigs = jnp.full((sub, LANE), BIG, jnp.int32)
+
+    # D[0][jcol] = jcol in buffer 0; D[-1] = BIG in buffer 1
+    for j in range(lbmax):
+        dp_ref[0, j] = zeros + (j + 1)
+        dp_ref[1, j] = bigs
+        fr_ref[j] = bigs
+        kk_ref[j] = zeros
+
+    def row(i, carry):
+        par = i & 1                       # D[i] overwrites D[i-2] (same par)
+        ai = q_ref[i - 1]
+        d_left = zeros + i                # D[i][0] = i
+        d_diag = zeros + (i - 1)          # D[i-1][jcol-1] at jcol = 1
+        d_diag_prev = bigs                # D[i-1][jcol-2] (none at jcol = 1)
+        d2_left = jnp.where(i >= 2, zeros + (i - 2), bigs)  # D[i-2][0]
+        reg_l = zeros                     # last col < jcol with b == a_i
+        reg_t = bigs                      # D[i-2][reg_l - 1]
+        for j in range(lbmax):
+            jcol = j + 1
+            c2 = b_ref[j]
+            eq = c2 == ai
+            d_up = dp_ref[1 - par, j]     # D[i-1][jcol]
+            d2 = dp_ref[par, j]           # D[i-2][jcol] (read before write)
+            fr = fr_ref[j]
+            k = kk_ref[j]
+            cost = jnp.where(eq, 0, 1)
+            cand = jnp.minimum(d_diag + cost,
+                               jnp.minimum(d_up, d_left) + 1)
+            djL = jcol - reg_l
+            iK = i - k
+            m1 = djL == 1
+            tr = jnp.where(m1, fr + iK, reg_t + djL)
+            tr = jnp.where(m1 | (iK == 1), tr, BIG)
+            new = jnp.minimum(cand, jnp.where(eq, BIG, tr))
+            fr_ref[j] = jnp.where(eq, d_diag_prev, fr)
+            kk_ref[j] = jnp.where(eq, zeros + i, k)
+            reg_t = jnp.where(eq, d2_left, reg_t)
+            reg_l = jnp.where(eq, jcol, reg_l)
+            dp_ref[par, j] = new
+            d_left = new
+            d_diag_prev = d_diag
+            d_diag = d_up
+            d2_left = d2
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+
+    res = zeros + la                      # lb == 0 -> distance la
+    parf = la & 1
+    for j in range(lbmax):
+        res = jnp.where(lb == j + 1, dp_ref[parf, j], res)
+    out_ref[0] = res
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "lbmax", "interpret"))
+def _run_sq(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64, interpret=False):
+    nblocks = b_cols.shape[0] // lbmax
+    kern = functools.partial(_kernel_sq, sub=sub, lbmax=lbmax)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((lbmax, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, sub, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, lbmax, sub, LANE), jnp.int32),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int32),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int32)],
+        interpret=interpret,
+    )(q, la, b_cols, lb_t)
+
+
+def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
+                       sub: int = SEQ_SUB, lbmax: int | None = None):
+    """[B, LB<=128] i32 corpus -> pair-per-lane tiles for :func:`_kernel_sq`.
+
+    Pair ``c`` sits at (block ``c // (sub*128)``, sublane
+    ``(c % (sub*128)) // 128``, lane ``c % 128``); char ``j`` of the pair
+    on leading row ``block * lbmax + j``.  ``B`` must be a multiple of
+    ``sub * 128``.  ``lbmax`` is padded to a multiple of 16 so
+    compilations key per bucket class, not per exact corpus width.
+    Returns ``(b_cols [nb*lbmax, sub, 128], lb [nb, sub, 128], lbmax)``.
+    """
+    B, LB = chars.shape
+    if lbmax is None:
+        lbmax = -(-max(LB, 16) // 16) * 16
+    assert LB <= lbmax and B % (sub * LANE) == 0
+    nb = B // (sub * LANE)
+    b = np.full((nb, sub, LANE, lbmax), -2, np.int32)
+    b[..., :LB] = np.where(chars < 0, -2, chars).reshape(nb, sub, LANE, LB)
+    b_cols = b.transpose(0, 3, 1, 2).reshape(nb * lbmax, sub, LANE)
+    lb_t = lens.astype(np.int32).reshape(nb, sub, LANE)
+    return (np.ascontiguousarray(b_cols), np.ascontiguousarray(lb_t),
+            lbmax)
+
+
+def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
+                        sub: int = SEQ_SUB, interpret: bool = False,
+                        mesh=None) -> jnp.ndarray:
+    """One-vs-many Damerau on the sequential-pair kernel -> int32[B].
+
+    ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`; any
+    query length (the row loop runs ``len(query)`` steps).  With a mesh,
+    shards over the block axis via ``shard_map`` (``nb % ndev == 0``).
+    """
+    qpad, la = _encode_query_rows(query)
+    if la == 0:
+        return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    args = (jnp.asarray(qpad), jnp.array([la], jnp.int32))
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def local(qp, la_, b_, lb_):
+            return _run_sq(qp, la_, b_, lb_, sub=sub, lbmax=lbmax,
+                           interpret=interpret)
+
+        out = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data", None, None),
+                      P("data", None, None)),
+            out_specs=P("data", None, None), check_vma=False))(
+                *args, b_cols, lb_t)
+    else:
+        out = _run_sq(*args, jnp.asarray(b_cols), jnp.asarray(lb_t),
+                      sub=sub, lbmax=lbmax, interpret=interpret)
+    return jnp.reshape(out, (-1,))
+
+
 # ------------------------------------------------- long candidates (>128)
 
 def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,

@@ -241,6 +241,9 @@ class CorpusScanner:
                             and metric == "damerau_levenshtein"
                             and chars.shape[1] <= 2048)
         self._dam_long = self._dam_pallas and chars.shape[1] > 128
+        # <= 128 chars rides the sequential-pair kernel (pairs in lanes,
+        # zero lane scans — 35.5M len-64 pairs/s vs 8.4M lane-transposed)
+        self._dam_seq = self._dam_pallas and not self._dam_long
         self._ndev = ndev
         self._smap_cache = {}
         if self._pallas:
@@ -249,6 +252,8 @@ class CorpusScanner:
             from ..ops.pallas import damerau_kernel as _dkm
             if self._dam_long:
                 align = 8 * ndev   # long tiles divide any multiple of 8
+            elif self._dam_seq:
+                align = _dkm.SEQ_SUB * 128 * ndev   # whole (sub,128) blocks
             else:
                 align = 32 * (128 // _dkm.pick_seg(chars.shape[1])) * ndev
         else:
@@ -337,13 +342,17 @@ class CorpusScanner:
                 self._pchars = self._compact_chars(chars)
         elif self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
+            dam_shard = NamedSharding(mesh, P("data", None))
             if self._dam_long:
                 bt, lt, self._dam_nb, self._dam_sub = \
                     _dk.prepare_corpus_long(chars, lens)
+            elif self._dam_seq:
+                bt, lt, self._dam_lbmax = _dk.prepare_corpus_seq(chars,
+                                                                 lens)
+                dam_shard = NamedSharding(mesh, P("data", None, None))
             else:
                 bt, lt, self._dam_seg = _dk.prepare_corpus_cols(chars,
                                                                 lens)
-            dam_shard = NamedSharding(mesh, P("data", None))
             # device_put straight from numpy: shards host->device without
             # staging the full array on device 0 first
             self._dam_b = jax.block_until_ready(
@@ -589,6 +598,12 @@ class CorpusScanner:
                     mesh=self.mesh if self._ndev > 1 else None)
             except ValueError:         # query beyond the packed-value range
                 return self._wide_xla_fallback(q)
+        if self._dam_pallas and self._dam_seq:
+            from ..ops.pallas import damerau_kernel as _dk
+            return _dk.damerau_seq_1v_many(
+                q, self._dam_b, self._dam_lb, lbmax=self._dam_lbmax,
+                interpret=self._interpret,
+                mesh=self.mesh if self._ndev > 1 else None)
         if self._dam_pallas:
             from ..ops.pallas import damerau_kernel as _dk
             return _dk.damerau_1v_many(

@@ -581,6 +581,52 @@ def test_damerau_lastpos_variant():
     assert dk._encode_query_lp(qwide.astype(np.int32)) is None
 
 
+def test_damerau_seq_variant():
+    """The sequential-pair Damerau kernel (``_kernel_sq``: pairs in
+    lanes, fully sequential (i,j) DP, zero lane scans) is bit-identical
+    to the lane-transposed kernel and the oracle
+    (``damerau_levenshtein.rs:111-168`` semantics) across bucket widths,
+    including empty/full candidates, an empty query, and
+    transposition-heavy pairs."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(53)
+    for LB, qspan, qlen in [(5, 4, 7), (30, 6, 22), (64, 26, 64),
+                            (100, 8, 41)]:
+        Bs = dk.SEQ_SUB * 128
+        lens = rng.integers(0, LB + 1, Bs).astype(np.int32)
+        lens[0] = 0
+        lens[1] = LB
+        chars = np.full((Bs, LB), -1, np.int32)
+        for i, l in enumerate(lens):
+            chars[i, :l] = rng.integers(97, 97 + qspan, l)
+        # transposition-heavy: candidate 2 = query with two swaps
+        q = rng.integers(97, 97 + qspan, qlen).astype(np.int64)
+        sw = q[:LB].copy()
+        if sw.size >= 4:
+            sw[0], sw[1] = sw[1], sw[0]
+            sw[-1], sw[-2] = sw[-2], sw[-1]
+        chars[2, :] = -1
+        chars[2, :sw.size] = sw
+        lens[2] = sw.size
+        bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens)
+        a = np.asarray(dk.damerau_seq_1v_many(
+            q, jnp.asarray(bc), jnp.asarray(lt), lbmax=lbmax,
+            interpret=True))
+        bt, lt2, seg = dk.prepare_corpus_cols(chars, lens, sub=8)
+        b = np.asarray(dk.damerau_1v_many(
+            q, jnp.asarray(bt), jnp.asarray(lt2), seg=seg, interpret=True))
+        assert (a == b).all(), (LB, np.nonzero(a != b))
+        for i in list(range(0, Bs, 131)) + [0, 1, 2]:
+            exp = oracle.damerau(q, chars[i, :lens[i]].astype(np.int64))
+            assert a[i] == exp, (LB, i, a[i], exp)
+        # empty query: distance == candidate length
+        e = np.asarray(dk.damerau_seq_1v_many(
+            np.empty(0, np.int64), jnp.asarray(bc), jnp.asarray(lt),
+            lbmax=lbmax, interpret=True))
+        assert (e == lens).all()
+
+
 def test_damerau_small_segments():
     """Damerau lane-segment widths 16 and 32: short corpora pack 8/4
     candidates per 128-lane row with shorter Hillis-Steele chains;
