@@ -539,6 +539,110 @@ def _run_sq(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64, interpret=False):
     )(q, la, b_cols, lb_t)
 
 
+BIG16 = np.int16(1 << 12)
+SEQ_LA_MAX_I16 = 3900   # BIG16 must dominate every real distance
+                        # (<= max(la, 128)); sums stay < 1<<13 << 32767
+
+
+def _kernel_sq16(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
+                 kk_ref, *, sub: int, lbmax: int):
+    """Pure-int16 :func:`_kernel_sq` — two elements per VPU lane, ~2x.
+
+    Identical Zhao-Sahni algebra; every VECTOR operand is int16 (corpus
+    tiles staged int16, scalars cast before broadcast, constants
+    explicit) — mixing 32-bit-layout i1 masks into 16-bit selects is a
+    Mosaic "Invalid relayout".  Valid for ``la <= SEQ_LA_MAX_I16``.
+    """
+    I16 = jnp.int16
+    la = la_ref[0]
+    lb = lb_ref[0]
+    zeros = jnp.zeros((sub, LANE), I16)
+    bigs = jnp.full((sub, LANE), BIG16, I16)
+    one = I16(1)
+
+    for j in range(lbmax):
+        dp_ref[0, j] = zeros + I16(j + 1)
+        dp_ref[1, j] = bigs
+        fr_ref[j] = bigs
+        kk_ref[j] = zeros
+
+    def row(i, carry):
+        par = i & 1
+        ai = q_ref[i - 1].astype(I16)
+        i16 = i.astype(I16)
+        ii = zeros + i16
+        d_left = ii
+        d_diag = ii - one
+        d_diag_prev = bigs
+        d2_left = jnp.where(ii >= I16(2), ii - I16(2), bigs)
+        reg_l = zeros
+        reg_t = bigs
+        for j in range(lbmax):
+            jcol = I16(j + 1)
+            c2 = b_ref[j]
+            eq = c2 == ai
+            d_up = dp_ref[1 - par, j]
+            d2 = dp_ref[par, j]
+            fr = fr_ref[j]
+            k = kk_ref[j]
+            cost = jnp.where(eq, I16(0), one)
+            cand = jnp.minimum(d_diag + cost,
+                               jnp.minimum(d_up, d_left) + one)
+            djL = jcol - reg_l
+            iK = i16 - k
+            m1 = djL == one
+            tr = jnp.where(m1, fr + iK, reg_t + djL)
+            tr = jnp.where(m1 | (iK == one), tr, BIG16)
+            new = jnp.minimum(cand, jnp.where(eq, BIG16, tr))
+            fr_ref[j] = jnp.where(eq, d_diag_prev, fr)
+            kk_ref[j] = jnp.where(eq, ii, k)
+            reg_t = jnp.where(eq, d2_left, reg_t)
+            reg_l = jnp.where(eq, zeros + jcol, reg_l)
+            dp_ref[par, j] = new
+            d_left = new
+            d_diag_prev = d_diag
+            d_diag = d_up
+            d2_left = d2
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+
+    res = jnp.zeros((sub, LANE), I16) + la.astype(I16)
+    parf = la & 1
+    for j in range(lbmax):
+        res = jnp.where(lb == I16(j + 1), dp_ref[parf, j], res)
+    out_ref[0] = res
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "lbmax", "interpret"))
+def _run_sq16(q, la, b_cols16, lb16, *, sub=SEQ_SUB, lbmax=64,
+              interpret=False):
+    nblocks = b_cols16.shape[0] // lbmax
+    kern = functools.partial(_kernel_sq16, sub=sub, lbmax=lbmax)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((lbmax, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, sub, LANE), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((2, lbmax, sub, LANE), jnp.int16),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int16),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int16)],
+        interpret=interpret,
+    )(q, la, b_cols16, lb16)
+
+
+I16_CHAR_MAX = 32000   # corpus staged int16 when every char id fits; the
+                       # dense vocab remap keeps real corpora far below it
+
 def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
                        sub: int = SEQ_SUB, lbmax: int | None = None):
     """[B, LB<=128] i32 corpus -> pair-per-lane tiles for :func:`_kernel_sq`.
@@ -549,16 +653,21 @@ def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
     ``sub * 128``.  ``lbmax`` is padded to a multiple of 16 so
     compilations key per bucket class, not per exact corpus width.
     Returns ``(b_cols [nb*lbmax, sub, 128], lb [nb, sub, 128], lbmax)``.
+
+    Tiles are staged **int16** when every char id fits (the VPU packs two
+    16-bit elements per lane — the int16 kernel body runs ~2x the int32
+    one); :func:`damerau_seq_1v_many` routes on the staged dtype.
     """
     B, LB = chars.shape
     if lbmax is None:
         lbmax = -(-max(LB, 16) // 16) * 16
     assert LB <= lbmax and B % (sub * LANE) == 0
     nb = B // (sub * LANE)
-    b = np.full((nb, sub, LANE, lbmax), -2, np.int32)
+    dt = np.int16 if chars.max(initial=0) <= I16_CHAR_MAX else np.int32
+    b = np.full((nb, sub, LANE, lbmax), -2, dt)
     b[..., :LB] = np.where(chars < 0, -2, chars).reshape(nb, sub, LANE, LB)
     b_cols = b.transpose(0, 3, 1, 2).reshape(nb * lbmax, sub, LANE)
-    lb_t = lens.astype(np.int32).reshape(nb, sub, LANE)
+    lb_t = lens.astype(dt).reshape(nb, sub, LANE)
     return (np.ascontiguousarray(b_cols), np.ascontiguousarray(lb_t),
             lbmax)
 
@@ -569,30 +678,44 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     """One-vs-many Damerau on the sequential-pair kernel -> int32[B].
 
     ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`; any
-    query length (the row loop runs ``len(query)`` steps).  With a mesh,
-    shards over the block axis via ``shard_map`` (``nb % ndev == 0``).
+    query length (the row loop runs ``len(query)`` steps).  int16-staged
+    corpora ride :func:`_kernel_sq16` (two elements per VPU lane) when
+    ``la <= SEQ_LA_MAX_I16``, else the tiles are widened on device for
+    the int32 body.  With a mesh, shards over the block axis via
+    ``shard_map`` (``nb % ndev == 0``).
     """
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    i16 = (np.dtype(getattr(b_cols, "dtype", np.int32)) == np.int16
+           and la <= SEQ_LA_MAX_I16)
+    if i16:
+        # query chars beyond int16 can't match any int16-staged corpus
+        # char; replace with -3 (pads are -2) so the cast can't alias
+        qpad = np.where(np.abs(qpad) > I16_CHAR_MAX, -3, qpad)
+        run = functools.partial(_run_sq16, sub=sub, lbmax=lbmax,
+                                interpret=interpret)
+    else:
+        run = functools.partial(_run_sq, sub=sub, lbmax=lbmax,
+                                interpret=interpret)
+    b_cols = jnp.asarray(b_cols)
+    lb_t = jnp.asarray(lb_t)
+    if not i16 and b_cols.dtype == jnp.int16:
+        b_cols = b_cols.astype(jnp.int32)       # rare: la > SEQ_LA_MAX_I16
+        lb_t = lb_t.astype(jnp.int32)
     args = (jnp.asarray(qpad), jnp.array([la], jnp.int32))
     if mesh is not None and len(mesh.devices.flat) > 1:
         from jax.sharding import PartitionSpec as P
 
-        def local(qp, la_, b_, lb_):
-            return _run_sq(qp, la_, b_, lb_, sub=sub, lbmax=lbmax,
-                           interpret=interpret)
-
         out = jax.jit(jax.shard_map(
-            local, mesh=mesh,
+            run, mesh=mesh,
             in_specs=(P(), P(), P("data", None, None),
                       P("data", None, None)),
             out_specs=P("data", None, None), check_vma=False))(
                 *args, b_cols, lb_t)
     else:
-        out = _run_sq(*args, jnp.asarray(b_cols), jnp.asarray(lb_t),
-                      sub=sub, lbmax=lbmax, interpret=interpret)
-    return jnp.reshape(out, (-1,))
+        out = run(*args, b_cols, lb_t)
+    return jnp.reshape(out, (-1,)).astype(jnp.int32)
 
 
 # ------------------------------------------------- long candidates (>128)

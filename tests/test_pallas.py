@@ -627,6 +627,59 @@ def test_damerau_seq_variant():
         assert (e == lens).all()
 
 
+def test_damerau_seq_int16_routing():
+    """int16 staging/routing edges of the sequential-pair kernel: small
+    alphabets stage int16 (two elements per VPU lane); chars beyond
+    ``I16_CHAR_MAX`` force int32 staging; a wide-char query against an
+    int16 corpus is sanitized (those chars can't match — semantics
+    preserved, no aliasing after the cast); ``la > SEQ_LA_MAX_I16``
+    widens the tiles on device for the int32 body."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(59)
+    LB, sub = 32, 8
+    B = sub * 128
+    lens = rng.integers(0, LB + 1, B).astype(np.int32)
+    lens[:3] = [0, 1, LB]
+    chars = np.full((B, LB), -2, np.int32)
+    for i, l in enumerate(lens):
+        chars[i, :l] = rng.integers(97, 103, l)
+    bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens, sub=sub)
+    assert bc.dtype == np.int16 and lt.dtype == np.int16
+
+    # wide-char query vs int16 corpus: sanitize path
+    qw = np.array([70000, 97, 98, 70001, 99], np.int64)
+    got = np.asarray(dk.damerau_seq_1v_many(qw, bc, lt, lbmax=lbmax,
+                                            sub=sub, interpret=True))
+    assert got.dtype == np.int32
+    for c in (0, 1, 2, 17):
+        exp = oracle.damerau(qw, chars[c, :lens[c]].astype(np.int64))
+        assert got[c] == exp, (c, got[c], exp)
+
+    # wide-char corpus: staging falls back to int32, still exact
+    chw = chars.copy()
+    chw[5, 0] = 70000
+    lens[5] = max(lens[5], 1)
+    bc2, lt2, lbm2 = dk.prepare_corpus_seq(chw, lens, sub=sub)
+    assert bc2.dtype == np.int32
+    got = np.asarray(dk.damerau_seq_1v_many(qw, bc2, lt2, lbmax=lbm2,
+                                            sub=sub, interpret=True))
+    exp = oracle.damerau(qw, chw[5, :lens[5]].astype(np.int64))
+    assert got[5] == exp
+
+    # la beyond the int16 value-range cap: tiles widen on device
+    cap = dk.SEQ_LA_MAX_I16
+    try:
+        dk.SEQ_LA_MAX_I16 = 3
+        q = rng.integers(97, 103, 6).astype(np.int64)
+        got = np.asarray(dk.damerau_seq_1v_many(q, bc, lt, lbmax=lbmax,
+                                                sub=sub, interpret=True))
+        exp = oracle.damerau(q, chars[17, :lens[17]].astype(np.int64))
+        assert got[17] == exp
+    finally:
+        dk.SEQ_LA_MAX_I16 = cap
+
+
 def test_damerau_small_segments():
     """Damerau lane-segment widths 16 and 32: short corpora pack 8/4
     candidates per 128-lane row with shorter Hillis-Steele chains;
