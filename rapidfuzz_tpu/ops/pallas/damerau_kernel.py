@@ -33,6 +33,7 @@ persistently cached after).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -640,11 +641,11 @@ def _run_sq16(q, la, b_cols16, lb16, *, sub=SEQ_SUB, lbmax=64,
     )(q, la, b_cols16, lb16)
 
 
-I16_CHAR_MAX = 32000   # corpus staged int16 when every char id fits; the
-                       # dense vocab remap keeps real corpora far below it
+I16_CHAR_MAX = 32000   # int16 staging only valid when every char id fits
 
 def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
-                       sub: int = SEQ_SUB, lbmax: int | None = None):
+                       sub: int = SEQ_SUB, lbmax: int | None = None,
+                       dtype=np.int32):
     """[B, LB<=128] i32 corpus -> pair-per-lane tiles for :func:`_kernel_sq`.
 
     Pair ``c`` sits at (block ``c // (sub*128)``, sublane
@@ -652,18 +653,26 @@ def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
     on leading row ``block * lbmax + j``.  ``B`` must be a multiple of
     ``sub * 128``.  ``lbmax`` is padded to a multiple of 16 so
     compilations key per bucket class, not per exact corpus width.
-    Returns ``(b_cols [nb*lbmax, sub, 128], lb [nb, sub, 128], lbmax)``.
+    Returns ``(b_cols [nb*lbmax, sub, 128], lb [nb, sub, 128], lbmax)``
+    staged with ``dtype``.
 
-    Tiles are staged **int16** when every char id fits (the VPU packs two
-    16-bit elements per lane — the int16 kernel body runs ~2x the int32
-    one); :func:`damerau_seq_1v_many` routes on the staged dtype.
+    ``dtype`` defaults to **int32** — the hardware-validated route
+    (oracle-exact on v5e, ~35M len-64 pairs/s).  Pass ``np.int16`` only
+    for the experimental :func:`_kernel_sq16` body (two elements per VPU
+    lane); Mosaic on v5e currently rejects its int16 vector compares
+    ("Target does not support this comparison"), so
+    :func:`damerau_seq_1v_many` only routes int16 tiles to it when
+    ``RAPIDFUZZ_TPU_DAMERAU_I16=1`` is set, and falls back to the int32
+    body (widening on device) otherwise.
     """
     B, LB = chars.shape
     if lbmax is None:
         lbmax = -(-max(LB, 16) // 16) * 16
     assert LB <= lbmax and B % (sub * LANE) == 0
     nb = B // (sub * LANE)
-    dt = np.int16 if chars.max(initial=0) <= I16_CHAR_MAX else np.int32
+    dt = np.dtype(dtype)
+    if dt == np.int16 and chars.max(initial=0) > I16_CHAR_MAX:
+        dt = np.dtype(np.int32)
     b = np.full((nb, sub, LANE, lbmax), -2, dt)
     b[..., :LB] = np.where(chars < 0, -2, chars).reshape(nb, sub, LANE, LB)
     b_cols = b.transpose(0, 3, 1, 2).reshape(nb * lbmax, sub, LANE)
@@ -678,17 +687,21 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     """One-vs-many Damerau on the sequential-pair kernel -> int32[B].
 
     ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`; any
-    query length (the row loop runs ``len(query)`` steps).  int16-staged
-    corpora ride :func:`_kernel_sq16` (two elements per VPU lane) when
-    ``la <= SEQ_LA_MAX_I16``, else the tiles are widened on device for
-    the int32 body.  With a mesh, shards over the block axis via
-    ``shard_map`` (``nb % ndev == 0``).
+    query length (the row loop runs ``len(query)`` steps).  The default
+    (and hardware-validated) body is the int32 :func:`_kernel_sq`.
+    int16-staged corpora ride the experimental :func:`_kernel_sq16` only
+    when ``RAPIDFUZZ_TPU_DAMERAU_I16=1`` (Mosaic on v5e rejects its i16
+    vector compares today) and ``la <= SEQ_LA_MAX_I16``; otherwise int16
+    tiles are widened on device for the int32 body.  With a mesh, shards
+    over the block axis via ``shard_map`` (``nb % ndev == 0``).
     """
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
     i16 = (np.dtype(getattr(b_cols, "dtype", np.int32)) == np.int16
-           and la <= SEQ_LA_MAX_I16)
+           and la <= SEQ_LA_MAX_I16
+           and (interpret
+                or os.environ.get("RAPIDFUZZ_TPU_DAMERAU_I16") == "1"))
     if i16:
         # query chars beyond int16 can't match any int16-staged corpus
         # char; replace with -3 (pads are -2) so the cast can't alias

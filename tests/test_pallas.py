@@ -628,12 +628,14 @@ def test_damerau_seq_variant():
 
 
 def test_damerau_seq_int16_routing():
-    """int16 staging/routing edges of the sequential-pair kernel: small
-    alphabets stage int16 (two elements per VPU lane); chars beyond
-    ``I16_CHAR_MAX`` force int32 staging; a wide-char query against an
-    int16 corpus is sanitized (those chars can't match — semantics
-    preserved, no aliasing after the cast); ``la > SEQ_LA_MAX_I16``
-    widens the tiles on device for the int32 body."""
+    """int16 staging/routing edges of the sequential-pair kernel:
+    ``dtype=np.int16`` stages int16 tiles (experimental 2-per-lane body;
+    default staging is int32 — the hardware-validated route); chars
+    beyond ``I16_CHAR_MAX`` force int32 staging even when int16 is
+    requested; a wide-char query against an int16 corpus is sanitized
+    (those chars can't match — semantics preserved, no aliasing after
+    the cast); ``la > SEQ_LA_MAX_I16`` widens the tiles on device for
+    the int32 body."""
     from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
 
     rng = np.random.default_rng(59)
@@ -644,7 +646,11 @@ def test_damerau_seq_int16_routing():
     chars = np.full((B, LB), -2, np.int32)
     for i, l in enumerate(lens):
         chars[i, :l] = rng.integers(97, 103, l)
-    bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens, sub=sub)
+    # default staging is int32 (the hardware-validated route)
+    bc32, lt32, _ = dk.prepare_corpus_seq(chars, lens, sub=sub)
+    assert bc32.dtype == np.int32 and lt32.dtype == np.int32
+    bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens, sub=sub,
+                                          dtype=np.int16)
     assert bc.dtype == np.int16 and lt.dtype == np.int16
 
     # wide-char query vs int16 corpus: sanitize path
@@ -656,11 +662,13 @@ def test_damerau_seq_int16_routing():
         exp = oracle.damerau(qw, chars[c, :lens[c]].astype(np.int64))
         assert got[c] == exp, (c, got[c], exp)
 
-    # wide-char corpus: staging falls back to int32, still exact
+    # wide-char corpus: staging falls back to int32 even when int16 is
+    # requested, still exact
     chw = chars.copy()
     chw[5, 0] = 70000
     lens[5] = max(lens[5], 1)
-    bc2, lt2, lbm2 = dk.prepare_corpus_seq(chw, lens, sub=sub)
+    bc2, lt2, lbm2 = dk.prepare_corpus_seq(chw, lens, sub=sub,
+                                           dtype=np.int16)
     assert bc2.dtype == np.int32
     got = np.asarray(dk.damerau_seq_1v_many(qw, bc2, lt2, lbmax=lbm2,
                                             sub=sub, interpret=True))
