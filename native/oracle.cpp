@@ -26,16 +26,20 @@ using std::max;
 using std::size_t;
 using std::vector;
 
-extern "C" {
-
 // ---------------------------------------------------------------- helpers
-static size_t common_prefix(const int64_t* a, size_t n1, const int64_t* b, size_t n2) {
+// Element-type templates: the int64 instantiation is the general "hash
+// key" path; the uint8 instantiation is the raw str(kind-1)/bytes fast
+// lane (no conversion, table checks fold away).  (Templates precede the
+// extern "C" block — C linkage forbids them.)
+template <typename C>
+static size_t common_prefix(const C* a, size_t n1, const C* b, size_t n2) {
     size_t n = min(n1, n2), i = 0;
     while (i < n && a[i] == b[i]) i++;
     return i;
 }
 
-static size_t common_suffix(const int64_t* a, size_t n1, const int64_t* b, size_t n2) {
+template <typename C>
+static size_t common_suffix(const C* a, size_t n1, const C* b, size_t n2) {
     size_t n = min(n1, n2), i = 0;
     while (i < n && a[n1 - 1 - i] == b[n2 - 1 - i]) i++;
     return i;
@@ -44,12 +48,15 @@ static size_t common_suffix(const int64_t* a, size_t n1, const int64_t* b, size_
 // Strip common affix (suffix first, then prefix — semantics of
 // src/details/common.rs:79-108; order only matters for which indices
 // remain, not for any metric value).
-static void strip_affix(const int64_t*& a, size_t& n1, const int64_t*& b, size_t& n2) {
+template <typename C>
+static void strip_affix(const C*& a, size_t& n1, const C*& b, size_t& n2) {
     size_t suf = common_suffix(a, n1, b, n2);
     n1 -= suf; n2 -= suf;
     size_t pre = common_prefix(a, n1, b, n2);
     a += pre; b += pre; n1 -= pre; n2 -= pre;
 }
+
+extern "C" {
 
 // ------------------------------------------------------------ Levenshtein
 int64_t rf_levenshtein_uniform(const int64_t* a, int64_t n1_,
@@ -598,15 +605,108 @@ static inline bool all_small(const int64_t* a, size_t m) {
 // class (hyrroe2003 `levenshtein.rs:435-507`, `lcs_seq.rs:199-261` N=1,
 // `osa.rs:84-135`).  Text chars >= 256 cannot match (PM row = 0).
 
-static int64_t lev_1w(const int64_t* a, size_t m,
-                      const int64_t* b, size_t n) {
-    uint64_t pm[256] = {0};
+// mbleven2018 tiny-cutoff short-circuit (the reference's dominant dedup
+// configuration: levenshtein.rs:324-427, routed at cutoff < 4 from
+// levenshtein.rs:1142-1144).  Op scripts are GENERATED (all length-k
+// sequences over {sub, del, ins} whose net length delta equals m - n)
+// instead of table-driven; each script is walked greedily and the best
+// achieved cost wins.  Exact when the distance <= k, else returns k + 1.
+// On typical text the greedy walks stop after <= k+1 mismatches, so a
+// call costs tens of ops — no 2KB PM table, no 64-step word loop.
+// Callers guarantee: affixes stripped, 1 <= k <= 3, m >= n, m - n <= k.
+struct MblevenTable {
+    // scripts[k][diff]: length-k op sequences, op 0=sub 1=del 2=ins,
+    // with #del - #ins == diff.  Shorter scripts are subsumed: unused
+    // trailing ops simply leave the greedy walk's cost lower.
+    uint8_t ops[4][4][16][3];
+    uint8_t cnt[4][4];
+    MblevenTable() : ops(), cnt() {
+        for (int k = 1; k <= 3; k++) {
+            int total = 1;
+            for (int i = 0; i < k; i++) total *= 3;
+            for (int code = 0; code < total; code++) {
+                uint8_t o[3] = {0, 0, 0};
+                int c = code, nd = 0, ni = 0;
+                for (int i = 0; i < k; i++) {
+                    o[i] = (uint8_t)(c % 3);
+                    c /= 3;
+                    nd += o[i] == 1;
+                    ni += o[i] == 2;
+                }
+                int delta = nd - ni;
+                if (delta < 0 || delta > k) continue;
+                uint8_t& ncur = cnt[k][delta];
+                for (int i = 0; i < 3; i++)
+                    ops[k][delta][ncur][i] = o[i];
+                ncur++;
+            }
+        }
+    }
+};
+
+template <typename C>
+static int64_t lev_mbleven(const C* a, size_t m, const C* b,
+                           size_t n, int64_t k) {
+    static const MblevenTable T;
+    size_t diff = m - n;
+    int64_t best = k + 1;
+    for (uint8_t s = 0; s < T.cnt[k][diff]; s++) {
+        const uint8_t* ops = T.ops[k][diff][s];
+        size_t i = 0, j = 0, c = 0;
+        while (i < m && j < n) {
+            if (a[i] != b[j]) {
+                if (c >= (size_t)k) { c = (size_t)k + 1; break; }
+                uint8_t op = ops[c++];
+                i += op != 2;              // sub / del consume from a
+                j += op != 1;              // sub / ins consume from b
+            } else {
+                i++;
+                j++;
+            }
+        }
+        if (c <= (size_t)k) {
+            int64_t cost = (int64_t)(c + (m - i) + (n - j));
+            if (cost < best) best = cost;
+        }
+        if (best == (int64_t)diff) break;  // length lower bound reached
+    }
+    return best;
+}
+
+// Clear only the PM entries the TEXT can read (a column loop never looks
+// at pm[c] for chars absent from b, so entries left as garbage are
+// harmless as long as every read entry was zeroed before the pattern
+// inserts).  Kills the dominant fixed cost of the one-shot class — the
+// 2-4KB table memset — whenever the text is shorter than the alphabet.
+// Returns whether every text char fits the table (callers pick the
+// unchecked column loop).
+template <typename T, typename C>
+static inline bool pm_clear(T* pm, const C* b, size_t n) {
+    bool small = true;
+    if (n < 256) {
+        for (size_t j = 0; j < n; j++) {
+            if ((uint64_t)b[j] < 256) pm[(size_t)b[j]] = 0;
+            else small = false;
+        }
+    } else {
+        memset(pm, 0, 256 * sizeof(T));
+        for (size_t j = 0; j < n; j++) small &= (uint64_t)b[j] < 256;
+    }
+    return small;
+}
+
+template <typename C>
+static int64_t lev_1w(const C* a, size_t m,
+                      const C* b, size_t n) {
+    uint64_t pm[256];
+    bool bsmall = pm_clear(pm, b, n);
     for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
     uint64_t VP = ~0ULL, VN = 0;
     uint64_t mask = 1ULL << (m - 1);
     int64_t dist = (int64_t)m;
     for (size_t j = 0; j < n; j++) {
-        uint64_t x = (uint64_t)b[j] < 256 ? pm[b[j]] : 0;
+        uint64_t x = bsmall ? pm[b[j]]
+                            : ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
         uint64_t d0 = (((x & VP) + VP) ^ VP) | x | VN;
         uint64_t hp = VN | ~(d0 | VP);
         uint64_t hn = d0 & VP;
@@ -619,27 +719,39 @@ static int64_t lev_1w(const int64_t* a, size_t m,
     return dist;
 }
 
-static int64_t lcs_1w(const int64_t* a, size_t m,
-                      const int64_t* b, size_t n) {
-    uint64_t pm[256] = {0};
+template <typename C>
+static int64_t lcs_1w(const C* a, size_t m,
+                      const C* b, size_t n) {
+    uint64_t pm[256];
+    bool bsmall = pm_clear(pm, b, n);
     for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
     uint64_t S = ~0ULL;
-    for (size_t j = 0; j < n; j++) {
-        uint64_t u = S & ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
-        S = (S + u) | (S - u);               // padding bits stay 1
+    if (bsmall) {
+        for (size_t j = 0; j < n; j++) {
+            uint64_t u = S & pm[b[j]];
+            S = (S + u) | (S - u);           // padding bits stay 1
+        }
+    } else {
+        for (size_t j = 0; j < n; j++) {
+            uint64_t u = S & ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
+            S = (S + u) | (S - u);
+        }
     }
     return (int64_t)__builtin_popcountll(~S);
 }
 
-static int64_t osa_1w(const int64_t* a, size_t m,
-                      const int64_t* b, size_t n) {
-    uint64_t pm[256] = {0};
+template <typename C>
+static int64_t osa_1w(const C* a, size_t m,
+                      const C* b, size_t n) {
+    uint64_t pm[256];
+    bool bsmall = pm_clear(pm, b, n);
     for (size_t i = 0; i < m; i++) pm[a[i]] |= 1ULL << i;
     uint64_t VP = ~0ULL, VN = 0, D0P = 0, PMP = 0;
     uint64_t mask = 1ULL << (m - 1);
     int64_t dist = (int64_t)m;
     for (size_t j = 0; j < n; j++) {
-        uint64_t pmw = (uint64_t)b[j] < 256 ? pm[b[j]] : 0;
+        uint64_t pmw = bsmall ? pm[b[j]]
+                              : ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
         uint64_t tr = ((~D0P & pmw) << 1) & PMP;
         uint64_t d0 = ((((pmw & VP) + VP) ^ VP) | pmw | VN) | tr;
         uint64_t hp = VN | ~(d0 | VP);
@@ -647,6 +759,91 @@ static int64_t osa_1w(const int64_t* a, size_t m,
         dist += (int64_t)((hp & mask) != 0) - (int64_t)((hn & mask) != 0);
         uint64_t hp_s = (hp << 1) | 1;
         uint64_t hn_s = hn << 1;
+        VP = hn_s | ~(d0 | hp_s);
+        VN = hp_s & d0;
+        D0P = d0;
+        PMP = pmw;
+    }
+    return dist;
+}
+
+// ---- 2-word (64 < m <= 128, chars < 256) specializations on native
+// unsigned __int128: g++ lowers 128-bit + - & | ^ to add/adc register
+// pairs, so a column costs roughly half the generic 2-word loop's
+// explicit carry plumbing — the `lcs_unroll::<N>` monomorphization idea
+// (lcs_seq.rs:199-261) taken to the ISA's natural wide integer.  This is
+// the reference criterion charts' long end (len 2-128), where the r3
+// scalar ladder sat ~2x above the published band.
+
+typedef unsigned __int128 u128;
+
+template <typename C>
+static int64_t lcs_w_128(const C* a, size_t m,
+                      const C* b, size_t n) {
+    // explicit 2-word form: measured 356 ns vs 533 ns for the u128 form
+    // at m=n=128 (the interleaved per-char 16-byte PM row plus the
+    // independent word updates give more ILP than one 128-bit chain)
+    u128 pm[256];
+    bool bsmall = pm_clear(pm, b, n);
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= (u128)1 << i;
+    uint64_t S0 = ~0ULL, S1 = ~0ULL;
+    for (size_t j = 0; j < n; j++) {
+        u128 row = bsmall ? pm[b[j]]
+                          : ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
+        uint64_t u0 = S0 & (uint64_t)row, u1 = S1 & (uint64_t)(row >> 64);
+        uint64_t t0 = S0 + u0;
+        uint64_t c = t0 < S0;
+        uint64_t t1 = S1 + u1 + c;
+        S0 = t0 | (S0 - u0);                 // padding bits stay 1
+        S1 = t1 | (S1 - u1);
+    }
+    return (int64_t)(__builtin_popcountll(~S0)
+                     + __builtin_popcountll(~S1));
+}
+
+template <typename C>
+static int64_t lev_w_128(const C* a, size_t m,
+                      const C* b, size_t n) {
+    u128 pm[256];
+    bool bsmall = pm_clear(pm, b, n);
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= (u128)1 << i;
+    u128 VP = ~(u128)0, VN = 0;
+    u128 mask = (u128)1 << (m - 1);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        u128 x = bsmall ? pm[b[j]]
+                        : ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
+        u128 d0 = (((x & VP) + VP) ^ VP) | x | VN;
+        u128 hp = VN | ~(d0 | VP);
+        u128 hn = d0 & VP;
+        dist += (int64_t)((hp & mask) != 0) - (int64_t)((hn & mask) != 0);
+        u128 hp_s = (hp << 1) | 1;           // top boundary: D[0][j] = j
+        u128 hn_s = hn << 1;
+        VP = hn_s | ~(d0 | hp_s);
+        VN = hp_s & d0;
+    }
+    return dist;
+}
+
+template <typename C>
+static int64_t osa_w_128(const C* a, size_t m,
+                      const C* b, size_t n) {
+    u128 pm[256];
+    bool bsmall = pm_clear(pm, b, n);
+    for (size_t i = 0; i < m; i++) pm[a[i]] |= (u128)1 << i;
+    u128 VP = ~(u128)0, VN = 0, D0P = 0, PMP = 0;
+    u128 mask = (u128)1 << (m - 1);
+    int64_t dist = (int64_t)m;
+    for (size_t j = 0; j < n; j++) {
+        u128 pmw = bsmall ? pm[b[j]]
+                          : ((uint64_t)b[j] < 256 ? pm[b[j]] : 0);
+        u128 tr = ((~D0P & pmw) << 1) & PMP;
+        u128 d0 = ((((pmw & VP) + VP) ^ VP) | pmw | VN) | tr;
+        u128 hp = VN | ~(d0 | VP);
+        u128 hn = d0 & VP;
+        dist += (int64_t)((hp & mask) != 0) - (int64_t)((hn & mask) != 0);
+        u128 hp_s = (hp << 1) | 1;
+        u128 hn_s = hn << 1;
         VP = hn_s | ~(d0 | hp_s);
         VN = hp_s & d0;
         D0P = d0;
@@ -770,9 +967,10 @@ static int64_t osa_w(const int64_t* a, size_t m,
 }
 
 // W = ceil(m/64) in [2, 8] dispatchers; INT64_MIN = caller falls through.
+// W == 2 rides the native-__int128 kernels above.
 #define SMALLW_DISPATCH(fn)                                            \
     switch ((m + 63) >> 6) {                                           \
-        case 2: return fn<2>(a, m, b, n);                              \
+        case 2: return fn##_128(a, m, b, n);                           \
         case 3: return fn<3>(a, m, b, n);                              \
         case 4: return fn<4>(a, m, b, n);                              \
         case 5: return fn<5>(a, m, b, n);                              \
@@ -1042,6 +1240,10 @@ int64_t rf_levenshtein_uniform_bp(const int64_t* a, int64_t n1_,
     int64_t ldiff = n1 > n2 ? (int64_t)(n1 - n2) : (int64_t)(n2 - n1);
     if (cutoff >= 0 && ldiff > cutoff) return cutoff + 1;
     if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    // affixes are stripped, so equal strings are both empty by now
+    if (cutoff == 0) return (n1 | n2) ? 1 : 0;
+    if (cutoff > 0 && cutoff < 4)
+        return lev_mbleven(b, n2, a, n1, cutoff);
     if (n1 <= 64 && all_small(a, n1)) {
         int64_t d = lev_1w(a, n1, b, n2);
         return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
@@ -1206,6 +1408,85 @@ int64_t rf_osa_bp(const int64_t* a, int64_t n1_,
         }
     }
     return dist;
+}
+
+// ---- uint8 fast lane: raw str(PEP 393 kind-1)/bytes front door for the
+// one-shot scalar extension (native/rf_scalar.cpp).  Same semantics as
+// the int64 entries above, instantiated on uint8 elements: zero
+// conversion, and every `< 256` table check folds away.  Covers the
+// criterion bench class (pattern <= 128 after affix strip, any text
+// length); returns INT64_MIN when the inputs fall outside it — the
+// caller converts to int64 and takes the general path.
+
+int64_t rf_levenshtein_uniform_bp_u8(const uint8_t* a, int64_t n1_,
+                                     const uint8_t* b, int64_t n2_,
+                                     int64_t cutoff) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    int64_t ldiff = n1 > n2 ? (int64_t)(n1 - n2) : (int64_t)(n2 - n1);
+    if (cutoff >= 0 && ldiff > cutoff) return cutoff + 1;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (cutoff == 0) return 1;             // affixes stripped -> not equal
+    if (cutoff > 0 && cutoff < 4)
+        return lev_mbleven(b, n2, a, n1, cutoff);
+    int64_t d;
+    if (n1 <= 64) d = lev_1w(a, n1, b, n2);
+    else if (n1 <= 128) d = lev_w_128(a, n1, b, n2);
+    else return INT64_MIN;
+    return (cutoff >= 0 && d > cutoff) ? cutoff + 1 : d;
+}
+
+int64_t rf_lcs_seq_bp_u8(const uint8_t* a, int64_t n1_,
+                         const uint8_t* b, int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    size_t suf = common_suffix(a, n1, b, n2);
+    n1 -= suf; n2 -= suf;
+    size_t pre = common_prefix(a, n1, b, n2);
+    a += pre; b += pre; n1 -= pre; n2 -= pre;
+    int64_t affix = (int64_t)(pre + suf);    // affixes count toward LCS
+    if (n1 == 0 || n2 == 0) return affix;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (n1 <= 64) return affix + lcs_1w(a, n1, b, n2);
+    if (n1 <= 128) return affix + lcs_w_128(a, n1, b, n2);
+    return INT64_MIN;
+}
+
+int64_t rf_indel_bp_u8(const uint8_t* a, int64_t n1,
+                       const uint8_t* b, int64_t n2) {
+    int64_t l = rf_lcs_seq_bp_u8(a, n1, b, n2);
+    return l == INT64_MIN ? INT64_MIN : n1 + n2 - 2 * l;
+}
+
+int64_t rf_osa_bp_u8(const uint8_t* a, int64_t n1_,
+                     const uint8_t* b, int64_t n2_) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    strip_affix(a, n1, b, n2);
+    if (n1 == 0) return (int64_t)n2;
+    if (n2 == 0) return (int64_t)n1;
+    if (n1 > n2) { std::swap(a, b); std::swap(n1, n2); }     // symmetric
+    if (n1 <= 64) return osa_1w(a, n1, b, n2);
+    if (n1 <= 128) return osa_w_128(a, n1, b, n2);
+    return INT64_MIN;
+}
+
+int64_t rf_hamming_u8(const uint8_t* a, int64_t n1,
+                      const uint8_t* b, int64_t n2) {
+    int64_t n = n1 < n2 ? n1 : n2;
+    int64_t d = n1 > n2 ? n1 - n2 : n2 - n1;
+    for (int64_t i = 0; i < n; i++) d += a[i] != b[i];
+    return d;
+}
+
+int64_t rf_prefix_sim_u8(const uint8_t* a, int64_t n1,
+                         const uint8_t* b, int64_t n2) {
+    return (int64_t)common_prefix(a, (size_t)n1, b, (size_t)n2);
+}
+
+int64_t rf_postfix_sim_u8(const uint8_t* a, int64_t n1,
+                          const uint8_t* b, int64_t n2) {
+    return (int64_t)common_suffix(a, (size_t)n1, b, (size_t)n2);
 }
 
 }  // extern "C"

@@ -13,6 +13,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from .. import common as _c
+from .. import oracle as _oracle
 from ..ops import dispatch as _dispatch
 from ..utils import codec as _codec
 
@@ -355,6 +356,40 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=(),
             fn.__module__ = mod
         BatchComparator.__module__ = mod
         Args.__module__ = mod
+
+    # Bind the four main entry points to C vectorcall objects when the
+    # extension provides them: the whole str/bytes one-shot path (type
+    # checks, kernel, cutoff algebra, result boxing) then runs without a
+    # single Python frame — the wrapper stack alone costs ~250-350 ns,
+    # half the reference's criterion band (BASELINE.md 50-500 ns).  The
+    # Python closures stay as the fallback for every other input class,
+    # and the rebinding happens before BatchComparator's cells are read
+    # so its scalar route rides the C callables too.
+    _ids = {"indel": 0, "lcs_seq": 1, "osa": 2, "prefix": 5, "postfix": 6}
+    _mk = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
+    if _mk is not None and metric.name in _ids:
+        _cid = _ids[metric.name]
+        _maxcode = 1 if metric.name == "indel" else 0
+        _test = ns.setdefault("__test__", {})
+
+        def _cwrap(fn, kind, _nm):
+            w = _mk(_cid, kind, _maxcode, fn)
+            w.__doc__ = fn.__doc__
+            w.__name__ = _nm
+            w.__qualname__ = getattr(fn, "__qualname__", _nm)
+            w.__module__ = getattr(fn, "__module__", ns.get("__name__"))
+            if fn.__doc__:
+                # doctest.testmod does not traverse C callables; keep
+                # their examples executing via the module __test__ map
+                _test[f"{metric.name}.{_nm}"] = fn.__doc__
+            return w
+
+        distance = _cwrap(distance, 0, "distance")
+        similarity = _cwrap(similarity, 1, "similarity")
+        normalized_distance = _cwrap(normalized_distance, 2,
+                                     "normalized_distance")
+        normalized_similarity = _cwrap(normalized_similarity, 3,
+                                       "normalized_similarity")
 
     ns.update(
         Args=Args,

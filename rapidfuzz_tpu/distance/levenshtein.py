@@ -524,3 +524,33 @@ class BatchComparator:
         dist, mx = self._batch(corpus)
         nd = np.where(mx == 0, 0.0, dist / np.maximum(mx, 1))
         return _dispatch.BatchResult(*_c.mask_similarity(1.0 - nd, score_cutoff))
+
+
+# ---------------------------------------------------------------------------
+# Bind the four uniform scalar entry points to C vectorcall objects (see
+# native/rf_scalar.cpp FastMetric): the str/bytes uniform one-shot — the
+# reference's dominant latency class (criterion charts, BASELINE.md) —
+# then runs with zero Python frames.  Weighted calls pass a ``weights``
+# keyword, which the C callable does not recognize, so they fall back to
+# the Python closures above; ditto wide strings, encoded arrays, exotic
+# cutoffs and the device scalar backend.
+_mkfn = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
+if _mkfn is not None:
+    __test__ = {}
+
+    def _cwrap(fn, kind):
+        w = _mkfn(7, kind, 0, fn)          # id 7: uniform Levenshtein
+        w.__doc__ = fn.__doc__
+        w.__name__ = fn.__name__
+        w.__qualname__ = fn.__qualname__
+        w.__module__ = fn.__module__
+        # doctest.testmod does not traverse C callables; keep their
+        # examples executing via the module __test__ map
+        __test__[f"levenshtein.{fn.__name__}"] = fn.__doc__
+        return w
+
+    distance = _cwrap(distance, 0)
+    similarity = _cwrap(similarity, 1)
+    normalized_distance = _cwrap(normalized_distance, 2)
+    normalized_similarity = _cwrap(normalized_similarity, 3)
+    del _cwrap
