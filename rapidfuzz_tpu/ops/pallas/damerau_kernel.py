@@ -733,41 +733,41 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
 
 # ------------------------------------------------- long candidates (>128)
 
+def _pack_params(nb: int):
+    """(col_bits, PBIG, SENT) for the packed last-match scan: columns take
+    ``col_bits`` low bits (jcol up to ``nb*128``), values the rest of an
+    int32; SENT = PBIG << col_bits stays < 2^31."""
+    col_bits = max(11, (nb * LANE).bit_length())
+    pbig = 1 << (30 - col_bits)
+    return col_bits, pbig, pbig << col_bits
+
+
 def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
                  k_ref, fr_ref, *, sub: int, nb: int):
     """Zhao-Sahni rows over NB 128-lane column blocks per candidate.
 
     Same per-block math as :func:`_kernel` (seg == LANE), with the four
-    row structures stored per block in VMEM scratch and the three
-    loop-carried quantities chained across blocks left-to-right each row:
-    the last-match packed scan value, the min-plus running prefix, and
-    the last (two) lanes of D_{i-1}/D_{i-2} feeding the cross-block
-    shifts.  Extends the lane-column kernel to candidates up to
-    ``nb * 128`` chars; O(N * M) like the reference
-    (``damerau_levenshtein.rs:111-168``).
+    row structures stored per block in VMEM scratch.  Cross-block chaining
+    is REDUCTION-FREE: every loop-carried quantity (last-match packed
+    value, min-plus running prefix, last one/two lanes of D_{i-1}/D_{i-2})
+    is injected into lane 0 of the next block from a ``pltpu.roll`` of the
+    previous block's vector — the Hillis-Steele scans then propagate it to
+    every lane, so the five per-block masked lane reductions of the first
+    version (~40% of row time at nb=16) disappear.  Extends the
+    lane-column kernel to candidates up to ``nb * 128`` chars; O(N * M)
+    like the reference (``damerau_levenshtein.rs:111-168``).
     """
     la = la_ref[0]
     local = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
-    # columns need 11 bits here (jcol up to nb*128 <= 2048), so the packed
-    # (value << 11 | col) scan uses a smaller infinity that still fits
-    # int32 after the shift; values are clamped to it before packing (the
-    # caller guards la + nb*128 < PBIG so real scores never clamp)
-    PBIG = jnp.int32(1 << 19)
-    SENT = jnp.int32((1 << 19) << 11)
+    # packed (value << col_bits | col) last-match scan; values are clamped
+    # to PBIG before packing (the caller guards la + nb*128 < PBIG so real
+    # scores never clamp)
+    col_bits, pbig, sent = _pack_params(nb)
+    PBIG = jnp.int32(pbig)
+    SENT = jnp.int32(sent)
+    CMASK = jnp.int32((1 << col_bits) - 1)
     shifts = [1, 2, 4, 8, 16, 32, 64]
     lb = lb_ref[:, :]                        # per-candidate length, bcast
-
-    def shift1(x, fill):
-        r = pltpu.roll(x, 1, 1)
-        return jnp.where(local >= 1, r, fill)
-
-    def last_lane(x):
-        return jnp.sum(jnp.where(local == LANE - 1, x, 0), axis=1,
-                       keepdims=True)
-
-    def lane_at(x, pos):
-        return jnp.sum(jnp.where(local == pos, x, 0), axis=1,
-                       keepdims=True)
 
     for b in range(nb):
         d1_ref[b] = jax.lax.broadcasted_iota(
@@ -779,11 +779,17 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
     def row(i, carry):
         ai = q_ref[i - 1]
         d2fill = jnp.where(i >= 2, i - 2, BIG)
-        c_d2 = jnp.full((sub, 1), 0, jnp.int32) + d2fill   # D_{i-2}[.]
-        c_d1a = jnp.full((sub, 1), i - 1, jnp.int32)       # dim1 last
-        c_d1b = jnp.full((sub, 1), BIG, jnp.int32)         # dim1 last-1
-        c_e = jnp.full((sub, 1), SENT, jnp.int32)
-        c_min = jnp.full((sub, 1), BIG, jnp.int32)
+        zeros = jnp.zeros((sub, LANE), jnp.int32)
+        bigs = jnp.full((sub, LANE), BIG, jnp.int32)
+        # carry vectors: only lane 0 (lanes 0-1 for v_m2) is ever read;
+        # block 0 uses the row boundary values, block b > 0 a roll of
+        # block b-1's vector whose low lane(s) are that block's last
+        # lane(s)
+        v_d2 = zeros + d2fill                # D_{i-2}[jcol-1] @ lane 0
+        v_d1 = zeros + (i - 1)               # D_{i-1}[jcol-1] @ lane 0
+        v_m2 = jnp.where(local == 1, zeros + (i - 1), bigs)  # D_{i-1}[jcol-2]
+        v_e = jnp.full((sub, LANE), SENT, jnp.int32)
+        v_y = bigs
         for b in range(nb):
             jcol = local + (b * LANE + 1)
             dim1 = d1_ref[b]
@@ -793,19 +799,23 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
             b_tile = b_ref[:, b * LANE:(b + 1) * LANE]
             eq_i = b_tile == ai
 
-            dim2_up = shift1(dim2, c_d2)
+            r1_d2 = pltpu.roll(dim2, 1, 1)
+            dim2_up = jnp.where(local >= 1, r1_d2, v_d2)
             d2p = jnp.minimum(dim2_up, PBIG)
-            e = jnp.where(eq_i, (d2p << 11) | jcol, SENT)
+            e = jnp.where(eq_i, (d2p << col_bits) | jcol, SENT)
+            # inject the prior-block carry at lane 0; the scan spreads it
+            e = jnp.where((local == 0) & ~eq_i, v_e, e)
             for sh in shifts:
                 r = pltpu.roll(e, sh, 1)
                 r = jnp.where(local >= sh, r, SENT)
-                e = jnp.where((e & 2047) > 0, e, r)
-            e = jnp.where((e & 2047) > 0, e, c_e)          # prior blocks
-            es = shift1(e, c_e)            # last match strictly < jcol
-            L = es & 2047
-            t = jnp.where(L >= 1, es >> 11, BIG)
+                e = jnp.where((e & CMASK) > 0, e, r)
+            r1_e = pltpu.roll(e, 1, 1)
+            es = jnp.where(local >= 1, r1_e, v_e)  # last match < jcol
+            L = es & CMASK
+            t = jnp.where(L >= 1, es >> col_bits, BIG)
 
-            diag = shift1(dim1, c_d1a)     # D_{i-1}[jcol-1]
+            r1_d1 = pltpu.roll(dim1, 1, 1)
+            diag = jnp.where(local >= 1, r1_d1, v_d1)  # D_{i-1}[jcol-1]
             cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
             cand = jnp.minimum(diag + cost, dim1 + 1)
             case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
@@ -816,31 +826,29 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
             cand = jnp.minimum(cand, i + jcol)   # boundary D[i][0] = i
 
             y = cand - jcol
+            y = jnp.where(local == 0, jnp.minimum(y, v_y), y)
             for sh in shifts:
                 r = pltpu.roll(y, sh, 1)
                 r = jnp.where(local >= sh, r, BIG)
                 y = jnp.minimum(y, r)
-            y = jnp.minimum(y, c_min)
             new = y + jcol
 
             # D_{i-1}[jcol-2]: two-lane cross-block shift
             r2 = pltpu.roll(dim1, 2, 1)
-            dim1_m2 = jnp.where(
-                local >= 2, r2,
-                jnp.where(local == 1, c_d1a, c_d1b))
-
-            # cross-block carries for the NEXT block (original dim1/dim2)
-            n_d1a = last_lane(dim1)
-            n_d1b = lane_at(dim1, LANE - 2)
-            c_d2 = last_lane(dim2)
-            c_e = last_lane(e)
-            c_min = jnp.min(y, axis=1, keepdims=True)
-            c_d1a, c_d1b = n_d1a, n_d1b
+            dim1_m2 = jnp.where(local >= 2, r2, v_m2)
 
             fr_ref[b] = jnp.where(eq_i, dim1_m2, FR)
             k_ref[b] = jnp.maximum(K, jnp.where(eq_i, i, 0))
             d2_ref[b] = dim1
             d1_ref[b] = new
+
+            # rolled carries for the next block (lane 0 = this block's
+            # last lane; v_m2 lanes 0-1 = lanes 126-127)
+            v_d2 = r1_d2
+            v_d1 = r1_d1
+            v_m2 = r2
+            v_e = r1_e
+            v_y = pltpu.roll(y, 1, 1)
         return carry
 
     jax.lax.fori_loop(1, la + 1, row, 0)
@@ -875,15 +883,16 @@ def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
     )(q, la, b_tiles, lb_tiles)
 
 
-MAX_TEXT_LONG = 2048   # NB * sub scratch budget (~4 MB at sub=128, NB=16)
+MAX_TEXT_LONG = 4096   # NB * sub scratch budget (sub shrinks as NB grows
+                       # to hold the 4 row structures within ~4 MB VMEM)
 
 
 def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
                         sub: int | None = None):
-    """[B, 128<LB<=512] i32 corpus -> full-lane-row tiles for the long
-    Damerau kernel.  Candidate ``c`` occupies row ``c``; char ``j``
-    (1-based) at flat lane ``j - 1``; padding holds -2.  ``B`` must be a
-    multiple of ``sub``.  Returns ``(b_tiles [B, NB*128],
+    """[B, 128<LB<=MAX_TEXT_LONG] i32 corpus -> full-lane-row tiles for
+    the long Damerau kernel.  Candidate ``c`` occupies row ``c``; char
+    ``j`` (1-based) at flat lane ``j - 1``; padding holds -2.  ``B`` must
+    be a multiple of ``sub``.  Returns ``(b_tiles [B, NB*128],
     lb_tiles [B, 128], nb, sub)``."""
     B, LB = chars.shape
     if LB > MAX_TEXT_LONG:
@@ -911,7 +920,7 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return lens.astype(jnp.int32)
-    if la + nb * LANE >= (1 << 19):
+    if la + nb * LANE >= _pack_params(nb)[1]:
         # scores could reach the packed-scan clamp (PBIG); such extreme
         # query lengths take the XLA path instead
         raise ValueError("query too long for the packed-scan value range")

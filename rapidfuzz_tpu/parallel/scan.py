@@ -235,11 +235,12 @@ class CorpusScanner:
         self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
-        # per tile; 128 < LB <= 2048 uses the multi-block long form with
-        # cross-block scan carries (damerau_kernel.MAX_TEXT_LONG)
+        # per tile; 128 < LB <= MAX_TEXT_LONG (4096) uses the multi-block
+        # long form with reduction-free cross-block carry injection
+        from ..ops.pallas import damerau_kernel as _dk_gate
         self._dam_pallas = ((mesh_tpu or bool(force))
                             and metric == "damerau_levenshtein"
-                            and chars.shape[1] <= 2048)
+                            and chars.shape[1] <= _dk_gate.MAX_TEXT_LONG)
         self._dam_long = self._dam_pallas and chars.shape[1] > 128
         # <= 128 chars rides the sequential-pair kernel (pairs in lanes,
         # zero lane scans — 35.5M len-64 pairs/s vs 8.4M lane-transposed)
