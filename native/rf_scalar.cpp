@@ -268,6 +268,7 @@ typedef struct {
     PyObject* dict;                  // __doc__ / __name__ / __module__
     PyObject* fallback;              // the original Python closure
     long id;                         // Metric enum; 7 = uniform Levenshtein
+                                     // 8 = jaro, 9 = jaro_winkler (f64)
     int kind;                        // 0 dist, 1 sim, 2 ndist, 3 nsim
     int maxcode;                     // 0: max(l1,l2); 1: l1+l2
 } FastMetricObj;
@@ -283,14 +284,23 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
     Py_ssize_t nargs = PyVectorcall_NARGS(nargsf);
     if (nargs != 2) return fm_fallback(self, args, nargsf, kwnames);
     PyObject* cutoff = Py_None;
+    double pw = 0.1;                 // jaro_winkler prefix_weight default
     if (kwnames) {
         Py_ssize_t nk = PyTuple_GET_SIZE(kwnames);
         for (Py_ssize_t i = 0; i < nk; i++) {
             PyObject* k = PyTuple_GET_ITEM(kwnames, i);
             if (PyUnicode_CompareWithASCIIString(k, "score_cutoff") == 0)
                 cutoff = args[2 + i];
-            else if (PyUnicode_CompareWithASCIIString(k, "score_hint")
-                     != 0)     // hint never changes results; others: punt
+            else if (self->id == 9
+                     && PyUnicode_CompareWithASCIIString(
+                            k, "prefix_weight") == 0) {
+                pw = PyFloat_AsDouble(args[2 + i]);
+                if (pw == -1.0 && PyErr_Occurred()) {
+                    PyErr_Clear();
+                    return fm_fallback(self, args, nargsf, kwnames);
+                }
+            } else if (PyUnicode_CompareWithASCIIString(k, "score_hint")
+                       != 0)   // hint never changes results; others: punt
                 return fm_fallback(self, args, nargsf, kwnames);
         }
     }
@@ -299,10 +309,6 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
         if (bk && strcmp(bk, "device") == 0)
             return fm_fallback(self, args, nargsf, kwnames);
     }
-    const uint8_t *ra, *rb;
-    Py_ssize_t na, nb2;
-    if (!raw_u8(args[0], &ra, &na) || !raw_u8(args[1], &rb, &nb2))
-        return fm_fallback(self, args, nargsf, kwnames);
     double c = 0.0;
     if (cutoff != Py_None) {
         c = PyFloat_AsDouble(cutoff);
@@ -311,6 +317,23 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
             return fm_fallback(self, args, nargsf, kwnames);
         }
     }
+    if (self->id >= 8) {                 // jaro family (f64, any unicode)
+        Buf a, b;
+        if (!load_seq(args[0], a) || !load_seq(args[1], b))
+            return fm_fallback(self, args, nargsf, kwnames);
+        double s = self->id == 8
+                       ? rf_jaro(a.p, a.n, b.p, b.n)
+                       : rf_jaro_winkler(a.p, a.n, b.p, b.n, pw);
+        bool is_sim = self->kind == 1 || self->kind == 3;
+        double v = is_sim ? s : 1.0 - s;
+        if (cutoff != Py_None && !(is_sim ? v >= c : v <= c))
+            Py_RETURN_NONE;
+        return PyFloat_FromDouble(v);
+    }
+    const uint8_t *ra, *rb;
+    Py_ssize_t na, nb2;
+    if (!raw_u8(args[0], &ra, &na) || !raw_u8(args[1], &rb, &nb2))
+        return fm_fallback(self, args, nargsf, kwnames);
     int64_t mx64 = self->maxcode ? (int64_t)(na + nb2)
                                  : (int64_t)(na > nb2 ? na : nb2);
     int64_t d;

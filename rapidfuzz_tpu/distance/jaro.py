@@ -172,3 +172,27 @@ class BatchComparator:
     # f64 metric: normalized == raw (maximum is 1.0)
     normalized_similarities = similarities
     normalized_distances = distances
+
+
+# C vectorcall entry points (native/rf_scalar.cpp FastMetric, id 8): the
+# str/bytes one-shot runs without Python frames; other inputs fall back
+# to the closures above.  Doc examples stay tested via __test__.
+_mkfn = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
+if _mkfn is not None:
+    __test__ = {}
+
+    def _cwrap(fn, kind):
+        w = _mkfn(8, kind, 0, fn)
+        w.__doc__ = fn.__doc__
+        w.__name__ = fn.__name__
+        w.__qualname__ = fn.__qualname__
+        w.__module__ = fn.__module__
+        if fn.__doc__:
+            __test__[f"jaro.{fn.__name__}"] = fn.__doc__
+        return w
+
+    distance = _cwrap(distance, 0)
+    similarity = _cwrap(similarity, 1)
+    normalized_distance = _cwrap(normalized_distance, 2)
+    normalized_similarity = _cwrap(normalized_similarity, 3)
+    del _cwrap

@@ -722,3 +722,19 @@ def QRatio_many(s1, choices, *, processor: Optional[Callable] = None,
                 ) -> _dispatch.BatchResult:
     return ratio_many(s1, choices, processor=processor,
                       score_cutoff=score_cutoff)
+
+
+# fuzz.ratio == indel normalized_similarity (fuzz.rs:60-85): bind it to a
+# C vectorcall object (native/rf_scalar.cpp FastMetric id 0 / kind 3 /
+# maximum len1+len2) so the str/bytes one-shot runs without Python
+# frames.  Calls with a processor= keyword fall back to the closure.
+_mkfn = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
+if _mkfn is not None:
+    __test__ = {"fuzz.ratio": ratio.__doc__}
+    _cr = _mkfn(0, 3, 1, ratio)
+    _cr.__doc__ = ratio.__doc__
+    _cr.__name__ = "ratio"
+    _cr.__qualname__ = "ratio"
+    _cr.__module__ = ratio.__module__
+    ratio = _cr
+    del _cr
