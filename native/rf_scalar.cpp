@@ -330,6 +330,34 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
             Py_RETURN_NONE;
         return PyFloat_FromDouble(v);
     }
+    if (self->id == M_DAMERAU) {     // O(N*M) scalar; any unicode width
+        Buf a, b;
+        if (!load_seq(args[0], a) || !load_seq(args[1], b))
+            return fm_fallback(self, args, nargsf, kwnames);
+        int64_t dd = rf_damerau(a.p, a.n, b.p, b.n);
+        int64_t mx = a.n > b.n ? a.n : b.n;
+        switch (self->kind) {
+            case 0:
+                if (cutoff != Py_None && !((double)dd <= c)) Py_RETURN_NONE;
+                return PyLong_FromLongLong(dd);
+            case 1: {
+                int64_t s = mx - dd;
+                if (cutoff != Py_None && !((double)s >= c)) Py_RETURN_NONE;
+                return PyLong_FromLongLong(s);
+            }
+            case 2: {
+                double nd = mx ? (double)dd / (double)mx : 0.0;
+                if (cutoff != Py_None && !(nd <= c)) Py_RETURN_NONE;
+                return PyFloat_FromDouble(nd);
+            }
+            default: {
+                double nd = mx ? (double)dd / (double)mx : 0.0;
+                double ns_ = 1.0 - nd;
+                if (cutoff != Py_None && !(ns_ >= c)) Py_RETURN_NONE;
+                return PyFloat_FromDouble(ns_);
+            }
+        }
+    }
     const uint8_t *ra, *rb;
     Py_ssize_t na, nb2;
     if (!raw_u8(args[0], &ra, &na) || !raw_u8(args[1], &rb, &nb2))

@@ -365,7 +365,8 @@ def build_module(metric: IntMetric, ns: dict, extra_args_slots=(),
     # Python closures stay as the fallback for every other input class,
     # and the rebinding happens before BatchComparator's cells are read
     # so its scalar route rides the C callables too.
-    _ids = {"indel": 0, "lcs_seq": 1, "osa": 2, "prefix": 5, "postfix": 6}
+    _ids = {"indel": 0, "lcs_seq": 1, "osa": 2,
+            "damerau_levenshtein": 3, "prefix": 5, "postfix": 6}
     _mk = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
     if _mk is not None and metric.name in _ids:
         _cid = _ids[metric.name]
