@@ -299,36 +299,80 @@ ROUTES = {
 }
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--routes", default=None,
-                    help="comma-separated subset of: " + ",".join(ROUTES))
-    ap.add_argument("--out", default=None, help="also append to this file")
-    args = ap.parse_args(argv)
-
+def _run_inline(names):
+    """Run routes in THIS process; print one line each.  Child mode."""
     import jax
     dev = jax.devices()[0]
-    lines = [f"hw_smoke on {dev} @ {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"]
-    if dev.platform not in ("tpu",) and "axon" not in str(dev).lower():
-        lines.append(f"WARNING: not a TPU device ({dev.platform}); this "
-                     "gate only means anything on real hardware")
-
-    names = (args.routes.split(",") if args.routes else list(ROUTES))
+    print(f"# device {dev}", flush=True)
     failed = []
     for name in names:
         t0 = time.time()
         try:
             rate, t_first = ROUTES[name]()
-            lines.append(f"OK   {name:<16} {rate/1e6:8.2f}M cands/s warm, "
-                         f"first call {t_first:6.1f}s, total "
-                         f"{time.time()-t0:6.1f}s")
+            print(f"OK   {name:<16} {rate/1e6:8.2f}M cands/s warm, "
+                  f"first call {t_first:6.1f}s, total "
+                  f"{time.time()-t0:6.1f}s", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
             failed.append(name)
             tb = traceback.format_exc().splitlines()
-            lines.append(f"FAIL {name:<16} {type(e).__name__}: "
-                         f"{str(e)[:200]}")
-            lines.extend("     " + t for t in tb[-6:])
-        print(lines[-1], flush=True)
+            print(f"FAIL {name:<16} {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            for t in tb[-6:]:
+                print("     " + t, flush=True)
+    return failed
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--routes", default=None,
+                    help="comma-separated subset of: " + ",".join(ROUTES))
+    ap.add_argument("--out", default=None, help="also append to this file")
+    ap.add_argument("--inline", action="store_true",
+                    help="run routes in-process (child mode)")
+    ap.add_argument("--timeout", type=float, default=600.0,
+                    help="per-route subprocess timeout (parent mode)")
+    args = ap.parse_args(argv)
+    names = (args.routes.split(",") if args.routes else list(ROUTES))
+
+    if args.inline:
+        return 1 if _run_inline(names) else 0
+
+    # Parent mode: one subprocess per route.  The axon tunnel's failure
+    # mode is an in-process wedge that never recovers (a device op blocks
+    # forever) — a single-process gate can hang on route 1 and validate
+    # nothing.  Each route gets a fresh process, a timeout, and one
+    # retry; the persistent compile cache keeps retries cheap.
+    import subprocess
+    lines = [f"hw_smoke @ {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"]
+    failed = []
+    for name in names:
+        status = None
+        for attempt in range(2):
+            t0 = time.time()
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-u", os.path.abspath(__file__),
+                     "--inline", "--routes", name],
+                    capture_output=True, text=True, timeout=args.timeout)
+            except subprocess.TimeoutExpired:
+                status = (f"FAIL {name:<16} timeout after "
+                          f"{args.timeout:.0f}s (attempt {attempt})")
+                continue
+            body = [l for l in p.stdout.splitlines()
+                    if l.startswith(("OK", "FAIL"))]
+            if body and body[0].startswith("OK"):
+                status = body[0]
+                break
+            status = (body[0] if body else
+                      f"FAIL {name:<16} rc={p.returncode}: "
+                      f"{(p.stdout + p.stderr)[-300:]}")
+            if "timeout" not in status and attempt == 0 and not body:
+                continue                     # crashed before reporting
+            break
+        if not status.startswith("OK"):
+            failed.append(name)
+        lines.append(status)
+        print(status, flush=True)
 
     verdict = ("ALL ROUTES OK" if not failed
                else f"FAILED: {','.join(failed)}")
