@@ -413,8 +413,15 @@ def _measure(phase: str):
             jnp.asarray(charsb), jnp.asarray(np.full(Bb, LENB, np.int32)),
             LB=LENB)
         cand3b = jax.block_until_ready(jax.device_put(cand3b))
+        # stage the per-step tables ONCE (the BatchComparator pattern,
+        # exactly like the lev banded phase): without this the window
+        # times host table construction + a 256KB tunnel upload per call,
+        # not the kernel (r3 recorded 18.4M that way)
+        stb = jax.block_until_ready(jnp.asarray(
+            cbk.build_shifted_tables(qb, "local", LENB,
+                                     cbk.band_words(15))))
         fn = lambda: cbk.lcs_banded_1v_many(qb, cand3b, lb2b, cutoff=15,
-                                            mode="byte", cmax=122,
+                                            mode="local", staged=stb,
                                             interpret=interpret)
         pairs_per_s, _ = _rate(fn, Bb, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))

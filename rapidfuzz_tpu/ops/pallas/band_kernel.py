@@ -203,22 +203,27 @@ def build_shifted_tables(query: np.ndarray, mode: str, LB: int,
     ntab = 2 if mode == "byte" else 1
     base = build_pm_tables(q, mode, sub=1)     # (W*ntab, 1, LANE) u32
     base = base.reshape(W, ntab, LANE)
-    out = np.zeros((LB, ntab, bw, LANE), np.uint32)
-    for j in range(LB):
-        for k in range(bw):
-            start = j - 16 * bw + 32 * k
-            if start <= -32:
-                continue
-            if start < 0:
-                out[j, :, k] = base[0] << np.uint32(-start)
-                continue
-            widx, wpos = divmod(start, 32)
-            if widx >= W:
-                continue
-            win = base[widx] >> np.uint32(wpos)
-            if wpos and widx + 1 < W:
-                win |= base[widx + 1] << np.uint32(32 - wpos)
-            out[j, :, k] = win
+    # vectorized over (step, band word): the per-row Python loop cost
+    # 2.5 ms at LB=512 — a visible per-query cost on the scanner's
+    # banded route (the kernel itself runs in ~2 ms)
+    j = np.arange(LB)[:, None]
+    k = np.arange(bw)[None, :]
+    start = j - 16 * bw + 32 * k               # (LB, bw)
+    widx = start >> 5                          # floor div (negatives -> -1)
+    wpos = (start & 31).astype(np.uint32)[..., None, None]
+    pos = (start >= 0) & (widx < W)
+    neg = (start < 0) & (start > -32)
+    b0 = base[np.clip(widx, 0, W - 1)]         # (LB, bw, ntab, LANE)
+    b1 = base[np.clip(widx + 1, 0, W - 1)]
+    win = b0 >> wpos
+    hi = ((start & 31) != 0) & (widx + 1 < W) & (start >= 0)
+    win = win | np.where(hi[..., None, None],
+                         b1 << ((np.uint32(32) - wpos) & np.uint32(31)), 0)
+    win = np.where(pos[..., None, None], win, 0)
+    nshift = np.clip(-start, 0, 31).astype(np.uint32)[..., None, None]
+    win = np.where(neg[..., None, None], base[0][None, None] << nshift,
+                   win)
+    out = np.transpose(win, (0, 2, 1, 3))      # (LB, ntab, bw, LANE)
     return np.ascontiguousarray(out.reshape(LB * ntab * bw, 1, LANE))
 
 

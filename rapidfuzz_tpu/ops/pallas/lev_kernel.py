@@ -56,9 +56,10 @@ def build_pm_tables(query: np.ndarray, mode: str,
     ntab = 2 if mode == "byte" else 1
     dom = ntab * LANE
     pm = np.zeros((dom, W), np.uint32)
-    for i, ch in enumerate(q):
-        if 0 <= ch < dom:
-            pm[int(ch), i // 32] |= np.uint32(1 << (i % 32))
+    pos = np.nonzero((q >= 0) & (q < dom))[0]
+    if pos.size:                       # ufunc.at ORs duplicates correctly
+        np.bitwise_or.at(pm, (q[pos], pos >> 5),
+                         np.uint32(1) << (pos & 31).astype(np.uint32))
     tabs = np.zeros((W * ntab, sub, LANE), np.uint32)
     for w in range(W):
         for h in range(ntab):
