@@ -341,11 +341,40 @@ def main(argv=None):
     # mode is an in-process wedge that never recovers (a device op blocks
     # forever) — a single-process gate can hang on route 1 and validate
     # nothing.  Each route gets a fresh process, a timeout, and one
-    # retry; the persistent compile cache keeps retries cheap.
+    # retry; the persistent compile cache keeps retries cheap.  Between
+    # routes the parent pings the tunnel in a fresh process and waits out
+    # down-windows instead of burning route timeouts on a dead tunnel.
     import subprocess
+
+    def ping_ok():
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jax.jit(lambda a: a.sum())"
+                 "(jnp.ones((8, 128)))))"],
+                capture_output=True, text=True, timeout=75)
+            return p.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    def wait_alive(max_wait=1800.0):
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            if ping_ok():
+                return True
+            print("[hw_smoke] tunnel down; waiting 60s", flush=True)
+            time.sleep(60.0)
+        return False
+
     lines = [f"hw_smoke @ {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"]
     failed = []
     for name in names:
+        if not wait_alive():
+            lines.append(f"FAIL {name:<16} tunnel unreachable for 30min")
+            failed.append(name)
+            print(lines[-1], flush=True)
+            continue
         status = None
         for attempt in range(2):
             t0 = time.time()
