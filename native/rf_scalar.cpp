@@ -373,6 +373,11 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
             break;
         }
         case M_OSA: d = rf_osa_bp_u8(ra, na, rb, nb2); break;
+        case M_HAMMING:
+            // default pad=False: unequal lengths raise in Python
+            if (na != nb2) return fm_fallback(self, args, nargsf, kwnames);
+            d = rf_hamming_u8(ra, na, rb, nb2);
+            break;
         case M_PREFIX: d = mx64 - rf_prefix_sim_u8(ra, na, rb, nb2); break;
         case M_POSTFIX: d = mx64 - rf_postfix_sim_u8(ra, na, rb, nb2); break;
         case 7: {                        // uniform Levenshtein

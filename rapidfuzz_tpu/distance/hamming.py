@@ -195,3 +195,29 @@ class BatchComparator:
                                 score_cutoff=None):
         return normalized_similarity_many([self._u1], corpus, pad=pad,
                                           score_cutoff=score_cutoff)
+
+
+# C vectorcall entry points (native/rf_scalar.cpp FastMetric, id 4):
+# equal-length str/bytes calls — the only class the default pad=False
+# accepts — run without Python frames; unequal lengths and pad= keywords
+# fall back to the closures above (which raise or pad per
+# hamming.rs:121-161).
+_mkfn = getattr(_oracle.fast_scalar(), "make_metric_fn", None)
+if _mkfn is not None:
+    __test__ = {}
+
+    def _cwrap(fn, kind):
+        w = _mkfn(4, kind, 0, fn)
+        w.__doc__ = fn.__doc__
+        w.__name__ = fn.__name__
+        w.__qualname__ = fn.__qualname__
+        w.__module__ = fn.__module__
+        if fn.__doc__:
+            __test__[f"hamming.{fn.__name__}"] = fn.__doc__
+        return w
+
+    distance = _cwrap(distance, 0)
+    similarity = _cwrap(similarity, 1)
+    normalized_distance = _cwrap(normalized_distance, 2)
+    normalized_similarity = _cwrap(normalized_similarity, 3)
+    del _cwrap
