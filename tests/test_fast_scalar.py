@@ -95,3 +95,113 @@ def test_fast_scalar_edge_inputs():
     with pytest.raises(hamming.DifferentLengthArgsError):
         hamming.distance("ab", "abc")
     assert hamming.distance("ab", "abc", pad=True) == 1
+
+
+def test_mbleven_tiny_cutoff_exact(rng):
+    """cutoff < 4 rides the generated-script mbleven walk
+    (levenshtein.rs:324-427,1142-1144): exact whenever the true distance
+    is <= k, always > k otherwise — checked against the quadratic DP
+    over random and near-identical pairs at short and long lengths."""
+    for trial in range(300):
+        m = int(rng.integers(0, 200))
+        a = rng.integers(97, 102, m).astype(np.int64)
+        if trial % 2:
+            b = rng.integers(97, 102, int(rng.integers(0, 200))).astype(
+                np.int64)
+        else:                       # near-identical: distance often <= 3
+            b = list(a)
+            for _ in range(int(rng.integers(0, 4))):
+                op = int(rng.integers(0, 3))
+                p = int(rng.integers(0, max(1, len(b))))
+                if op == 0 and b:
+                    b[p % len(b)] = int(rng.integers(97, 102))
+                elif op == 1 and b:
+                    del b[p % len(b)]
+                else:
+                    b.insert(p, int(rng.integers(97, 102)))
+            b = np.array(b, np.int64)
+        true = oracle.levenshtein_uniform(a, b)
+        for k in (0, 1, 2, 3):
+            got = oracle.levenshtein_uniform_bp(a, b, k)
+            if true <= k:
+                assert got == true, (m, k, got, true)
+            else:
+                assert got > k, (m, k, got, true)
+
+
+def test_u8_lane_vs_encoder_route(rng):
+    """The raw str(kind-1)/bytes u8 lane (2-word __int128 kernels,
+    pm_clear) returns exactly what the int64 encoder route returns,
+    including 64 < m <= 128 and long-text (n >= 256) shapes."""
+    fast = oracle.fast_scalar()
+    if fast is None:
+        pytest.skip("no C extension")
+    for trial in range(200):
+        m = int(rng.integers(0, 150))
+        n = int(rng.integers(0, 320))
+        a = "".join(chr(int(c)) for c in rng.integers(97, 105, m))
+        b = "".join(chr(int(c)) for c in rng.integers(97, 105, n))
+        u1 = np.array([ord(c) for c in a], np.int64)
+        u2 = np.array([ord(c) for c in b], np.int64)
+        assert fast.lev_uniform(a, b, -1, -1) \
+            == oracle.levenshtein_uniform(u1, u2)
+        assert fast.int_metric(1, a, b) == oracle.lcs_seq_dp(u1, u2)
+        assert fast.int_metric(0, a, b) == oracle.indel_dp(u1, u2)
+        assert fast.int_metric(2, a, b) == oracle.osa_dp(u1, u2)
+
+
+def test_c_vectorcall_semantics():
+    """The FastMetric C callables bound to the public names keep the
+    exact wrapper semantics: cutoff algebra per kind, None returns,
+    keyword handling (score_hint ignored, unknown keywords fall back),
+    float/int cutoffs, and fallback classes (wide unicode, arrays,
+    exotic cutoff types)."""
+    import fractions
+
+    from rapidfuzz_tpu import fuzz
+    from rapidfuzz_tpu.distance import (indel, jaro, jaro_winkler,
+                                        levenshtein)
+
+    assert indel.distance("kitten", "sitting") == 5
+    assert indel.distance("kitten", "sitting", score_cutoff=4) is None
+    assert indel.distance("kitten", "sitting", score_cutoff=5) == 5
+    assert indel.distance("kitten", "sitting", score_hint=1) == 5
+    assert indel.similarity("abcd", "abcd") == 8
+    assert indel.normalized_similarity("", "") == 1.0
+    assert indel.normalized_distance("", "") == 0.0
+    assert isinstance(indel.normalized_distance("ab", "cd"), float)
+    # exotic cutoff types take the Python path, same answers
+    assert indel.distance("ab", "cd",
+                          score_cutoff=fractions.Fraction(4, 1)) == 4
+    # non-str/wide inputs fall back
+    assert indel.distance([1, 2, 3], [1, 2, 4]) == 2
+    assert indel.distance("Иванко", "Иванкоа") == 1
+    # float cutoffs on integer metrics compare like Python
+    assert levenshtein.distance("abc", "abd", score_cutoff=0.5) is None
+    assert levenshtein.distance("abc", "abc", score_cutoff=0.5) == 0
+    # negative cutoff: every distance > it
+    assert levenshtein.distance("abc", "abc", score_cutoff=-1) is None
+    # jaro family floats + prefix_weight keyword
+    assert jaro.similarity("abc", "abc") == 1.0
+    assert jaro_winkler.similarity(
+        "martha", "marhta", prefix_weight=0.2) != jaro_winkler.similarity(
+        "martha", "marhta")
+    # fuzz.ratio: processor keyword falls back, C path otherwise
+    assert fuzz.ratio("this is a test", "THIS is a TEST!",
+                      processor=fuzz.default_process) == 1.0
+    assert round(fuzz.ratio("this is a test", "this is a test!"), 4) \
+        == 0.9655
+    # doc attrs survive the C binding (doctest relies on __test__)
+    assert "distance" in indel.distance.__name__
+    assert indel.distance.__doc__
+
+
+def test_c_vectorcall_backend_env(monkeypatch):
+    """RAPIDFUZZ_TPU_SCALAR_BACKEND=device bypasses the C fast path in
+    the C callable itself (getenv check) — results still correct via the
+    fallback closures."""
+    from rapidfuzz_tpu.distance import indel
+    monkeypatch.setenv("RAPIDFUZZ_TPU_SCALAR_BACKEND", "cpp")
+    assert indel.distance("kitten", "sitting") == 5
+    monkeypatch.delenv("RAPIDFUZZ_TPU_SCALAR_BACKEND")
+    assert indel.distance("kitten", "sitting") == 5
