@@ -301,18 +301,37 @@ def _measure(phase: str):
     LEN = 64
     if phase == "damerau":
         # O(N*M) kernel with its own (small) corpus layout — skip the
-        # multi-GB shared-corpus build entirely
+        # multi-GB shared-corpus build entirely.  The pair-per-lane tiles
+        # are built ON DEVICE (the r3 phase uploaded a 64MB host corpus
+        # through the tunnel — the single biggest wedge exposure).
         import numpy as np
         from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
         Bd = 1 << 18 if not interpret else 1 << 10
-        rngd = np.random.default_rng(7)
-        chars = rngd.integers(97, 123, (Bd, LEN)).astype(np.int32)
-        bt, lt, lbmax = dk.prepare_corpus_seq(chars,
-                                              np.full(Bd, LEN, np.int32))
-        btd = jax.block_until_ready(jax.device_put(jnp.asarray(bt)))
-        ltd = jax.device_put(jnp.asarray(lt))
+        sub = dk.SEQ_SUB
+        lbmax = -(-max(LEN, 16) // 16) * 16
+        nbk = Bd // (sub * 128)
+
+        @jax.jit
+        def build(key):
+            c = jax.random.randint(key, (nbk, sub, 128, LEN), 97, 123,
+                                   jnp.int32)
+            b = jnp.full((nbk, sub, 128, lbmax), -2, jnp.int32)
+            b = b.at[..., :LEN].set(c)
+            b_cols = b.transpose(0, 3, 1, 2).reshape(nbk * lbmax, sub, 128)
+            lb = jnp.full((nbk, sub, 128), LEN, jnp.int32)
+            return b_cols, lb
+
+        btd, ltd = build(jax.random.PRNGKey(7))
+        btd = jax.block_until_ready(btd)
+        # exactness spot-check: one tile row fetched back (small transfer)
+        row0 = np.asarray(btd[:LEN, 0, 0])
+        from rapidfuzz_tpu import oracle as _orc
+        exp0 = _orc.damerau(query.astype(np.int64), row0.astype(np.int64))
+        got = np.asarray(dk.damerau_seq_1v_many(
+            query, btd, ltd, lbmax=lbmax, interpret=interpret))[0]
+        assert int(got) == exp0, (int(got), exp0)
         fn = lambda: dk.damerau_seq_1v_many(query, btd, ltd, lbmax=lbmax,
                                             interpret=interpret)
         pairs_per_s, _ = _rate(fn, Bd, interpret)
