@@ -641,7 +641,124 @@ def _run_sq16(q, la, b_cols16, lb16, *, sub=SEQ_SUB, lbmax=64,
     )(q, la, b_cols16, lb16)
 
 
-I16_CHAR_MAX = 32000   # int16 staging only valid when every char id fits
+def _kernel_sq16m(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
+                  kk_ref, *, sub: int, lbmax: int):
+    """Compare-free int16 :func:`_kernel_sq` — mask algebra only.
+
+    v5e Mosaic rejects ``arith.cmpi`` on packed int16 vectors ("Target
+    does not support this comparison"), so this body never compares:
+    equality masks come from ``~(((d) | -(d)) >> 15)`` (all-ones where
+    ``d == 0``), less-than masks from ``(a - b) >> 15``, selects from
+    ``y ^ ((x ^ y) & m)`` and minima from the same mask — add/sub/
+    bitwise/arithmetic-shift only.  Value bounds: every operand pair
+    subtracted stays within +-2^15 (scores < ``BIG16 + SEQ_LA_MAX_I16``,
+    chars <= ``I16_CHAR_MAX``).  Semantics identical to
+    :func:`_kernel_sq16` (verified against it and the oracle in
+    interpret mode); hardware validation gated on
+    ``experiments/i16_ops_probe.py``.
+    """
+    I16 = jnp.int16
+    la = la_ref[0]
+    lb = lb_ref[0]
+    zeros = jnp.zeros((sub, LANE), I16)
+    bigs = jnp.full((sub, LANE), BIG16, I16)
+    one = I16(1)
+    fifteen = I16(15)
+
+    def eq_m(a, b):                    # -1 where a == b
+        d = a - b
+        return ~((d | -d) >> fifteen)
+
+    def sel(m, x, y):                  # where(m, x, y), m in {-1, 0}
+        return y ^ ((x ^ y) & m)
+
+    def min_(a, b):                    # elementwise min, |a-b| < 2^15
+        return sel((a - b) >> fifteen, a, b)
+
+    for j in range(lbmax):
+        dp_ref[0, j] = zeros + I16(j + 1)
+        dp_ref[1, j] = bigs
+        fr_ref[j] = bigs
+        kk_ref[j] = zeros
+
+    def row(i, carry):
+        par = i & 1
+        ai = q_ref[i - 1].astype(I16)
+        i16 = i.astype(I16)
+        ii = zeros + i16
+        d_left = ii
+        d_diag = ii - one
+        d_diag_prev = bigs
+        d2_left = sel(~((ii - I16(2)) >> fifteen), ii - I16(2), bigs)
+        reg_l = zeros
+        reg_t = bigs
+        for j in range(lbmax):
+            jcol = I16(j + 1)
+            c2 = b_ref[j]
+            eqm = eq_m(c2, ai)
+            d_up = dp_ref[1 - par, j]
+            d2 = dp_ref[par, j]
+            fr = fr_ref[j]
+            k = kk_ref[j]
+            cost = (~eqm) & one
+            cand = min_(d_diag + cost, min_(d_up, d_left) + one)
+            djL = jcol - reg_l
+            iK = i16 - k
+            m1 = eq_m(djL, zeros + one)
+            mik = eq_m(iK, zeros + one)
+            tr = sel(m1, fr + iK, reg_t + djL)
+            tr = sel(m1 | mik, tr, bigs)
+            new = min_(cand, sel(eqm, bigs, tr))
+            fr_ref[j] = sel(eqm, d_diag_prev, fr)
+            kk_ref[j] = sel(eqm, ii, k)
+            reg_t = sel(eqm, d2_left, reg_t)
+            reg_l = sel(eqm, zeros + jcol, reg_l)
+            dp_ref[par, j] = new
+            d_left = new
+            d_diag_prev = d_diag
+            d_diag = d_up
+            d2_left = d2
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+
+    res = zeros + la.astype(I16)
+    parf = la & 1
+    for j in range(lbmax):
+        res = sel(eq_m(lb, zeros + I16(j + 1)), dp_ref[parf, j], res)
+    out_ref[0] = res
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "lbmax", "interpret"))
+def _run_sq16m(q, la, b_cols16, lb16, *, sub=SEQ_SUB, lbmax=64,
+               interpret=False):
+    nblocks = b_cols16.shape[0] // lbmax
+    kern = functools.partial(_kernel_sq16m, sub=sub, lbmax=lbmax)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((lbmax, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, sub, LANE), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((2, lbmax, sub, LANE), jnp.int16),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int16),
+                        pltpu.VMEM((lbmax, sub, LANE), jnp.int16)],
+        interpret=interpret,
+    )(q, la, b_cols16, lb16)
+
+
+I16_CHAR_MAX = 16000   # int16 staging only valid when every char id fits
+                       # AND |char - char| < 2^15 for the mask-algebra
+                       # body's compare-free equality (the dense vocab
+                       # remap keeps real corpora far below this)
 
 def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
                        sub: int = SEQ_SUB, lbmax: int | None = None,
@@ -698,15 +815,16 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    i16_env = os.environ.get("RAPIDFUZZ_TPU_DAMERAU_I16", "")
     i16 = (np.dtype(getattr(b_cols, "dtype", np.int32)) == np.int16
            and la <= SEQ_LA_MAX_I16
-           and (interpret
-                or os.environ.get("RAPIDFUZZ_TPU_DAMERAU_I16") == "1"))
+           and (interpret or i16_env in ("1", "mask")))
     if i16:
         # query chars beyond int16 can't match any int16-staged corpus
         # char; replace with -3 (pads are -2) so the cast can't alias
         qpad = np.where(np.abs(qpad) > I16_CHAR_MAX, -3, qpad)
-        run = functools.partial(_run_sq16, sub=sub, lbmax=lbmax,
+        body = _run_sq16m if i16_env == "mask" else _run_sq16
+        run = functools.partial(body, sub=sub, lbmax=lbmax,
                                 interpret=interpret)
     else:
         run = functools.partial(_run_sq, sub=sub, lbmax=lbmax,
