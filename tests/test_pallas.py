@@ -627,6 +627,46 @@ def test_damerau_seq_variant():
         assert (e == lens).all()
 
 
+def test_damerau_seq_int16_mask_body():
+    """The compare-free mask-algebra int16 body (``_kernel_sq16m`` —
+    add/sub/bitwise/arith-shift only, for Mosaic targets without packed
+    i16 cmpi) matches the cmp-based i16 body and the oracle, and routes
+    under RAPIDFUZZ_TPU_DAMERAU_I16=mask."""
+    import os
+
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(67)
+    LB, sub = 20, 8
+    B = sub * 128
+    lens = rng.integers(0, LB + 1, B).astype(np.int32)
+    lens[:3] = [0, 1, LB]
+    chars = np.full((B, LB), -2, np.int32)
+    for i, l in enumerate(lens):
+        chars[i, :l] = rng.integers(97, 102, l)
+    bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens, sub=sub,
+                                          dtype=np.int16)
+    q = rng.integers(97, 102, 13).astype(np.int64)
+    qpad, la = dk._encode_query_rows(q)
+    args = (jnp.asarray(qpad), jnp.array([la], np.int32),
+            jnp.asarray(bc), jnp.asarray(lt))
+    a = np.asarray(dk._run_sq16m(*args, sub=sub, lbmax=lbmax,
+                                 interpret=True)).reshape(-1)
+    b = np.asarray(dk._run_sq16(*args, sub=sub, lbmax=lbmax,
+                                interpret=True)).reshape(-1)
+    assert (a == b).all()
+    for i in list(range(0, B, 211)) + [0, 1, 2]:
+        exp = oracle.damerau(q, chars[i, :lens[i]].astype(np.int64))
+        assert a[i] == exp, (i, a[i], exp)
+    os.environ["RAPIDFUZZ_TPU_DAMERAU_I16"] = "mask"
+    try:
+        out = np.asarray(dk.damerau_seq_1v_many(q, bc, lt, lbmax=lbmax,
+                                                sub=sub, interpret=True))
+        assert (out == a).all()
+    finally:
+        del os.environ["RAPIDFUZZ_TPU_DAMERAU_I16"]
+
+
 def test_damerau_seq_int16_routing():
     """int16 staging/routing edges of the sequential-pair kernel:
     ``dtype=np.int16`` stages int16 tiles (experimental 2-per-lane body;
