@@ -61,12 +61,21 @@ def main():
                                        jnp.asarray(lens), LB=LB)
         cand3 = jax.block_until_ready(jax.device_put(cand3))
 
+        # stage query tables ONCE (BatchComparator pattern) — the r3 run
+        # of this probe rebuilt + uploaded the band tables inside the
+        # timed window, polluting every crossover row (staging was ~4.8ms
+        # of a ~7ms call at LB=512)
+        staged_full = lk.stage_query(q, "local")
         tf, full = timeit(lambda: lck.lcs_1v_many(q, cand3, lb2,
-                                                  mode="byte"))
+                                                  mode="local",
+                                                  staged=staged_full))
         full = np.asarray(full).reshape(-1)
         for cutoff in (15, 31, 47):
+            stb = jax.block_until_ready(jnp.asarray(
+                lbk.build_shifted_tables(q, "local", LB,
+                                         lbk.band_words(cutoff))))
             tb, sim = timeit(lambda: lbk.lcs_banded_1v_many(
-                q, cand3, lb2, cutoff=cutoff, mode="byte", cmax=122))
+                q, cand3, lb2, cutoff=cutoff, mode="local", staged=stb))
             sim = np.asarray(sim).reshape(-1)
             indel = 2 * LB - 2 * full
             inband = indel <= cutoff
