@@ -271,54 +271,97 @@ int64_t rf_damerau_rows(const int64_t* a, int64_t n1_, const int64_t* b,
     return damerau_rows(a, n1, b, n2);
 }
 
+// Reusable buffers for the full-matrix Damerau (microsecond one-shot
+// class: per-call vector allocations and the 135KB zero-init at len 128
+// were ~half the call).
+struct DamScratch {
+    vector<int32_t> d;
+    vector<int64_t> syms;
+    vector<uint32_t> aid, bid;
+    vector<int32_t> da;
+};
+
+static DamScratch& dam_scratch() {
+    static thread_local DamScratch s;
+    return s;
+}
+
 int64_t rf_damerau(const int64_t* a, int64_t n1_, const int64_t* b, int64_t n2_) {
     size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
     strip_affix(a, n1, b, n2);
     if (n1 == 0) return (int64_t)n2;
     if (n2 == 0) return (int64_t)n1;
-    if ((n1 + 2) * (n2 + 2) > (size_t)1 << 24)     // full matrix > ~128 MB
+    if ((n1 + 2) * (n2 + 2) > (size_t)1 << 24)     // full matrix > ~64 MB
         return damerau_rows(a, n1, b, n2);
-    int64_t INF = (int64_t)(n1 + n2);
-    size_t R = n1 + 2, C = n2 + 2;
-    vector<int64_t> d(R * C);
-    auto D = [&](size_t i, size_t j) -> int64_t& { return d[i * C + j]; };
-    D(0, 0) = INF;
-    for (size_t i = 0; i <= n1; i++) { D(i + 1, 0) = INF; D(i + 1, 1) = (int64_t)i; }
-    for (size_t j = 0; j <= n2; j++) { D(0, j + 1) = INF; D(1, j + 1) = (int64_t)j; }
+    DamScratch& ds = dam_scratch();
+    int32_t INF = (int32_t)(n1 + n2);
+    size_t C = n2 + 2;
+    ds.d.resize((n1 + 2) * C);         // interior cells written row by row
+    int32_t* d = ds.d.data();
+    d[0] = INF;
+    for (size_t i = 0; i <= n1; i++) {
+        d[(i + 1) * C] = INF;
+        d[(i + 1) * C + 1] = (int32_t)i;
+    }
+    for (size_t j = 0; j <= n2; j++) {
+        d[j + 1] = INF;
+        d[C + j + 1] = (int32_t)j;
+    }
 
-    // last row index (1-based) where each symbol occurred in `a`
-    // symbols are arbitrary int64: use a small map via sorted vector
-    vector<int64_t> syms(a, a + n1);
-    syms.insert(syms.end(), b, b + n2);
-    std::sort(syms.begin(), syms.end());
-    syms.erase(std::unique(syms.begin(), syms.end()), syms.end());
-    auto sym_id = [&](int64_t c) -> size_t {
-        return (size_t)(std::lower_bound(syms.begin(), syms.end(), c) - syms.begin());
-    };
-    vector<int64_t> da(syms.size(), 0);
-    // hoist the per-symbol binary search out of the O(N*M) loop: a
-    // lower_bound per CELL dominated the whole DP (measured ~3x)
-    vector<size_t> aid(n1), bid(n2);
-    for (size_t i = 0; i < n1; i++) aid[i] = sym_id(a[i]);
-    for (size_t j = 0; j < n2; j++) bid[j] = sym_id(b[j]);
+    // last row index (1-based) where each symbol occurred in `a`: a
+    // direct 256-entry table when every char is small (the dominant
+    // case), else ids via one sorted-unique pass (never per cell)
+    ds.aid.resize(n1);
+    ds.bid.resize(n2);
+    size_t nsym;
+    bool small = true;
+    for (size_t i = 0; i < n1 && small; i++) small = (uint64_t)a[i] < 256;
+    for (size_t j = 0; j < n2 && small; j++) small = (uint64_t)b[j] < 256;
+    if (small) {
+        for (size_t i = 0; i < n1; i++) ds.aid[i] = (uint32_t)a[i];
+        for (size_t j = 0; j < n2; j++) ds.bid[j] = (uint32_t)b[j];
+        nsym = 256;
+    } else {
+        vector<int64_t>& syms = ds.syms;
+        syms.assign(a, a + n1);
+        syms.insert(syms.end(), b, b + n2);
+        std::sort(syms.begin(), syms.end());
+        syms.erase(std::unique(syms.begin(), syms.end()), syms.end());
+        nsym = syms.size();
+        for (size_t i = 0; i < n1; i++)
+            ds.aid[i] = (uint32_t)(std::lower_bound(syms.begin(),
+                                                    syms.end(), a[i])
+                                   - syms.begin());
+        for (size_t j = 0; j < n2; j++)
+            ds.bid[j] = (uint32_t)(std::lower_bound(syms.begin(),
+                                                    syms.end(), b[j])
+                                   - syms.begin());
+    }
+    ds.da.assign(nsym, 0);
+    const uint32_t* aid = ds.aid.data();
+    const uint32_t* bid = ds.bid.data();
+    int32_t* da = ds.da.data();
 
     for (size_t i = 1; i <= n1; i++) {
-        int64_t db = 0;
+        int32_t db = 0;                 // last col l<j with b[l]==a[i]
+        const int32_t* up = d + i * C;  // matrix row i   (cell row i-1)
+        int32_t* out = d + (i + 1) * C; // matrix row i+1 (cell row i)
+        int64_t ac = a[i - 1];
         for (size_t j = 1; j <= n2; j++) {
-            int64_t k = da[bid[j - 1]];         // last row < i with a[k]==b[j]
-            int64_t l = db;                     // last col < j with b[l]==a[i]
-            int64_t cost = 1;
-            if (a[i - 1] == b[j - 1]) { cost = 0; db = (int64_t)j; }
-            int64_t v = min(min(D(i, j) + cost,            // substitution
-                                D(i + 1, j) + 1),          // insertion
-                            D(i, j + 1) + 1);              // deletion
-            v = min(v, D((size_t)k, (size_t)l) + (int64_t)(i - k - 1) + 1 +
-                           (int64_t)(j - l - 1));          // transposition
-            D(i + 1, j + 1) = v;
+            int32_t k = da[bid[j - 1]]; // last row < i with a[k]==b[j]
+            int32_t l = db;
+            int32_t cost = 1;
+            if (ac == b[j - 1]) { cost = 0; db = (int32_t)j; }
+            int32_t v = min(min(up[j] + cost,              // substitution
+                                out[j] + 1),               // insertion
+                            up[j + 1] + 1);                // deletion
+            int32_t tr = d[(size_t)k * C + (size_t)l]      // transposition
+                       + ((int32_t)i - k - 1) + 1 + ((int32_t)j - l - 1);
+            out[j + 1] = min(v, tr);
         }
-        da[aid[i - 1]] = (int64_t)i;
+        da[aid[i - 1]] = (int32_t)i;
     }
-    return D(n1 + 1, n2 + 1);
+    return d[(n1 + 1) * C + n2 + 1];
 }
 
 // ---------------------------------------------------------------- Hamming
