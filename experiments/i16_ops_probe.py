@@ -36,7 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 I16 = jnp.int16
-SHAPE = (8, 128, 2)       # the sublane x lane x packing layout that failed
+# (16, 128) is the layout the shipped _kernel_sq16* bodies use (sublane x
+# lane; Mosaic packs two i16 per 32-bit lane internally).  (8, 128, 2) is
+# the literal shape from the r3 error message — but as a Pallas array its
+# LANE dim is 2, an unrepresentative tiling whose failures may be layout
+# artifacts, so both are probed (run with an argv shape like "16,128").
+SHAPE = (16, 128)
 
 
 def run_case(name, body, check=None):
@@ -67,7 +72,10 @@ def run_case(name, body, check=None):
 
 
 def main():
-    print(f"device: {jax.devices()[0]}")
+    global SHAPE
+    if len(sys.argv) > 1:
+        SHAPE = tuple(int(v) for v in sys.argv[1].split(","))
+    print(f"device: {jax.devices()[0]}  shape: {SHAPE}")
     run_case("add", lambda x, y: x + y, lambda x, y: x + y)
     run_case("sub", lambda x, y: x - y, lambda x, y: x - y)
     run_case("and", lambda x, y: x & y, lambda x, y: x & y)
