@@ -654,8 +654,14 @@ def _kernel_sq16m(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
     subtracted stays within +-2^15 (scores < ``BIG16 + SEQ_LA_MAX_I16``,
     chars <= ``I16_CHAR_MAX``).  Semantics identical to
     :func:`_kernel_sq16` (verified against it and the oracle in
-    interpret mode); hardware validation gated on
-    ``experiments/i16_ops_probe.py``.
+    interpret mode).
+
+    Hardware verdict (round 4): v5e Mosaic rejects BOTH i16 bodies at the
+    real (16, 128) tile shape — this one too, because int16 ``sub``/
+    ``neg``/shifts also fail to lower (``evidence/i16_ops_probe_r4.log``,
+    ``evidence/damerau_sq16m_probe_r4.log``).  Kept for interpret-mode
+    conformance and future hardware; the production default stays the
+    int32 :func:`_kernel_sq`.
     """
     I16 = jnp.int16
     la = la_ref[0]
