@@ -796,11 +796,12 @@ class CorpusScanner:
                              or not bool(np.any(np.asarray(qk) == 0)))):
                     bw = _cbk.band_words(band_cut)
                     Wq = max(1, -(-int(q.size) // 32))
-                    # measured v5e (evidence/lcs_band_speed_r3.log):
-                    # bw=1: 1.46x at 256 chars, 1.88x at 512; bw=2:
-                    # 1.24-1.31x; bw=3 loses (0.87-0.99x) — route only
-                    # the measured wins
-                    if bw <= 2 and Wq >= 8:
+                    # measured v5e with staging amortized (evidence/
+                    # lcs_band_speed_r4.log): every bw wins from Wq >= 8
+                    # (256 chars: 1.13-1.35x; 512: 1.23-1.54x, incl.
+                    # bw=3) and loses at Wq=2 (0.78-0.92x) — route on
+                    # query width alone
+                    if Wq >= 8:
                         sim = np.asarray(_cbk.lcs_banded_1v_many(
                             np.asarray(qk, np.int32), cand3, self.lb2,
                             cutoff=band_cut, mode=mode, cmax=self._cmax,
