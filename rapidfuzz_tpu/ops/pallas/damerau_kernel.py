@@ -1008,7 +1008,7 @@ def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
 
 
 MAX_TEXT_LONG = 4096   # NB * sub scratch budget (sub shrinks as NB grows
-                       # to hold the 4 row structures within ~4 MB VMEM)
+                       # to hold the 4 row structures within ~8 MB VMEM)
 
 
 def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
@@ -1025,7 +1025,11 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
     nb = max(1, -(-LB // LANE))
     if sub is None:
         sub = pick_sub(B)
-        while sub * nb > 2048 and sub > 8:
+        # sub * nb == 4096 puts the 4 row structures at 8 MB VMEM — fits
+        # v5e next to the candidate tile, and the full-height sub=128 is
+        # 1.46x sub=64 at nb=32 (evidence/damerau_long_sub_probe_r4.log:
+        # 147 vs 217 us/pair, 3.4x the XLA path at 4096 chars)
+        while sub * nb > 4096 and sub > 8:
             sub //= 2
     b = np.full((B, nb * LANE), -2, np.int32)
     b[:, :LB] = np.where(chars < 0, -2, chars)
