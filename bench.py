@@ -421,17 +421,26 @@ def _measure(phase: str):
         import numpy as np
         from rapidfuzz_tpu.ops.pallas import lcs_band_kernel as cbk
         LENB = 512
-        Bb = 1 << 17 if not interpret else 1 << 10
+        # B = 1M: at 2^17 the ~6 ms fixed dispatch cost dominated the
+        # ~0.9 ms kernel and recorded 28M for a 167M kernel
+        # (evidence/lcs_band_ablate_r4.log)
+        Bb = 1 << 20 if not interpret else 1 << 10
         rngb = np.random.default_rng(11)
         qb = rngb.integers(97, 123, LENB).astype(np.int32)
-        charsb = np.broadcast_to(qb, (Bb, LENB)).copy()
-        mut = rngb.integers(0, LENB, (Bb, 4))
-        for k in range(4):                      # ~4 edits per candidate
-            charsb[np.arange(Bb), mut[:, k]] = rngb.integers(97, 123, Bb)
-        cand3b, lb2b = lk.prepare_corpus(
-            jnp.asarray(charsb), jnp.asarray(np.full(Bb, LENB, np.int32)),
-            LB=LENB)
-        cand3b = jax.block_until_ready(jax.device_put(cand3b))
+
+        @jax.jit
+        def build_band(key):
+            # ~4 expected edits per candidate, built ON DEVICE (a host
+            # build would upload 2 GB through the tunnel)
+            k1, k2 = jax.random.split(key)
+            r = jax.random.randint(k1, (Bb, LENB), 97, 123, jnp.int32)
+            m = jax.random.uniform(k2, (Bb, LENB)) < (4.0 / LENB)
+            c = jnp.where(m, r, jnp.asarray(qb)[None, :])
+            return lk.prepare_corpus(c, jnp.full((Bb,), LENB, jnp.int32),
+                                     LB=LENB)
+
+        cand3b, lb2b = build_band(jax.random.PRNGKey(13))
+        cand3b = jax.block_until_ready(cand3b)
         # stage the per-step tables ONCE (the BatchComparator pattern,
         # exactly like the lev banded phase): without this the window
         # times host table construction + a 256KB tunnel upload per call,
