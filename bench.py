@@ -308,7 +308,10 @@ def _measure(phase: str):
         from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
-        Bd = 1 << 18 if not interpret else 1 << 10
+        # B = 1M: at 2^18 the per-call host floor (query upload through
+        # the tunnel) hid ~40% of the kernel (30M recorded for a ~63M
+        # kernel; 50M at 2^20 — see r4 damerau B sweep)
+        Bd = 1 << 20 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
