@@ -87,10 +87,18 @@ def main():
              lambda x, y: (x - y) >> 15)
     run_case("shl1", lambda x, y: x << I16(1), lambda x, y: (x << 1))
     run_case("mul", lambda x, y: x * y, lambda x, y: x * y)
-    run_case("cmpi_eq+select", lambda x, y: jnp.where(x == y, x, y))
-    run_case("cmpi_ne+select", lambda x, y: jnp.where(x != y, x, y))
-    run_case("cmpi_slt+select", lambda x, y: jnp.where(x < y, x, y))
-    run_case("cmpi_sge+select", lambda x, y: jnp.where(x >= y, x, y))
+    # NOTE: where(x == y, x, y) canonicalizes to y — the compare never
+    # reaches Mosaic and the case "passes" vacuously (this probe's first
+    # run reported eq/ne OK that way; the real kernel then failed on
+    # arith.cmpi eq).  The +3 arm makes every select non-foldable.
+    run_case("cmpi_eq+select", lambda x, y: jnp.where(x == y, y + I16(3), y),
+             lambda x, y: np.where(x == y, y + 3, y))
+    run_case("cmpi_ne+select", lambda x, y: jnp.where(x != y, y + I16(3), y),
+             lambda x, y: np.where(x != y, y + 3, y))
+    run_case("cmpi_slt+select", lambda x, y: jnp.where(x < y, y + I16(3), y),
+             lambda x, y: np.where(x < y, y + 3, y))
+    run_case("cmpi_sge+select", lambda x, y: jnp.where(x >= y, y + I16(3), y),
+             lambda x, y: np.where(x >= y, y + 3, y))
     run_case("minimum", lambda x, y: jnp.minimum(x, y),
              lambda x, y: np.minimum(x, y))
     run_case("maximum", lambda x, y: jnp.maximum(x, y),
@@ -115,10 +123,13 @@ def main():
                  x.astype(jnp.int32) == y.astype(jnp.int32),
                  jnp.int32(1), jnp.int32(0)).astype(I16),
              lambda x, y: (x == y).astype(np.int16))
-    # i32 mask driving an i16 select (the r3 "Invalid relayout" suspect)
+    # i32 mask driving an i16 select (the r3 "Invalid relayout" suspect);
+    # non-foldable arms (see note above)
     run_case("i32mask_i16_select",
              lambda x, y: jnp.where(
-                 x.astype(jnp.int32) == y.astype(jnp.int32), x, y))
+                 x.astype(jnp.int32) == y.astype(jnp.int32),
+                 y + I16(3), y),
+             lambda x, y: np.where(x == y, y + 3, y))
 
 
 if __name__ == "__main__":
