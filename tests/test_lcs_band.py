@@ -105,7 +105,9 @@ def test_scanner_banded_indel_route(rng, monkeypatch):
            for c in corpus]
     qe = np.frombuffer(q.encode(), np.uint8).astype(np.int64)
 
-    for metric, cut in [("indel", 8), ("indel", 0), ("lcs_seq", 6)]:
+    # indel 47 -> bw=3, routable by default since the r4 retune
+    for metric, cut in [("indel", 8), ("indel", 0), ("indel", 47),
+                        ("lcs_seq", 6)]:
         sc = CorpusScanner(corpus, metric=metric)
         res = sc.distances(q, score_cutoff=cut)
         vals, valid = np.asarray(res.values), np.asarray(res.valid)
