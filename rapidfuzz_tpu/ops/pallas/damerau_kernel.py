@@ -1041,8 +1041,8 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
 def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                          sub: int, interpret: bool = False,
                          mesh=None) -> jnp.ndarray:
-    """One-vs-many unrestricted Damerau for 128 < candidates <= 2048
-    chars -> int32[B].  With a multi-device ``mesh``, per-shard via
+    """One-vs-many unrestricted Damerau for 128 < candidates <=
+    ``MAX_TEXT_LONG`` (4096) chars -> int32[B].  With a multi-device ``mesh``, per-shard via
     ``shard_map`` (``sub`` must divide the per-shard row count)."""
     lens = jnp.asarray(lb_tiles)[:, 0]     # stays on device (no transfer)
     qpad, la = _encode_query_rows(query)
