@@ -271,6 +271,51 @@ def _c_hamming():
     return n, time.perf_counter() - t0
 
 
+def _c_damerau_long4k():
+    """The 4096-char long-kernel bucket through the scanner, full-corpus
+    oracle verify (the probes sample; this checks every entry)."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(34)
+    corpus = []
+    for _ in range(192):
+        L = int(rng.integers(2100, 4097))
+        corpus.append("".join(chr(97 + int(c))
+                              for c in rng.integers(0, 8, L)))
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    qs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 8, L))
+          for L in (64, 256)]
+    cases = [(None, None, q) for q in qs]
+    return _verify("damerau_long4k", sc, corpus, oracle.damerau, cases)
+
+
+def _c_jaro_scan_many():
+    """Jaro-family grouped multi-query dispatches vs oracle."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(35)
+    corpus = _mixed_corpus(rng, n_ascii=256, n_small=96, n_uni=48,
+                           n_bound=24, n_long=16, maxlen=64, longmax=96)
+    sc = CorpusScanner(corpus, metric="jaro_winkler")
+    queries = ["", "a"] + [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, L))
+        for L in (7, 24, 40, 64)]
+    t0 = time.perf_counter()
+    vals = sc.scan_many(queries)
+    t_first = time.perf_counter() - t0
+    n = 0
+    for qi, q in enumerate(queries):
+        qe = _enc(q)
+        for i, s in enumerate(corpus):
+            exp = 1.0 - oracle.jaro_winkler(qe, _enc(s))
+            assert abs(float(vals[qi, i]) - exp) < 1e-9, \
+                ("jaro_scan_many", qi, i, vals[qi, i], exp)
+            n += 1
+    return n, t_first
+
+
 def _c_scan_many():
     """Multi-query grouped dispatches (the nq kernel) + topk, vs oracle.
 
@@ -327,6 +372,8 @@ CHECKS = {
     "partial": _c_partial,
     "hamming": _c_hamming,
     "scan_many": _c_scan_many,
+    "damerau_long4k": _c_damerau_long4k,
+    "jaro_scan_many": _c_jaro_scan_many,
 }
 
 
