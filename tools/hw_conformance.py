@@ -250,7 +250,8 @@ def _c_partial():
 
 
 def _c_hamming():
-    """Batch API (no scanner: hamming is same-length pairwise)."""
+    """Scalar one-shot AND the aligned batch API (no scanner: hamming is
+    same-length pairwise)."""
     from rapidfuzz_tpu import oracle
     from rapidfuzz_tpu.distance import hamming
 
@@ -263,11 +264,14 @@ def _c_hamming():
             a = "".join(chr(97 + int(c)) for c in rng.integers(0, 5, L))
             b = "".join(chr(97 + int(c)) for c in rng.integers(0, 5, L))
             pairs.append((a, b))
-        for a, b in pairs:
+        many = np.asarray(hamming.distance_many(
+            [a for a, _ in pairs], [b for _, b in pairs]).values)
+        for i, (a, b) in enumerate(pairs):
             got = hamming.distance(a, b)
             exp = oracle.hamming(_enc(a), _enc(b))
             assert int(got) == int(exp), (L, a[:12], b[:12], got, exp)
-            n += 1
+            assert int(many[i]) == int(exp), ("many", L, i, many[i], exp)
+            n += 2
     return n, time.perf_counter() - t0
 
 
