@@ -19,6 +19,15 @@ elements per lane and the widened compares don't relayout-thrash, the
 model predicts up to ~1.6x.  Validates compile + exactness against the
 shipped int32 `_run_sq`, then rates both at B = 2^20.
 
+HARDWARE VERDICT (r4, evidence/damerau_sq16h_probe_r4.log): dies on
+``arith.cmpi eq vector<8x128x2xi16>`` — v5e has NO i16 vector compares
+at all.  The ops probe's earlier compare "OK"s were canonicalization
+artifacts (``where(x==y, x, y)`` folds to ``y``); the fold-proof rerun
+(evidence/i16_ops_probe_16x128_r4.log) shows only add/and/or/xor/not
+lower.  A DP needs min + eq, so no i16 body is expressible on this
+hardware.  Interpret-mode semantics stay verified; do not re-run on
+v5e.
+
 Run on the TPU:  python -u experiments/damerau_sq16h_probe.py
 """
 
