@@ -1007,8 +1007,9 @@ def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
     )(q, la, b_tiles, lb_tiles)
 
 
-MAX_TEXT_LONG = 4096   # NB * sub scratch budget (sub shrinks as NB grows
-                       # to hold the 4 row structures within ~8 MB VMEM)
+MAX_TEXT_LONG = 8192   # NB * sub scratch budget (sub shrinks as NB grows
+                       # to hold the 4 row structures within ~8 MB VMEM:
+                       # nb=64 runs at sub=64, same footprint as 4096@128)
 
 
 def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
@@ -1028,8 +1029,13 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
         # sub * nb == 4096 puts the 4 row structures at 8 MB VMEM — fits
         # v5e next to the candidate tile, and the full-height sub=128 is
         # 1.46x sub=64 at nb=32 (evidence/damerau_long_sub_probe_r4.log:
-        # 147 vs 217 us/pair, 3.4x the XLA path at 4096 chars)
-        while sub * nb > 4096 and sub > 8:
+        # 147 vs 217 us/pair, 3.4x the XLA path at 4096 chars).  Mosaic's
+        # stack temporaries also grow with the nb-block unroll: nb=64 at
+        # sub=64 needs 20.95M scoped VMEM vs the 16M core limit while
+        # nb=47 at sub=64 fits (evidence/damerau_long_8k_oom_r4.log), so
+        # past 48 blocks the tile height halves again
+        while (sub * nb > 4096 or (nb > 48 and sub * nb > 2048)) \
+                and sub > 8:
             sub //= 2
     b = np.full((B, nb * LANE), -2, np.int32)
     b[:, :LB] = np.where(chars < 0, -2, chars)
@@ -1042,7 +1048,7 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                          sub: int, interpret: bool = False,
                          mesh=None) -> jnp.ndarray:
     """One-vs-many unrestricted Damerau for 128 < candidates <=
-    ``MAX_TEXT_LONG`` (4096) chars -> int32[B].  With a multi-device ``mesh``, per-shard via
+    ``MAX_TEXT_LONG`` (8192) chars -> int32[B].  With a multi-device ``mesh``, per-shard via
     ``shard_map`` (``sub`` must divide the per-shard row count)."""
     lens = jnp.asarray(lb_tiles)[:, 0]     # stays on device (no transfer)
     qpad, la = _encode_query_rows(query)

@@ -235,7 +235,7 @@ class CorpusScanner:
         self._wide = self._pallas and self._cmax >= 256
         # the Damerau kernel keeps DP columns on the lane axis: any int32
         # alphabet, candidates <= 128 chars, 32 rows x (128/seg) segments
-        # per tile; 128 < LB <= MAX_TEXT_LONG (4096) uses the multi-block
+        # per tile; 128 < LB <= MAX_TEXT_LONG (8192) uses the multi-block
         # long form with reduction-free cross-block carry injection
         from ..ops.pallas import damerau_kernel as _dk_gate
         self._dam_pallas = ((mesh_tpu or bool(force))

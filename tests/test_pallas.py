@@ -436,6 +436,37 @@ def test_damerau_long_kernel_2048():
         assert out[i] == exp, (i, out[i], exp)
 
 
+def test_damerau_long_kernel_8192():
+    """4096 < LB <= 8192 buckets on device (14-bit packed-scan columns,
+    nb up to 64 at sub <= 64): round-4 extension of MAX_TEXT_LONG —
+    previously these fell to the XLA scan."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    assert dk.MAX_TEXT_LONG == 8192
+    rng = np.random.default_rng(43)
+    Bs, LB, qlen = 8, 8192, 72
+    q = rng.integers(97, 123, qlen).astype(np.int32)
+    chars = np.full((Bs, LB), -1, np.int32)
+    lens = np.zeros(Bs, np.int32)
+    for i in range(Bs):
+        n = int(rng.integers(4097, LB + 1)) if i else LB
+        arr = rng.integers(97, 123, n).astype(np.int32)
+        if i % 2 == 0:
+            arr[:qlen] = q               # query-like prefixes
+        chars[i, :n] = arr
+        lens[i] = n
+    # transposition straddling a block seam in the new >4096 region
+    chars[1, 6143], chars[1, 6144] = chars[1, 6144], chars[1, 6143]
+    bt, lt, nb, sub = dk.prepare_corpus_long(chars, lens)
+    assert nb == 64 and sub * nb <= 4096   # budget holds at the new cap
+    out = np.asarray(dk.damerau_long_1v_many(q, bt, lt, nb=nb, sub=sub,
+                                             interpret=True))
+    for i in range(Bs):
+        exp = oracle.damerau(
+            q.astype(np.int64), chars[i, : lens[i]].astype(np.int64))
+        assert out[i] == exp, (i, out[i], exp)
+
+
 def test_jaro_stream_multiword_query():
     """Jaro stream with a multi-word query (W > 1): cross-word window
     shifts and claim chains under the fori form."""

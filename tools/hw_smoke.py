@@ -248,6 +248,17 @@ def _route_damerau_long():
                        n_check=16)
 
 
+def _route_damerau_long8k():
+    """>4096-char bucket (nb up to 64 at sub <= 64): default-routable
+    since MAX_TEXT_LONG rose to 8192."""
+    from rapidfuzz_tpu import oracle
+    rng = np.random.default_rng(24)
+    corpus = _corpus(rng, 16, 4097, 6000)
+    q = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 128))
+    return _check_scan("damerau_levenshtein", corpus, q, oracle.damerau,
+                       n_check=8)
+
+
 def _route_partial():
     from rapidfuzz_tpu import oracle
     rng = np.random.default_rng(15)
@@ -299,6 +310,7 @@ ROUTES = {
     "wlev": _route_wlev,
     "damerau_seq": _route_damerau_seq,
     "damerau_long": _route_damerau_long,
+    "damerau_long8k": _route_damerau_long8k,
     "partial": _route_partial,
     "editops": _route_editops,
 }
