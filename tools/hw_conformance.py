@@ -294,6 +294,26 @@ def _c_damerau_long4k():
     return _verify("damerau_long4k", sc, corpus, oracle.damerau, cases)
 
 
+def _c_damerau_long8k():
+    """The 4096-8192-char long-kernel region (MAX_TEXT_LONG 8192, nb up
+    to 64 at half-height tiles) through the scanner, full-corpus oracle
+    verify."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(36)
+    corpus = []
+    for _ in range(96):
+        L = int(rng.integers(4097, 8193))
+        corpus.append("".join(chr(97 + int(c))
+                              for c in rng.integers(0, 8, L)))
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    qs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 8, L))
+          for L in (64, 256)]
+    cases = [(None, None, q) for q in qs]
+    return _verify("damerau_long8k", sc, corpus, oracle.damerau, cases)
+
+
 def _c_jaro_scan_many():
     """Jaro-family grouped multi-query dispatches vs oracle."""
     from rapidfuzz_tpu import oracle
@@ -377,6 +397,7 @@ CHECKS = {
     "hamming": _c_hamming,
     "scan_many": _c_scan_many,
     "damerau_long4k": _c_damerau_long4k,
+    "damerau_long8k": _c_damerau_long8k,
     "jaro_scan_many": _c_jaro_scan_many,
 }
 
