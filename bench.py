@@ -39,7 +39,7 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # variance.  Keeping it last means a slow partial can never starve the
 # cheaper phases of budget.
 EXTRAS = ("indel", "osa", "jaro", "banded", "indelband",
-          "damerau", "partial")
+          "damerau", "damlong", "partial")
 
 
 def _child_env():
@@ -170,7 +170,8 @@ def main():
         # compile at every first dispatch (measured with a warm local
         # cache; tunnel variance took one clean run to 302s) — give it a
         # window that covers compile + variance or skip it outright
-        need = {"damerau": 420.0, "partial": 420.0}.get(phase, 90.0)
+        need = {"damerau": 420.0, "damlong": 240.0,
+                "partial": 420.0}.get(phase, 90.0)
         if remaining < need:
             extras[f"{phase}_skipped"] = "budget exhausted"
             continue
@@ -337,6 +338,45 @@ def _measure(phase: str):
         assert int(got) == exp0, (int(got), exp0)
         fn = lambda: dk.damerau_seq_1v_many(query, btd, ltd, lbmax=lbmax,
                                             interpret=interpret)
+        pairs_per_s, _ = _rate(fn, Bd, interpret)
+        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        return
+    if phase == "damlong":
+        # 8192-char candidate bucket on the multi-block long kernel
+        # (MAX_TEXT_LONG extension; hardware profile in
+        # evidence/damerau_long_8k_r4.log: nb=64 at sub=32, 1.3x the
+        # XLA scan).  Corpus built on device; tiny B — the metric is
+        # per-pair cell throughput at O(N*M) = 4.2M cells/pair.
+        import numpy as np
+        from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+        rng = np.random.default_rng(42)
+        qlen = 512 if not interpret else 24
+        LB = dk.MAX_TEXT_LONG if not interpret else 256
+        Bd = 128 if not interpret else 8
+        query = rng.integers(97, 123, qlen, dtype=np.int32)
+        nbk = -(-LB // 128)
+        sub = 32 if not interpret else 8
+        if sub * nbk > 2048:
+            sub = max(8, 2048 // nbk)
+
+        @jax.jit
+        def build(key):
+            b = jax.random.randint(key, (Bd, nbk * 128), 97, 123,
+                                   jnp.int32)
+            b = jnp.where(jnp.arange(nbk * 128) < LB, b, -2)
+            lb = jnp.full((Bd, 128), LB, jnp.int32)
+            return b, lb
+
+        btd, ltd = build(jax.random.PRNGKey(7))
+        btd = jax.block_until_ready(btd)
+        row0 = np.asarray(btd[0, :LB])
+        from rapidfuzz_tpu import oracle as _orc
+        exp0 = _orc.damerau(query.astype(np.int64), row0.astype(np.int64))
+        got = np.asarray(dk.damerau_long_1v_many(
+            query, btd, ltd, nb=nbk, sub=sub, interpret=interpret))[0]
+        assert int(got) == exp0, (int(got), exp0)
+        fn = lambda: dk.damerau_long_1v_many(query, btd, ltd, nb=nbk,
+                                             sub=sub, interpret=interpret)
         pairs_per_s, _ = _rate(fn, Bd, interpret)
         print(json.dumps({"pairs_per_s": pairs_per_s}))
         return
