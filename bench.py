@@ -39,7 +39,7 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # variance.  Keeping it last means a slow partial can never starve the
 # cheaper phases of budget.
 EXTRAS = ("indel", "osa", "jaro", "banded", "indelband",
-          "damerau", "damlong", "partial")
+          "damerau", "partial", "damlong")
 
 
 def _child_env():
