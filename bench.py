@@ -355,9 +355,9 @@ def _measure(phase: str):
         Bd = 128 if not interpret else 8
         query = rng.integers(97, 123, qlen, dtype=np.int32)
         nbk = -(-LB // 128)
-        sub = 32 if not interpret else 8
-        if sub * nbk > 2048:
-            sub = max(8, 2048 // nbk)
+        # same tile-height rule the library route uses (ADVICE r4: do
+        # not duplicate the heuristic here)
+        sub = dk.pick_sub_long(Bd, nbk)
 
         @jax.jit
         def build(key):

@@ -1,8 +1,10 @@
 """Hardware probe: long Damerau kernel extended to 8192-char candidates.
 
 Round-4 extension: MAX_TEXT_LONG 4096 -> 8192.  nb=64 column blocks run
-at sub=64 under the same 4-structure 8 MB VMEM scratch budget
-(sub * nb <= 4096); the packed last-match scan moves to 14-bit columns
+at sub=32 (past 48 blocks Mosaic's unroll-scaled stack temporaries
+force sub * nb <= 2048 half-height tiles — nb=64 at sub=64 wants 20.95M
+scoped VMEM vs the 16M limit, evidence/damerau_long_8k_oom_r4.log);
+the packed last-match scan moves to 14-bit columns
 (PBIG = 65536, still < 2^31 after the shift).  Gate: oracle-exact on a
 sample, and the 8192 bucket beats the XLA path it previously fell to.
 Timing uses pipelined windows with fresh queries + one-element fetch

@@ -1008,8 +1008,32 @@ def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
 
 
 MAX_TEXT_LONG = 8192   # NB * sub scratch budget (sub shrinks as NB grows
-                       # to hold the 4 row structures within ~8 MB VMEM:
-                       # nb=64 runs at sub=64, same footprint as 4096@128)
+                       # to hold the 4 row structures within ~8 MB VMEM;
+                       # past 48 blocks Mosaic's unroll-scaled stack
+                       # temporaries force sub * nb <= 2048, so nb=64
+                       # runs at sub=32 — see the rule in
+                       # prepare_corpus_long and
+                       # evidence/damerau_long_8k_oom_r4.log)
+
+
+def pick_sub_long(rows: int, nb: int) -> int:
+    """Tile height for the long kernel's (sub, nb) scratch layout.
+
+    sub * nb == 4096 puts the 4 row structures at 8 MB VMEM — fits v5e
+    next to the candidate tile, and the full-height sub=128 is 1.46x
+    sub=64 at nb=32 (evidence/damerau_long_sub_probe_r4.log: 147 vs
+    217 us/pair, 3.4x the XLA path at 4096 chars).  Mosaic's stack
+    temporaries also grow with the nb-block unroll: nb=64 at sub=64
+    needs 20.95M scoped VMEM vs the 16M core limit while nb=47 at
+    sub=64 fits (evidence/damerau_long_8k_oom_r4.log), so from 48
+    blocks on the tile height halves again (nb=48 at sub=64 is within
+    ~0.3M of the 16M limit and was never hardware-verified — treated
+    as over, per ADVICE r4).
+    """
+    sub = pick_sub(rows)
+    while (sub * nb > 4096 or (nb >= 48 and sub * nb > 2048)) and sub > 8:
+        sub //= 2
+    return sub
 
 
 def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
@@ -1025,18 +1049,7 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
                          "the XLA Damerau path")
     nb = max(1, -(-LB // LANE))
     if sub is None:
-        sub = pick_sub(B)
-        # sub * nb == 4096 puts the 4 row structures at 8 MB VMEM — fits
-        # v5e next to the candidate tile, and the full-height sub=128 is
-        # 1.46x sub=64 at nb=32 (evidence/damerau_long_sub_probe_r4.log:
-        # 147 vs 217 us/pair, 3.4x the XLA path at 4096 chars).  Mosaic's
-        # stack temporaries also grow with the nb-block unroll: nb=64 at
-        # sub=64 needs 20.95M scoped VMEM vs the 16M core limit while
-        # nb=47 at sub=64 fits (evidence/damerau_long_8k_oom_r4.log), so
-        # past 48 blocks the tile height halves again
-        while (sub * nb > 4096 or (nb > 48 and sub * nb > 2048)) \
-                and sub > 8:
-            sub //= 2
+        sub = pick_sub_long(B, nb)
     b = np.full((B, nb * LANE), -2, np.int32)
     b[:, :LB] = np.where(chars < 0, -2, chars)
     lbt = np.broadcast_to(lens.astype(np.int32).reshape(B, 1),

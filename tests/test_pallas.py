@@ -459,6 +459,13 @@ def test_damerau_long_kernel_8192():
     chars[1, 6143], chars[1, 6144] = chars[1, 6144], chars[1, 6143]
     bt, lt, nb, sub = dk.prepare_corpus_long(chars, lens)
     assert nb == 64 and sub * nb <= 4096   # budget holds at the new cap
+    # the >=48-block tile-height rule must hold regardless of B: a
+    # sub=64/nb=64 configuration OOMs on hardware
+    # (evidence/damerau_long_8k_oom_r4.log), and interpret-mode tests
+    # cannot see it — check the rule directly (ADVICE r4)
+    assert dk.pick_sub_long(128, 64) * 64 <= 2048
+    assert dk.pick_sub_long(128, 48) * 48 <= 2048
+    assert dk.pick_sub_long(128, 47) * 47 <= 4096
     out = np.asarray(dk.damerau_long_1v_many(q, bt, lt, nb=nb, sub=sub,
                                              interpret=True))
     for i in range(Bs):
