@@ -39,7 +39,7 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # variance.  Keeping it last means a slow partial can never starve the
 # cheaper phases of budget.
 EXTRAS = ("indel", "osa", "jaro", "banded", "indelband",
-          "damerau", "partial", "damlong")
+          "damerau", "damband", "wlev", "partial", "damlong")
 
 
 def _child_env():
@@ -170,20 +170,44 @@ def main():
         # compile at every first dispatch (measured with a warm local
         # cache; tunnel variance took one clean run to 302s) — give it a
         # window that covers compile + variance or skip it outright
-        need = {"damerau": 420.0, "damlong": 240.0,
-                "partial": 420.0}.get(phase, 90.0)
+        need = {"damerau": 420.0, "damband": 360.0, "wlev": 240.0,
+                "damlong": 240.0, "partial": 420.0}.get(phase, 90.0)
         if remaining < need:
             extras[f"{phase}_skipped"] = "budget exhausted"
             continue
         t0 = time.time()
-        try:
-            r = _run_phase(phase, min(max(240.0, need), remaining))
+        # same record discipline the lev headline gets (round 3 proved
+        # undefended phases eventually enshrine a bad number): phases
+        # report their own in-run kernel-rate reference (quarter-batch
+        # dispatch-floor split, _rate_with_ref); <0.5x amortization is a
+        # stalled-tunnel artifact and is retried once, <0.9x is recorded
+        # but marked degraded
+        r = None
+        for attempt in range(2):
+            try:
+                r = _run_phase(phase, min(max(240.0, need), remaining))
+            except (subprocess.TimeoutExpired, RuntimeError) as e:
+                extras[f"{phase}_error"] = str(e)[-200:]
+                print(f"[bench] {phase} failed in {time.time()-t0:.0f}s",
+                      file=sys.stderr)
+                break
+            am = r.get("dispatch_amortization")
+            if am is not None and am < 0.5 and attempt == 0 \
+                    and deadline - time.time() - 10.0 > need:
+                print(f"[bench] {phase}: {am:.2f}x amortization — "
+                      "stalled tunnel, retrying", file=sys.stderr)
+                continue
+            break
+        if r is not None:
             extras[f"{phase}_pairs_per_s"] = r["pairs_per_s"]
+            if "kernel_ref_pairs_per_s" in r:
+                extras[f"{phase}_kernel_ref_pairs_per_s"] = \
+                    r["kernel_ref_pairs_per_s"]
+                extras[f"{phase}_dispatch_amortization"] = \
+                    r["dispatch_amortization"]
+                if r["dispatch_amortization"] < 0.9:
+                    extras[f"{phase}_degraded"] = True
             print(f"[bench] {phase} ok in {time.time()-t0:.0f}s",
-                  file=sys.stderr)
-        except (subprocess.TimeoutExpired, RuntimeError) as e:
-            extras[f"{phase}_error"] = str(e)[-200:]
-            print(f"[bench] {phase} failed in {time.time()-t0:.0f}s",
                   file=sys.stderr)
 
     target = 1e9
@@ -285,6 +309,34 @@ def _rate(fn, B, interpret):
     return B / best, best
 
 
+def _rate_with_ref(fn, fn_quarter, B, interpret):
+    """(official pairs/s, kernel-rate reference, amortization).
+
+    The axon tunnel's fixed per-dispatch host cost does not shrink with
+    B; timing the same kernel at B and B/4 separates it:
+    ``fixed = (4*t_q - t_full)/3`` and ``kernel_t = t_full - fixed``.
+    The reference lets the parent mark records whose dispatch
+    amortization has collapsed (<0.9x) as ``degraded`` instead of
+    silently enshrining them — the same defense the lev headline gets
+    from the nq phase (VERDICT r4 weak #1: the official indelband
+    recorded 0.68x its own kernel rate with nothing noticing).
+    """
+    rate, t_full = _rate(fn, B, interpret)
+    _, t_q = _rate(fn_quarter, max(B // 4, 1), interpret)
+    fixed = max(0.0, (4.0 * t_q - t_full) / 3.0)
+    kern_t = max(t_full - fixed, 1e-9)
+    ref = B / kern_t
+    return rate, ref, min(rate / ref, 1.0)
+
+
+def _emit_ref(rate, ref, amort, extra=None):
+    out = {"pairs_per_s": rate, "kernel_ref_pairs_per_s": ref,
+           "dispatch_amortization": amort}
+    if extra:
+        out["extra"] = extra
+    print(json.dumps(out))
+
+
 def _measure(phase: str):
     jax = _setup_jax()
     import numpy as np
@@ -309,10 +361,11 @@ def _measure(phase: str):
         from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
-        # B = 1M: at 2^18 the per-call host floor (query upload through
+        # B = 2M: at 2^18 the per-call host floor (query upload through
         # the tunnel) hid ~40% of the kernel (30M recorded for a ~63M
-        # kernel; 50M at 2^20 — see r4 damerau B sweep)
-        Bd = 1 << 20 if not interpret else 1 << 10
+        # kernel; 50M at 2^20 — see r4 damerau B sweep); 2^21 puts the
+        # ~2.3 ms fixed dispatch cost under 10% of the ~40 ms kernel
+        Bd = 1 << 21 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
@@ -338,8 +391,61 @@ def _measure(phase: str):
         assert int(got) == exp0, (int(got), exp0)
         fn = lambda: dk.damerau_seq_1v_many(query, btd, ltd, lbmax=lbmax,
                                             interpret=interpret)
-        pairs_per_s, _ = _rate(fn, Bd, interpret)
-        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        nq4 = max(nbk // 4, 1)
+        btq, ltq = btd[: nq4 * lbmax], ltd[:nq4]
+        fnq = lambda: dk.damerau_seq_1v_many(query, btq, ltq, lbmax=lbmax,
+                                             interpret=interpret)
+        _emit_ref(*_rate_with_ref(fn, fnq, Bd, interpret))
+        return
+    if phase == "damband":
+        # cutoff-banded sequential pairs (|i-j| <= 7 band, W=15 of 64
+        # columns walked): the round-5 lever on the family's slowest
+        # metric — dedup scans always carry a cutoff, and the reference
+        # only uses it as a Delta-len guard
+        # (damerau_levenshtein.rs:111-168)
+        import numpy as np
+        from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+        query = np.random.default_rng(42).integers(97, 123, LEN,
+                                                   dtype=np.int32)
+        KB = 7
+        Bd = 1 << 23 if not interpret else 1 << 10
+        sub = dk.SEQ_SUB
+        lbmax = -(-max(LEN, 16) // 16) * 16
+        nbk = Bd // (sub * 128)
+
+        @jax.jit
+        def build(key):
+            # ~4 expected edits per candidate so a real fraction of the
+            # corpus lands under the cutoff (the dedup workload shape)
+            k1, k2 = jax.random.split(key)
+            r = jax.random.randint(k1, (nbk, sub, 128, LEN), 97, 123,
+                                   jnp.int32)
+            m = jax.random.uniform(k2, (nbk, sub, 128, LEN)) \
+                < (4.0 / LEN)
+            c = jnp.where(m, r, jnp.asarray(query)[None, None, None, :])
+            b = jnp.full((nbk, sub, 128, lbmax), -2, jnp.int32)
+            b = b.at[..., :LEN].set(c)
+            b_cols = b.transpose(0, 3, 1, 2).reshape(nbk * lbmax, sub,
+                                                     128)
+            lb = jnp.full((nbk, sub, 128), LEN, jnp.int32)
+            return b_cols, lb
+
+        btd, ltd = build(jax.random.PRNGKey(17))
+        btd = jax.block_until_ready(btd)
+        row0 = np.asarray(btd[:LEN, 0, 0])
+        from rapidfuzz_tpu import oracle as _orc
+        exp0 = _orc.damerau(query.astype(np.int64), row0.astype(np.int64))
+        got = int(np.asarray(dk.damerau_seqband_1v_many(
+            query, btd, ltd, lbmax=lbmax, kband=KB,
+            interpret=interpret))[0])
+        assert (got == exp0) if exp0 <= KB else (got > KB), (got, exp0)
+        fn = lambda: dk.damerau_seqband_1v_many(
+            query, btd, ltd, lbmax=lbmax, kband=KB, interpret=interpret)
+        nq4 = max(nbk // 4, 1)
+        btq, ltq = btd[: nq4 * lbmax], ltd[:nq4]
+        fnq = lambda: dk.damerau_seqband_1v_many(
+            query, btq, ltq, lbmax=lbmax, kband=KB, interpret=interpret)
+        _emit_ref(*_rate_with_ref(fn, fnq, Bd, interpret))
         return
     if phase == "damlong":
         # 8192-char candidate bucket on the multi-block long kernel
@@ -377,8 +483,12 @@ def _measure(phase: str):
         assert int(got) == exp0, (int(got), exp0)
         fn = lambda: dk.damerau_long_1v_many(query, btd, ltd, nb=nbk,
                                              sub=sub, interpret=interpret)
-        pairs_per_s, _ = _rate(fn, Bd, interpret)
-        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        nq4 = max(Bd // 4, sub)
+        fnq = lambda: dk.damerau_long_1v_many(
+            query, btd[:nq4], ltd[:nq4], nb=nbk, sub=sub,
+            interpret=interpret)
+        rate, ref, amort = _rate_with_ref(fn, fnq, Bd, interpret)
+        _emit_ref(rate, ref, amort)
         return
     # the nq phase emits an [NQ, B/128, 128] i32 result — cap its corpus
     # so output + corpus stay well inside HBM at NQ=16; partial does
@@ -494,8 +604,12 @@ def _measure(phase: str):
         fn = lambda: cbk.lcs_banded_1v_many(qb, cand3b, lb2b, cutoff=15,
                                             mode="local", staged=stb,
                                             interpret=interpret)
-        pairs_per_s, _ = _rate(fn, Bb, interpret)
-        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        nq4 = max(lb2b.shape[0] // 4, 1)
+        c3q, lbq = cand3b[:, :nq4], lb2b[:nq4]
+        fnq = lambda: cbk.lcs_banded_1v_many(qb, c3q, lbq, cutoff=15,
+                                             mode="local", staged=stb,
+                                             interpret=interpret)
+        _emit_ref(*_rate_with_ref(fn, fnq, Bb, interpret))
         return
 
     if phase == "partial":
@@ -509,8 +623,37 @@ def _measure(phase: str):
         fn = lambda: pk.partial_ratio_1v_many(
             qp, cand3, lb2, mode=mode, staged=stp,
             interpret=interpret)[0]
-        pairs_per_s, _ = _rate(fn, B, interpret)
-        print(json.dumps({"pairs_per_s": pairs_per_s}))
+        nq4 = max(lb2.shape[0] // 4, 1)
+        c3q, lbq = cand3[:, :nq4], lb2[:nq4]
+        fnq = lambda: pk.partial_ratio_1v_many(
+            qp, c3q, lbq, mode=mode, staged=stp, interpret=interpret)[0]
+        _emit_ref(*_rate_with_ref(fn, fnq, B, interpret))
+        return
+
+    if phase == "wlev":
+        # weighted Levenshtein one-vs-many (weights 1,2,3) — the last
+        # unmeasured kernel family in the official record; the reference
+        # benches generic Levenshtein as a first-class curve
+        # (rapidfuzz-benches/benches/bench_generic_levenshtein.rs:28-40)
+        from rapidfuzz_tpu import oracle
+        from rapidfuzz_tpu.ops.pallas import wlev_kernel as wk
+        out = wk.wlev_1v_many(query, cand3, lb2, ins=1, dele=2,
+                              sub_cost=3, mode=mode, interpret=interpret)
+        for i, row in sampled:
+            got = int(out[i // 128, i % 128])
+            exp = oracle.levenshtein_weighted(query.astype(np.int64),
+                                              row.astype(np.int64),
+                                              1, 2, 3)
+            assert got == exp, (i, got, exp)
+        fn = lambda: wk.wlev_1v_many(query, cand3, lb2, ins=1, dele=2,
+                                     sub_cost=3, mode=mode,
+                                     interpret=interpret)
+        nq4 = max(lb2.shape[0] // 4, 1)
+        c3q, lbq = cand3[:, :nq4], lb2[:nq4]
+        fnq = lambda: wk.wlev_1v_many(query, c3q, lbq, ins=1, dele=2,
+                                      sub_cost=3, mode=mode,
+                                      interpret=interpret)
+        _emit_ref(*_rate_with_ref(fn, fnq, B, interpret))
         return
 
     if phase == "indel":

@@ -855,6 +855,205 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     return jnp.reshape(out, (-1,)).astype(jnp.int32)
 
 
+# ------------------------------------ cutoff-banded sequential pairs
+
+def _kernel_sqband(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
+                   kk_ref, ch_ref, *, sub: int, lbmax: int, kband: int):
+    """Cutoff-banded :func:`_kernel_sq`: O(k*M) instead of O(N*M).
+
+    Every DP cell satisfies ``D[i][j] >= |i - j|`` (each edit op moves
+    the length balance by at most one; a transposition moves it by zero
+    and costs one), so under ``score_cutoff = k`` any cell with
+    ``|i - j| > k`` is irrelevant: its true value exceeds the cutoff,
+    and an optimal path with total cost <= k only touches cells whose
+    value (hence ``|i - j|``) is <= k — including the jump cell
+    ``D[k-1][l-1]`` a Zhao-Sahni transposition references, which lies on
+    the path.  Out-of-band references therefore clamp to BIG; returned
+    values are exact wherever the true distance is <= ``kband`` and some
+    value > ``kband`` otherwise (callers mask on the cutoff).  The
+    reference computes the full O(N*M) even under a cutoff
+    (``damerau_levenshtein.rs:111-168`` uses it only as a Delta-len
+    guard); the band discipline follows its Levenshtein small-band
+    kernel (``levenshtein.rs:509-617``).
+
+    Layout: band-relative storage.  Position ``p`` of row ``i`` holds
+    column ``j = i - kband + p`` (W = 2k+1 positions).  With ping-pong
+    parity buffers this makes every neighbour read a static offset in
+    the unrolled position walk:
+
+    * ``D[i-1][j-1]`` (diag)  = ``dp[1-par, p]``
+    * ``D[i-1][j]``  (up)     = ``dp[1-par, p+1]``
+    * ``D[i-2][j-1]``         = ``dp[par, p+1]`` (read before overwrite)
+    * ``FR[j]`` / ``K[j]``    = ``fr[p+1]`` / ``kk[p+1]`` — the per-row
+      band shift merges with their update (write at ``p``)
+
+    Boundary column-0 values are stored in-band (``D[i][0] = i``), so
+    boundaries propagate through the same reads; pad slots (index W)
+    hold BIG/0 and are never written, so the column entering the band
+    at the right edge picks up fresh inits for free.  The text chars
+    ride a shifting window in scratch: one dynamic leading-axis load
+    per row (the new rightmost column), the rest static copies.
+    """
+    W = 2 * kband + 1
+    la = la_ref[0]
+    lb = lb_ref[0]
+    zeros = jnp.zeros((sub, LANE), jnp.int32)
+    bigs = jnp.full((sub, LANE), BIG, jnp.int32)
+
+    # row 0 (parity 0): D[0][j] = j at position p = j + kband; cols < 0
+    # don't exist (BIG).  row -1 (parity 1): all BIG.  pads: BIG.
+    for p in range(W + 1):
+        dp_ref[0, p] = (zeros + (p - kband)) if p >= kband and p < W \
+            else bigs
+        dp_ref[1, p] = bigs
+        fr_ref[p] = bigs
+        kk_ref[p] = zeros
+    # char window for row 1: position p holds col 1 - kband + p
+    for p in range(W):
+        col = 1 - kband + p
+        ch_ref[p] = b_ref[col - 1] if 1 <= col <= lbmax \
+            else jnp.full((sub, LANE), -2, jnp.int32)
+
+    def row(i, carry):
+        par = i & 1
+        ai = q_ref[i - 1]
+        # left init: D[i][i-k-1] — boundary i iff that column is 0
+        d_left = jnp.where(i == kband + 1, zeros + i, bigs)
+        d_diag_prev = bigs                # D[i-1][i-k-2]: out of band
+        reg_l = zeros                     # last in-row match col < jcol
+        reg_t = bigs                      # D[i-2][reg_l - 1]
+        for p in range(W):
+            jcol = i - kband + p          # traced scalar
+            c2 = ch_ref[p]
+            eq = c2 == ai
+            d_diag = dp_ref[1 - par, p]
+            d_up = dp_ref[1 - par, p + 1]
+            d2_left = dp_ref[par, p + 1]  # D[i-2][jcol-1], pre-overwrite
+            fr = fr_ref[p + 1]
+            k = kk_ref[p + 1]
+            cost = jnp.where(eq, 0, 1)
+            cand = jnp.minimum(d_diag + cost,
+                               jnp.minimum(d_up, d_left) + 1)
+            djL = jcol - reg_l
+            iK = i - k
+            m1 = djL == 1
+            tr = jnp.where(m1, fr + iK, reg_t + djL)
+            tr = jnp.where(m1 | (iK == 1), tr, BIG)
+            new = jnp.minimum(cand, jnp.where(eq, BIG, tr))
+            new = jnp.where(jcol >= 1, new,
+                            jnp.where(jcol == 0, zeros + i, bigs))
+            fr_ref[p] = jnp.where(eq, d_diag_prev, fr)
+            kk_ref[p] = jnp.where(eq, zeros + i, k)
+            reg_t = jnp.where(eq, d2_left, reg_t)
+            reg_l = jnp.where(eq, zeros + jcol, reg_l)
+            dp_ref[par, p] = new
+            d_left = new
+            d_diag_prev = d_diag
+        # shift the char window for row i+1 (ascending: read-ahead)
+        for p in range(W - 1):
+            ch_ref[p] = ch_ref[p + 1]
+        idx = i + kband                   # 0-based char index of new col
+        safe = jnp.minimum(idx, lbmax - 1)
+        cw = b_ref[pl.dslice(safe, 1)][0]
+        ch_ref[W - 1] = jnp.where(idx < lbmax, cw,
+                                  jnp.full((sub, LANE), -2, jnp.int32))
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+
+    # D[la][lb] sits at position lb - la + kband (col-0 boundary storage
+    # makes lb == 0 come out as la automatically); |la - lb| > kband
+    # keeps BIG — above any cutoff <= kband, masked by the caller
+    res = bigs
+    parf = la & 1
+    for p in range(W):
+        res = jnp.where(lb == la - kband + p, dp_ref[parf, p], res)
+    out_ref[0] = res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sub", "lbmax", "kband", "interpret"))
+def _run_sqband(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64, kband=7,
+                interpret=False):
+    W = 2 * kband + 1
+    nblocks = b_cols.shape[0] // lbmax
+    kern = functools.partial(_kernel_sqband, sub=sub, lbmax=lbmax,
+                             kband=kband)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((lbmax, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, sub, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W, sub, LANE), jnp.int32)],
+        interpret=interpret,
+    )(q, la, b_cols, lb_t)
+
+
+DAM_BAND_BUCKETS = (3, 7, 15)   # static band radii (compile keys); a
+                                # cutoff routes to the smallest bucket
+                                # >= it — a wider band is still exact
+                                # for all results <= the cutoff
+
+
+def pick_dam_band(cutoff: int, lbmax: int):
+    """Band-bucket radius for ``score_cutoff``, or None when the band
+    would not be meaningfully narrower than the full column walk."""
+    for kb in DAM_BAND_BUCKETS:
+        if cutoff <= kb:
+            if 2 * kb + 1 <= lbmax // 2:
+                return kb
+            return None
+    return None
+
+
+def damerau_seqband_1v_many(query: np.ndarray, b_cols, lb_t, *,
+                            lbmax: int, kband: int, sub: int = SEQ_SUB,
+                            interpret: bool = False,
+                            mesh=None) -> jnp.ndarray:
+    """One-vs-many cutoff-banded Damerau -> int32[B].
+
+    ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`
+    (int32 staging).  Results are exact wherever the true distance is
+    <= ``kband`` and exceed ``kband`` otherwise — callers must mask on
+    a ``score_cutoff <= kband``.
+    """
+    qpad, la = _encode_query_rows(query)
+    if la == 0:
+        return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    b_cols = jnp.asarray(b_cols)
+    lb_t = jnp.asarray(lb_t)
+    if b_cols.dtype == jnp.int16:
+        b_cols = b_cols.astype(jnp.int32)
+        lb_t = lb_t.astype(jnp.int32)
+    run = functools.partial(_run_sqband, sub=sub, lbmax=lbmax,
+                            kband=kband, interpret=interpret)
+    args = (jnp.asarray(qpad), jnp.array([la], jnp.int32))
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        out = jax.jit(jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P(), P("data", None, None),
+                      P("data", None, None)),
+            out_specs=P("data", None, None), check_vma=False))(
+                *args, b_cols, lb_t)
+    else:
+        out = run(*args, b_cols, lb_t)
+    return jnp.reshape(out, (-1,)).astype(jnp.int32)
+
+
 # ------------------------------------------------- long candidates (>128)
 
 def _pack_params(nb: int):

@@ -601,6 +601,21 @@ class CorpusScanner:
                 return self._wide_xla_fallback(q)
         if self._dam_pallas and self._dam_seq:
             from ..ops.pallas import damerau_kernel as _dk
+            if score_cutoff is not None and score_cutoff >= 0:
+                # cutoff-banded sequential pairs: O(k*M) instead of
+                # O(N*M).  The reference uses the cutoff only as a
+                # Delta-len guard (damerau_levenshtein.rs:111-168); on
+                # device the |i-j| <= k band is the big lever — results
+                # above the band come back > kband and are masked
+                # invalid by distances(), same (values, valid) contract
+                kb = _dk.pick_dam_band(int(score_cutoff),
+                                       self._dam_lbmax)
+                if kb is not None and int(score_cutoff) == score_cutoff:
+                    return _dk.damerau_seqband_1v_many(
+                        q, self._dam_b, self._dam_lb,
+                        lbmax=self._dam_lbmax, kband=kb,
+                        interpret=self._interpret,
+                        mesh=self.mesh if self._ndev > 1 else None)
             return _dk.damerau_seq_1v_many(
                 q, self._dam_b, self._dam_lb, lbmax=self._dam_lbmax,
                 interpret=self._interpret,

@@ -665,6 +665,96 @@ def test_damerau_seq_variant():
         assert (e == lens).all()
 
 
+def test_damerau_seqband_kernel():
+    """Cutoff-banded sequential-pair Damerau (``_kernel_sqband``):
+    exact wherever the true distance <= kband, and > kband otherwise,
+    across band radii, bucket widths, and query-longer/shorter-than-
+    text shapes — including transposition-dense near-query candidates
+    (the band must carry Zhao-Sahni's FR/K structures through the
+    moving window).  The reference computes the full O(N*M) under a
+    cutoff (``damerau_levenshtein.rs:111-168``); the band discipline
+    matches its Levenshtein small-band kernel
+    (``levenshtein.rs:509-617``)."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(61)
+    Bs = dk.SEQ_SUB * 128
+    for alpha, maxlen, qlen, kb in [(4, 64, 64, 7), (26, 64, 60, 3),
+                                    (6, 48, 80, 15), (26, 100, 128, 7)]:
+        chars = np.full((Bs, maxlen), -1, np.int32)
+        lens = rng.integers(0, maxlen + 1, Bs).astype(np.int32)
+        lens[:4] = [0, 1, maxlen, min(qlen, maxlen)]
+        for i in range(Bs):
+            chars[i, :lens[i]] = rng.integers(97, 97 + alpha, lens[i])
+        q = rng.integers(97, 97 + alpha, qlen).astype(np.int64)
+        # plant near-query candidates: few edits incl. transpositions
+        for i in range(16, 72):
+            c = q[: min(qlen, maxlen)].copy()
+            for _ in range(int(rng.integers(0, kb + 3))):
+                op = rng.integers(0, 3)
+                pos = int(rng.integers(0, max(1, len(c) - 1)))
+                if op == 0:
+                    c[pos] = rng.integers(97, 97 + alpha)
+                elif op == 1 and pos + 1 < len(c):
+                    c[pos], c[pos + 1] = c[pos + 1], c[pos]
+                else:
+                    c = np.delete(c, pos)
+            c = c[:maxlen]
+            chars[i, :] = -1
+            chars[i, : len(c)] = c
+            lens[i] = len(c)
+        bc, lt, lbmax = dk.prepare_corpus_seq(chars, lens)
+        out = np.asarray(dk.damerau_seqband_1v_many(
+            q, bc, lt, lbmax=lbmax, kband=kb, interpret=True))
+        for i in list(range(0, Bs, 97)) + list(range(0, 72)):
+            exp = oracle.damerau(q, chars[i, :lens[i]].astype(np.int64))
+            if exp <= kb:
+                assert out[i] == exp, (maxlen, kb, i, out[i], exp)
+            else:
+                assert out[i] > kb, (maxlen, kb, i, out[i], exp)
+        # empty query: distance == candidate length
+        e = np.asarray(dk.damerau_seqband_1v_many(
+            np.empty(0, np.int64), bc, lt, lbmax=lbmax, kband=kb,
+            interpret=True))
+        assert (e == lens).all()
+
+
+def test_damerau_band_scanner_route(monkeypatch):
+    """CorpusScanner routes small integer cutoffs to the banded Damerau
+    kernel and keeps the (values, valid) mask contract exact; larger
+    cutoffs stay on the full kernel (pick_dam_band gates on bucket
+    width)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    assert dk.pick_dam_band(3, 64) == 3
+    assert dk.pick_dam_band(4, 64) == 7
+    assert dk.pick_dam_band(15, 64) == 15
+    assert dk.pick_dam_band(16, 64) is None
+    assert dk.pick_dam_band(15, 48) is None    # band ~ full walk: skip
+    assert dk.pick_dam_band(7, 128) == 7
+
+    rng = np.random.default_rng(67)
+    corpus = []
+    for _ in range(500):
+        l = int(rng.integers(0, 65))
+        corpus.append("".join(chr(97 + int(c))
+                              for c in rng.integers(0, 7, l)))
+    q = corpus[7][:48] + "xy"
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    qe = np.array([ord(c) for c in q], np.int64)
+    for cut in (0, 2, 7, 15):
+        res = sc.distances(q, score_cutoff=cut)
+        for i, s in enumerate(corpus):
+            exp = oracle.damerau(
+                qe, np.array([ord(x) for x in s], np.int64))
+            if exp <= cut:
+                assert res.valid[i] and res.values[i] == exp, (cut, i)
+            else:
+                assert not res.valid[i], (cut, i, exp)
+
+
 def test_damerau_seq_int16_mask_body():
     """The compare-free mask-algebra int16 body (``_kernel_sq16m`` —
     add/sub/bitwise/arith-shift only, for Mosaic targets without packed

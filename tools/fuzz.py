@@ -265,6 +265,17 @@ def check_scanner(rng: random.Random, corpus: list) -> str | None:
             if ok != (exp is not None) or (ok and abs(v - exp) > tol):
                 return (f"scanner[{name}] cutoff {cut}: ({v}, {ok}) vs "
                         f"{exp} for q={q!r} s={s!r}")
+        if not f64:
+            # small-cutoff probe: integer metrics route banded kernels
+            # here (lev/indel band words, damerau |i-j| <= k band) —
+            # keep this dimension hot in every campaign
+            cut2 = rng.randint(0, 15)
+            res2 = sc.distances(q, score_cutoff=cut2)
+            for s, v, ok in zip(sample, res2.values, res2.valid):
+                exp = scalar(q, s, cutoff=cut2)
+                if ok != (exp is not None) or (ok and abs(v - exp) > tol):
+                    return (f"scanner[{name}] cutoff {cut2}: ({v}, {ok})"
+                            f" vs {exp} for q={q!r} s={s!r}")
         vals, ids = sc.topk(q, k=3)
         base = sorted(
             (scalar(q, s), i) for i, s in enumerate(sample))

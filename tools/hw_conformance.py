@@ -314,6 +314,39 @@ def _c_damerau_long8k():
     return _verify("damerau_long8k", sc, corpus, oracle.damerau, cases)
 
 
+def _c_damerau_band():
+    """Cutoff-banded Damerau (|i-j| <= k): <=128-char buckets under
+    small integer cutoffs route the band kernel; full-corpus oracle
+    verify of the (values, valid) mask across all three band radii,
+    Unicode included."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(38)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 12, 80))
+    corpus = []
+    for _ in range(1024):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 22))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(s) - 1)))
+            if op == 0:
+                s[p] = chr(97 + int(rng.integers(0, 26)))
+            elif op == 1 and p + 1 < len(s):
+                s[p], s[p + 1] = s[p + 1], s[p]
+            else:
+                del s[p]
+        corpus.append("".join(s))
+    corpus += ["", "a", base, base[:3], "Иванко", "Ивнако" + base[:40]]
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    cases = []
+    for cut in (0, 2, 3, 7, 12, 15):
+        cases.append((cut, None, base))
+        cases.append((cut, None, base[:40] + "Иванко"))
+    cases.append((16, None, base))     # just past the band gate: full
+    return _verify("damerau_band", sc, corpus, oracle.damerau, cases)
+
+
 def _c_jaro_scan_many():
     """Jaro-family grouped multi-query dispatches vs oracle."""
     from rapidfuzz_tpu import oracle
@@ -396,6 +429,7 @@ CHECKS = {
     "partial": _c_partial,
     "hamming": _c_hamming,
     "scan_many": _c_scan_many,
+    "damerau_band": _c_damerau_band,
     "damerau_long4k": _c_damerau_long4k,
     "damerau_long8k": _c_damerau_long8k,
     "jaro_scan_many": _c_jaro_scan_many,

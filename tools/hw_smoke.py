@@ -239,6 +239,28 @@ def _route_damerau_seq():
     return _check_scan("damerau_levenshtein", corpus, q, oracle.damerau)
 
 
+def _route_damerau_band():
+    """Cutoff-banded sequential-pair Damerau (|i-j| <= k band)."""
+    from rapidfuzz_tpu import oracle
+    rng = np.random.default_rng(18)
+    q = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 64))
+    corpus = []
+    for i in range(2048):          # cluster near the query so some pass
+        s = list(q)
+        for _ in range(int(rng.integers(0, 20))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(s) - 1)))
+            if op == 0:
+                s[p] = chr(97 + int(rng.integers(0, 26)))
+            elif op == 1 and p + 1 < len(s):
+                s[p], s[p + 1] = s[p + 1], s[p]
+            else:
+                del s[p]
+        corpus.append("".join(s))
+    return _check_scan("damerau_levenshtein", corpus, q, oracle.damerau,
+                       score_cutoff=7)
+
+
 def _route_damerau_long():
     from rapidfuzz_tpu import oracle
     rng = np.random.default_rng(14)
@@ -309,6 +331,7 @@ ROUTES = {
     "jaro_winkler": _route_jaro_winkler,
     "wlev": _route_wlev,
     "damerau_seq": _route_damerau_seq,
+    "damerau_band": _route_damerau_band,
     "damerau_long": _route_damerau_long,
     "damerau_long8k": _route_damerau_long8k,
     "partial": _route_partial,
