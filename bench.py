@@ -323,10 +323,14 @@ def _rate_with_ref(fn, fn_quarter, B, interpret):
     """
     rate, t_full = _rate(fn, B, interpret)
     _, t_q = _rate(fn_quarter, max(B // 4, 1), interpret)
-    fixed = max(0.0, (4.0 * t_q - t_full) / 3.0)
-    kern_t = max(t_full - fixed, 1e-9)
-    ref = B / kern_t
-    return rate, ref, min(rate / ref, 1.0)
+    if t_full > t_q * 1.05:
+        # two-point fit t(B) = fixed + B*c over (B, B/4)
+        kern_t = (t_full - t_q) * 4.0 / 3.0
+        amort = min(kern_t / t_full, 1.0)
+        return rate, B / kern_t, amort
+    # quarter batch took as long as the full one: timing noise floor
+    # (seen in CPU interpret runs) — no usable scaling signal
+    return rate, rate, 1.0
 
 
 def _emit_ref(rate, ref, amort, extra=None):
@@ -574,10 +578,18 @@ def _measure(phase: str):
         import numpy as np
         from rapidfuzz_tpu.ops.pallas import lcs_band_kernel as cbk
         LENB = 512
-        # B = 1M: at 2^17 the ~6 ms fixed dispatch cost dominated the
+        # B = 16M: at 2^17 the ~6 ms fixed dispatch cost dominated the
         # ~0.9 ms kernel and recorded 28M for a 167M kernel
-        # (evidence/lcs_band_ablate_r4.log)
-        Bb = 1 << 20 if not interpret else 1 << 10
+        # (evidence/lcs_band_ablate_r4.log); at 2^20 it still ate ~30%
+        # (official r4: 113.9M — VERDICT weak #1), and the round-5
+        # two-point fit put the true kernel at ~475M pairs/s, so even
+        # 2^22 sat at 0.74 amortization.  2^24 (8 GB packed, the lev
+        # phase's corpus scale) puts the ~3 ms fixed cost under 10% of
+        # the ~34 ms kernel.  Built in 1M chunks written into a
+        # preallocated buffer with donated dynamic_update_slice so peak
+        # device memory stays at corpus size + one chunk.
+        Bb = 1 << 24 if not interpret else 1 << 10
+        chunk = min(Bb, 1 << 20)
         rngb = np.random.default_rng(11)
         qb = rngb.integers(97, 123, LENB).astype(np.int32)
 
@@ -586,13 +598,26 @@ def _measure(phase: str):
             # ~4 expected edits per candidate, built ON DEVICE (a host
             # build would upload 2 GB through the tunnel)
             k1, k2 = jax.random.split(key)
-            r = jax.random.randint(k1, (Bb, LENB), 97, 123, jnp.int32)
-            m = jax.random.uniform(k2, (Bb, LENB)) < (4.0 / LENB)
+            r = jax.random.randint(k1, (chunk, LENB), 97, 123, jnp.int32)
+            m = jax.random.uniform(k2, (chunk, LENB)) < (4.0 / LENB)
             c = jnp.where(m, r, jnp.asarray(qb)[None, :])
-            return lk.prepare_corpus(c, jnp.full((Bb,), LENB, jnp.int32),
-                                     LB=LENB)
+            return lk.prepare_corpus(c, jnp.full((chunk,), LENB,
+                                                 jnp.int32), LB=LENB)
 
-        cand3b, lb2b = build_band(jax.random.PRNGKey(13))
+        nchunks = Bb // chunk
+        if nchunks == 1:
+            cand3b, lb2b = build_band(jax.random.PRNGKey(13))
+        else:
+            place = jax.jit(
+                lambda buf, part, i: jax.lax.dynamic_update_slice(
+                    buf, part, (0, i * (chunk // 128), 0)),
+                donate_argnums=0)
+            cand3b = jnp.zeros((LENB // 4, Bb // 128, 128), jnp.uint32)
+            for i in range(nchunks):
+                part, _ = build_band(jax.random.PRNGKey(13 + i))
+                cand3b = place(cand3b, part, i)
+                del part
+            lb2b = jnp.full((Bb // 128, 128), LENB, jnp.int32)
         cand3b = jax.block_until_ready(cand3b)
         # stage the per-step tables ONCE (the BatchComparator pattern,
         # exactly like the lev banded phase): without this the window

@@ -69,7 +69,14 @@ def main():
         "levenshtein_cutoff2": (lambda a, b:
                                 levenshtein.distance(a, b, score_cutoff=2)),
         "indel": indel.distance,
+        "indel_cutoff3": (lambda a, b:
+                          indel.distance(a, b, score_cutoff=3)),
         "lcs_seq": lcs_seq.distance,
+        # distance cutoff 2 == miss budget 4 at equal lengths (the
+        # reference's max_misses < 5 gate, lcs_seq.rs:488-532); cutoff 3
+        # maps to 6 misses and correctly stays on the full bp pass
+        "lcs_seq_cutoff2": (lambda a, b:
+                            lcs_seq.distance(a, b, score_cutoff=2)),
         "osa": osa.distance,
         "damerau_levenshtein": damerau_levenshtein.distance,
         "jaro": jaro.similarity,

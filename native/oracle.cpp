@@ -716,6 +716,75 @@ static int64_t lev_mbleven(const C* a, size_t m, const C* b,
     return best;
 }
 
+// Indel/LCS tiny-cutoff short-circuit (the reference's dedup
+// configuration for the LCS family: max_misses < 5 routes an op-table
+// walk, lcs_seq.rs:488-532, table :113-133).  Same generated-script
+// design as MblevenTable but ops come only from {del, ins} (LCS edits
+// have no substitution), and because a length-j {del,ins} script fixes
+// the parity of its delta, scripts of EVERY length <= 4 with the right
+// delta are enumerated (padded with 0 = stop).  Exact when the indel
+// distance <= k, else returns k + 1.  Callers guarantee: affixes
+// stripped, 1 <= k <= 4, m >= n, m - n <= k.
+struct IndelMblevenTable {
+    uint8_t ops[5][5][16][4];    // [k][diff][script][pos]; 0 = stop
+    uint8_t cnt[5][5];
+    IndelMblevenTable() : ops(), cnt() {
+        for (int k = 1; k <= 4; k++)
+            for (int j = 1; j <= k; j++)
+                for (int code = 0; code < (1 << j); code++) {
+                    uint8_t o[4] = {0, 0, 0, 0};
+                    int nd = 0, ni = 0;
+                    for (int i = 0; i < j; i++) {
+                        o[i] = (code >> i) & 1 ? 1 : 2;
+                        nd += o[i] == 1;
+                        ni += o[i] == 2;
+                    }
+                    int delta = nd - ni;
+                    if (delta < 0 || delta > k) continue;
+                    if (j < k && j + 2 <= k && delta <= k - 2)
+                        continue;    // subsumed by a longer same-delta
+                                     // script (append del+ins pairs)
+                    uint8_t& ncur = cnt[k][delta];
+                    for (int i = 0; i < 4; i++)
+                        ops[k][delta][ncur][i] = o[i];
+                    ncur++;
+                }
+    }
+};
+
+template <typename C>
+static int64_t indel_mbleven(const C* a, size_t m, const C* b,
+                             size_t n, int64_t k) {
+    static const IndelMblevenTable T;
+    size_t diff = m - n;
+    int64_t best = k + 1;
+    for (uint8_t s = 0; s < T.cnt[k][diff]; s++) {
+        const uint8_t* ops = T.ops[k][diff][s];
+        size_t i = 0, j = 0, c = 0;
+        bool dead = false;
+        while (i < m && j < n) {
+            if (a[i] != b[j]) {
+                if (c >= (size_t)k || c >= 4 || !ops[c]) {
+                    dead = true;
+                    break;
+                }
+                uint8_t op = ops[c++];
+                i += op == 1;            // del consumes from a (longer)
+                j += op == 2;            // ins consumes from b
+            } else {
+                i++;
+                j++;
+            }
+        }
+        if (!dead) {
+            int64_t cost = (int64_t)(c + (m - i) + (n - j));
+            if (cost <= k && cost < best) best = cost;
+        }
+        if (best == (int64_t)diff) break;    // length lower bound
+    }
+    return best;
+}
+
 // Clear only the PM entries the TEXT can read (a column loop never looks
 // at pm[c] for chars absent from b, so entries left as garbage are
 // harmless as long as every read entry was zeroed before the pattern
@@ -1500,6 +1569,44 @@ int64_t rf_indel_bp_u8(const uint8_t* a, int64_t n1,
                        const uint8_t* b, int64_t n2) {
     int64_t l = rf_lcs_seq_bp_u8(a, n1, b, n2);
     return l == INT64_MIN ? INT64_MIN : n1 + n2 - 2 * l;
+}
+
+// Indel distance under a tiny miss budget (0 <= kmiss <= 4): exact if
+// the distance <= kmiss, else any value > kmiss.  The reference's
+// max_misses < 5 ladder position (lcs_seq.rs:488-532) — no PM table,
+// no word loop, just affix strip + an op-script walk.
+int64_t rf_indel_bp_u8_cut(const uint8_t* a, int64_t n1_,
+                           const uint8_t* b, int64_t n2_, int64_t kmiss) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    size_t suf = common_suffix(a, n1, b, n2);
+    n1 -= suf; n2 -= suf;
+    size_t pre = common_prefix(a, n1, b, n2);
+    a += pre; b += pre; n1 -= pre; n2 -= pre;
+    if (n1 == 0 || n2 == 0) return (int64_t)(n1 + n2);       // exact
+    if (n1 < n2) { std::swap(a, b); std::swap(n1, n2); }     // a longer
+    int64_t diff = (int64_t)(n1 - n2);
+    if (diff > kmiss) return kmiss + 1;
+    if (kmiss <= 0) return 1;        // not equal after strip: distance
+                                     // >= 1 > 0 == kmiss
+    if (kmiss <= 4) return indel_mbleven(a, n1, b, n2, kmiss);
+    int64_t l = rf_lcs_seq_bp_u8(a, (int64_t)n1, b, (int64_t)n2);
+    return l == INT64_MIN ? INT64_MIN : (int64_t)(n1 + n2) - 2 * l;
+}
+
+int64_t rf_indel_bp_cut(const int64_t* a, int64_t n1_,
+                        const int64_t* b, int64_t n2_, int64_t kmiss) {
+    size_t n1 = (size_t)n1_, n2 = (size_t)n2_;
+    size_t suf = common_suffix(a, n1, b, n2);
+    n1 -= suf; n2 -= suf;
+    size_t pre = common_prefix(a, n1, b, n2);
+    a += pre; b += pre; n1 -= pre; n2 -= pre;
+    if (n1 == 0 || n2 == 0) return (int64_t)(n1 + n2);
+    if (n1 < n2) { std::swap(a, b); std::swap(n1, n2); }
+    int64_t diff = (int64_t)(n1 - n2);
+    if (diff > kmiss) return kmiss + 1;
+    if (kmiss <= 0) return 1;
+    if (kmiss <= 4) return indel_mbleven(a, n1, b, n2, kmiss);
+    return rf_indel_bp(a, (int64_t)n1, b, (int64_t)n2);
 }
 
 int64_t rf_osa_bp_u8(const uint8_t* a, int64_t n1_,

@@ -19,6 +19,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cmath>
 #include <cstddef>
 
 #include "oracle.cpp"
@@ -365,6 +366,56 @@ static PyObject* fm_vectorcall(PyObject* self_, PyObject* const* args,
     int64_t mx64 = self->maxcode ? (int64_t)(na + nb2)
                                  : (int64_t)(na > nb2 ? na : nb2);
     int64_t d;
+    bool short_done = false;
+    // indel/LCS tiny-cutoff short-circuit (lcs_seq.rs:488-532 ladder
+    // position): map the kind's cutoff to an integer indel-distance
+    // miss budget; <= 4 misses rides the op-script walk
+    // (oracle.cpp indel_mbleven) instead of the full bit-parallel
+    // pass.  Normalized kinds over-approximate with ceil
+    // (distance.rs:230-244); the exact recheck below stays
+    // authoritative, so a budget-exceeded result can only turn into
+    // None, never a wrong score.
+    if (cutoff != Py_None && (self->id == M_INDEL || self->id == M_LCS)
+            && c < 9.0e18 && c > -9.0e18) {
+        int64_t delta = na > nb2 ? (int64_t)(na - nb2)
+                                 : (int64_t)(nb2 - na);
+        int64_t tot = (int64_t)(na + nb2);
+        int64_t kmiss;
+        if (self->id == M_INDEL) {
+            switch (self->kind) {
+                case 0: kmiss = (int64_t)floor(c); break;
+                case 1: kmiss = tot - (int64_t)ceil(c); break;
+                case 2: kmiss = (int64_t)ceil(c * (double)tot); break;
+                default:
+                    kmiss = (int64_t)ceil((1.0 - c) * (double)tot);
+            }
+        } else {              // M_LCS distance dl: di = 2*dl - delta
+            switch (self->kind) {
+                case 0: kmiss = 2 * (int64_t)floor(c) - delta; break;
+                case 1: kmiss = tot - 2 * (int64_t)ceil(c); break;
+                case 2:
+                    kmiss = 2 * (int64_t)ceil(c * (double)mx64) - delta;
+                    break;
+                default:
+                    kmiss = 2 * (int64_t)ceil((1.0 - c) * (double)mx64)
+                            - delta;
+            }
+        }
+        if (kmiss < 0) Py_RETURN_NONE;      // can't pass the cutoff
+        if (kmiss <= 4) {
+            int64_t di = rf_indel_bp_u8_cut(ra, na, rb, nb2, kmiss);
+            if (self->id == M_INDEL) {
+                d = di;
+            } else {
+                if (di > kmiss) Py_RETURN_NONE;
+                d = (di + delta) / 2;
+            }
+            short_done = true;
+        }
+    }
+    if (short_done) {
+        // fall through to the shared cutoff algebra below
+    } else
     switch (self->id) {
         case M_INDEL: d = rf_indel_bp_u8(ra, na, rb, nb2); break;
         case M_LCS: {

@@ -914,52 +914,69 @@ def _kernel_sqband(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref, fr_ref,
         ch_ref[p] = b_ref[col - 1] if 1 <= col <= lbmax \
             else jnp.full((sub, LANE), -2, jnp.int32)
 
-    def row(i, carry):
-        par = i & 1
-        ai = q_ref[i - 1]
-        # left init: D[i][i-k-1] — boundary i iff that column is 0
-        d_left = jnp.where(i == kband + 1, zeros + i, bigs)
-        d_diag_prev = bigs                # D[i-1][i-k-2]: out of band
-        reg_l = zeros                     # last in-row match col < jcol
-        reg_t = bigs                      # D[i-2][reg_l - 1]
-        for p in range(W):
-            jcol = i - kband + p          # traced scalar
-            c2 = ch_ref[p]
-            eq = c2 == ai
-            d_diag = dp_ref[1 - par, p]
-            d_up = dp_ref[1 - par, p + 1]
-            d2_left = dp_ref[par, p + 1]  # D[i-2][jcol-1], pre-overwrite
-            fr = fr_ref[p + 1]
-            k = kk_ref[p + 1]
-            cost = jnp.where(eq, 0, 1)
-            cand = jnp.minimum(d_diag + cost,
-                               jnp.minimum(d_up, d_left) + 1)
-            djL = jcol - reg_l
-            iK = i - k
-            m1 = djL == 1
-            tr = jnp.where(m1, fr + iK, reg_t + djL)
-            tr = jnp.where(m1 | (iK == 1), tr, BIG)
-            new = jnp.minimum(cand, jnp.where(eq, BIG, tr))
-            new = jnp.where(jcol >= 1, new,
-                            jnp.where(jcol == 0, zeros + i, bigs))
-            fr_ref[p] = jnp.where(eq, d_diag_prev, fr)
-            kk_ref[p] = jnp.where(eq, zeros + i, k)
-            reg_t = jnp.where(eq, d2_left, reg_t)
-            reg_l = jnp.where(eq, zeros + jcol, reg_l)
-            dp_ref[par, p] = new
-            d_left = new
-            d_diag_prev = d_diag
-        # shift the char window for row i+1 (ascending: read-ahead)
-        for p in range(W - 1):
-            ch_ref[p] = ch_ref[p + 1]
-        idx = i + kband                   # 0-based char index of new col
-        safe = jnp.minimum(idx, lbmax - 1)
-        cw = b_ref[pl.dslice(safe, 1)][0]
-        ch_ref[W - 1] = jnp.where(idx < lbmax, cw,
-                                  jnp.full((sub, LANE), -2, jnp.int32))
-        return carry
+    def make_row(masked: bool):
+        # rows i <= kband+1 can have band positions at or left of
+        # column 0 and need boundary masking; rows past that have
+        # jcol >= 2 at every position — the masks (and the boundary
+        # d_left init) fold away in the main loop
+        def row(i, carry):
+            par = i & 1
+            ai = q_ref[i - 1]
+            if masked:
+                # left init: D[i][i-k-1] — boundary i iff that col is 0
+                d_left = jnp.where(i == kband + 1, zeros + i, bigs)
+            else:
+                d_left = bigs
+            d_diag_prev = bigs            # D[i-1][i-k-2]: out of band
+            reg_l = zeros                 # last in-row match col < jcol
+            reg_t = bigs                  # D[i-2][reg_l - 1]
+            for p in range(W):
+                jcol = i - kband + p      # traced scalar
+                c2 = ch_ref[p]
+                if p >= 1:
+                    # position p's char is next row's char at p-1: the
+                    # window shift rides the walk for free
+                    ch_ref[p - 1] = c2
+                eq = c2 == ai
+                d_diag = dp_ref[1 - par, p]
+                d_up = dp_ref[1 - par, p + 1]
+                d2_left = dp_ref[par, p + 1]   # D[i-2][jcol-1]
+                fr = fr_ref[p + 1]
+                k = kk_ref[p + 1]
+                cost = jnp.where(eq, 0, 1)
+                cand = jnp.minimum(d_diag + cost,
+                                   jnp.minimum(d_up, d_left) + 1)
+                djL = jcol - reg_l
+                iK = i - k
+                m1 = djL == 1
+                tr = jnp.where(m1, fr + iK, reg_t + djL)
+                tr = jnp.where(m1 | (iK == 1), tr, BIG)
+                new = jnp.minimum(cand, jnp.where(eq, BIG, tr))
+                if masked:
+                    new = jnp.where(jcol >= 1, new,
+                                    jnp.where(jcol == 0, zeros + i,
+                                              bigs))
+                fr_ref[p] = jnp.where(eq, d_diag_prev, fr)
+                kk_ref[p] = jnp.where(eq, zeros + i, k)
+                reg_t = jnp.where(eq, d2_left, reg_t)
+                reg_l = jnp.where(eq, zeros + jcol, reg_l)
+                dp_ref[par, p] = new
+                d_left = new
+                d_diag_prev = d_diag
+            # the new rightmost column for row i+1: one dynamic load
+            idx = i + kband               # 0-based char index of new col
+            safe = jnp.minimum(idx, lbmax - 1)
+            cw = b_ref[pl.dslice(safe, 1)][0]
+            ch_ref[W - 1] = jnp.where(idx < lbmax, cw,
+                                      jnp.full((sub, LANE), -2,
+                                               jnp.int32))
+            return carry
 
-    jax.lax.fori_loop(1, la + 1, row, 0)
+        return row
+
+    split = jnp.minimum(la, kband + 1)
+    jax.lax.fori_loop(1, split + 1, make_row(True), 0)
+    jax.lax.fori_loop(kband + 2, la + 1, make_row(False), 0)
 
     # D[la][lb] sits at position lb - la + kband (col-0 boundary storage
     # makes lb == 0 come out as la automatically); |la - lb| > kband

@@ -129,6 +129,59 @@ def test_mbleven_tiny_cutoff_exact(rng):
                 assert got > k, (m, k, got, true)
 
 
+def test_indel_lcs_mbleven_tiny_cutoff(rng):
+    """Indel/LCS one-shots under a tiny miss budget ride the del/ins-only
+    op-script walk (lcs_seq.rs:488-532, table :113-133) through the C
+    vectorcall path: exact results and None-masking must match the full
+    bit-parallel route across all four score kinds."""
+    from rapidfuzz_tpu.distance import indel, lcs_seq
+
+    for trial in range(400):
+        m = int(rng.integers(0, 60))
+        a = "".join(chr(97 + int(c)) for c in rng.integers(0, 5, m))
+        b = list(a)
+        for _ in range(int(rng.integers(0, 6))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(b))))
+            if op == 0 and b:
+                b[p % len(b)] = chr(97 + int(rng.integers(0, 5)))
+            elif op == 1 and b:
+                del b[p % len(b)]
+            else:
+                b.insert(p, chr(97 + int(rng.integers(0, 5)))
+                         )
+        b = "".join(b)
+        ae = np.array([ord(c) for c in a], np.int64)
+        be = np.array([ord(c) for c in b], np.int64)
+        di = int(oracle.indel(ae, be))
+        lcs = (len(a) + len(b) - di) // 2
+        mx = max(len(a), len(b))
+        tot = len(a) + len(b)
+        dl = mx - lcs
+        for k in (0, 1, 2, 3, 4):
+            g = indel.distance(a, b, score_cutoff=k)
+            assert g == (di if di <= k else None), (a, b, k, g, di)
+            g = lcs_seq.distance(a, b, score_cutoff=k)
+            assert g == (dl if dl <= k else None), (a, b, k, g, dl)
+        for cut in (lcs - 1, lcs, lcs + 1, max(tot // 2 - 1, 0)):
+            g = lcs_seq.similarity(a, b, score_cutoff=cut)
+            assert g == (lcs if lcs >= cut else None), (a, b, cut, g)
+            si = tot - di
+            g = indel.similarity(a, b, score_cutoff=cut)
+            assert g == (si if si >= cut else None), (a, b, cut, g)
+        nd = di / tot if tot else 0.0
+        ndl = dl / mx if mx else 0.0
+        for cut in (0.0, 0.02, 0.1, nd, ndl):
+            g = indel.normalized_distance(a, b, score_cutoff=cut)
+            exp = nd if nd <= cut else None
+            assert (g is None) == (exp is None) and \
+                (g is None or abs(g - exp) < 1e-12), (a, b, cut, g, exp)
+            g = lcs_seq.normalized_distance(a, b, score_cutoff=cut)
+            exp = ndl if ndl <= cut else None
+            assert (g is None) == (exp is None) and \
+                (g is None or abs(g - exp) < 1e-12), (a, b, cut, g, exp)
+
+
 def test_u8_lane_vs_encoder_route(rng):
     """The raw str(kind-1)/bytes u8 lane (2-word __int128 kernels,
     pm_clear) returns exactly what the int64 encoder route returns,
