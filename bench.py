@@ -498,7 +498,8 @@ def _measure(phase: str):
     # so output + corpus stay well inside HBM at NQ=16; partial does
     # ~87 window-LCS evaluations per pair, so a smaller corpus already
     # amortizes its dispatch cost
-    default_b = {"nq": 16777216, "partial": 8388608}.get(phase, 67108864)
+    default_b = {"nq": 16777216, "partial": 16777216,
+                 "wlev": 67108864}.get(phase, 67108864)
     LEN, B, query, sampled, cand3, lb2, mode = _corpus(lk, interpret,
                                                        default_b)
     staged = lk.stage_query(query, mode) if not interpret else None
@@ -589,7 +590,10 @@ def _measure(phase: str):
         # preallocated buffer with donated dynamic_update_slice so peak
         # device memory stays at corpus size + one chunk.
         Bb = 1 << 24 if not interpret else 1 << 10
-        chunk = min(Bb, 1 << 20)
+        # 256k-row chunks: the c/r/m build intermediates stay ~1.5 GB
+        # next to the 8 GB packed buffer (1M chunks peaked ~14 GB and
+        # OOM'd the 16 GB chip, evidence/bench_r5_indelband2.log)
+        chunk = min(Bb, 1 << 18)
         rngb = np.random.default_rng(11)
         qb = rngb.integers(97, 123, LENB).astype(np.int32)
 

@@ -835,6 +835,8 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     else:
         run = functools.partial(_run_sq, sub=sub, lbmax=lbmax,
                                 interpret=interpret)
+        flat = functools.partial(_run_sq_flat, sub=sub, lbmax=lbmax,
+                                 interpret=interpret)
     b_cols = jnp.asarray(b_cols)
     lb_t = jnp.asarray(lb_t)
     if not i16 and b_cols.dtype == jnp.int16:
@@ -850,6 +852,8 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
                       P("data", None, None)),
             out_specs=P("data", None, None), check_vma=False))(
                 *args, b_cols, lb_t)
+    elif not i16:
+        return flat(*args, b_cols, lb_t)     # one dispatch end-to-end
     else:
         out = run(*args, b_cols, lb_t)
     return jnp.reshape(out, (-1,)).astype(jnp.int32)
@@ -1018,6 +1022,29 @@ def _run_sqband(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64, kband=7,
     )(q, la, b_cols, lb_t)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("sub", "lbmax", "interpret"))
+def _run_sq_flat(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64,
+                 interpret=False):
+    """Single-dispatch public form: pallas call + flatten + int32 cast
+    fused into one program (each eager jnp op outside jit is a separate
+    device dispatch — through the axon tunnel that is ~2.3 ms of fixed
+    host cost per op, measured as the gap between a wrapped and an
+    unwrapped scan's dispatch amortization)."""
+    out = _run_sq(q, la, b_cols, lb_t, sub=sub, lbmax=lbmax,
+                  interpret=interpret)
+    return jnp.reshape(out, (-1,)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sub", "lbmax", "kband", "interpret"))
+def _run_sqband_flat(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=64,
+                     kband=7, interpret=False):
+    out = _run_sqband(q, la, b_cols, lb_t, sub=sub, lbmax=lbmax,
+                      kband=kband, interpret=interpret)
+    return jnp.reshape(out, (-1,)).astype(jnp.int32)
+
+
 DAM_BAND_BUCKETS = (3, 7, 15)   # static band radii (compile keys); a
                                 # cutoff routes to the smallest bucket
                                 # >= it — a wider band is still exact
@@ -1066,9 +1093,9 @@ def damerau_seqband_1v_many(query: np.ndarray, b_cols, lb_t, *,
                       P("data", None, None)),
             out_specs=P("data", None, None), check_vma=False))(
                 *args, b_cols, lb_t)
-    else:
-        out = run(*args, b_cols, lb_t)
-    return jnp.reshape(out, (-1,)).astype(jnp.int32)
+        return jnp.reshape(out, (-1,)).astype(jnp.int32)
+    return _run_sqband_flat(*args, b_cols, lb_t, sub=sub, lbmax=lbmax,
+                            kband=kband, interpret=interpret)
 
 
 # ------------------------------------------------- long candidates (>128)

@@ -718,9 +718,10 @@ def _jaro_run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB,
 
 
 #: flag-scratch budget: TW * sub * LANE * 4 bytes (~2 MB at LB=4096,
-#: ~4 MB at 8192 — still inside the ~16 MB VMEM with the double-buffered
-#: 2 MB chunk blocks and the W-word query scratches)
-JARO_STREAM_MAX_LB = 8192
+#: ~4 MB at 8192, ~8 MB at 16384 — with the double-buffered 2 MB chunk
+#: blocks and the W-word query scratches that totals ~12.6 MB, inside
+#: the ~16 MB VMEM; 24576 would need ~16.6 MB and does not fit)
+JARO_STREAM_MAX_LB = 16384
 
 
 def jaro_stream_1v_many(query: np.ndarray, cand3, lb2, *,

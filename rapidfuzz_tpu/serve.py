@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -95,6 +96,46 @@ class ScanService:
             return BucketedScanner(corpus, metric=metric, mesh=mesh, **kw)
         return CorpusScanner(corpus, metric=metric, mesh=mesh,
                              bucket=bucket, **kw)
+
+    def warmup(self, full: bool = False):
+        """Precompile the corpus's scan routes before serving traffic.
+
+        Cold Mosaic compiles of the big kernels run seconds to minutes
+        (through a remote-compile tunnel, up to ~505 s was observed for
+        a first jaro_winkler scan — evidence/hw_conformance_r4.log);
+        the reference's contract is that a library call never compiles,
+        so a production server must absorb that cost before binding the
+        port.  ``full`` also precompiles the cutoff (banded), hint,
+        grouped scan_many, and top-k routes.  Returns a route ->
+        seconds table (the cold-start catalog; ~0 s entries mean the
+        persistent compilation cache already covered the route).
+        """
+        if not self.corpus:
+            return {}
+        q = max(self.corpus, key=len)[:256] or "a"
+        times = {}
+
+        def step(name, fn):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as e:   # a route that cannot serve this
+                times[name] = f"error: {type(e).__name__}: {e}"
+                return
+            times[name] = round(time.perf_counter() - t0, 3)
+
+        step("distances", lambda: self.scanner.distances(q))
+        if full:
+            step("distances_cutoff",
+                 lambda: self.scanner.distances(q, score_cutoff=7))
+            if self.metric == "levenshtein":
+                step("distances_hint",
+                     lambda: self.scanner.distances(q, score_hint=8))
+            step("topk", lambda: self.scanner.topk(q, k=3))
+            if hasattr(self.scanner, "scan_many"):
+                step("scan_many",
+                     lambda: self.scanner.scan_many([q, q[:-1] or "a"]))
+        return times
 
     def reload(self, corpus):
         """Swap in a new corpus: the replacement scanner (and its device
@@ -281,21 +322,48 @@ def main(argv=None):
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu'); default: the "
                          "process default (TPU when available)")
+    ap.add_argument("--warmup", choices=("basic", "full"), default="basic",
+                    help="routes to precompile before binding the port: "
+                         "'basic' = the plain distances scan; 'full' also "
+                         "compiles the cutoff/hint/top-k/scan_many routes "
+                         "(cold Mosaic compiles can run minutes through a "
+                         "remote-compile tunnel — absorb them at startup, "
+                         "not on the first request)")
+    ap.add_argument("--compile-cache", default=None,
+                    help="persistent JAX compilation cache directory "
+                         "(default: $JAX_COMPILATION_CACHE_DIR, else "
+                         "~/.cache/rapidfuzz_tpu/jax; pass '' to disable). "
+                         "A warm cache turns minute-scale cold compiles "
+                         "into second-scale loads across restarts")
     args = ap.parse_args(argv)
 
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    cache = args.compile_cache
+    if cache is None:
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "rapidfuzz_tpu", "jax"))
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     with open(args.corpus, encoding="utf-8") as f:
         corpus = [line.rstrip("\n") for line in f]
     service = ScanService(corpus, metric=args.metric, bucket=args.bucket,
                           auto_bucket=args.auto_bucket)
     # warm up in the MAIN thread: forces jax backend init + compiles the
-    # scan program before requests arrive (backend init inside an HTTP
+    # scan programs before requests arrive (backend init inside an HTTP
     # handler thread has been observed to deadlock with the axon plugin)
-    if corpus:
-        service.distances(corpus[0])
+    t0 = time.perf_counter()
+    table = service.warmup(full=args.warmup == "full")
+    print(json.dumps({"warmup": table,
+                      "warmup_seconds": round(time.perf_counter() - t0, 3),
+                      "compile_cache": cache or None}), flush=True)
     server = make_server(service, args.host, args.port)
     print(json.dumps({"serving": True, "host": server.server_address[0],
                       "port": server.server_address[1], "n": service.scanner.n}),

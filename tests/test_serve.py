@@ -23,6 +23,22 @@ def _get(port, path):
         return json.loads(r.read())
 
 
+def test_warmup_route_table():
+    """warmup(full=True) precompiles the corpus's serving routes before
+    the port binds and returns the route -> seconds cold-start table
+    (the reference's contract is that a library call never compiles;
+    the server absorbs compiles at startup)."""
+    corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""]
+    service = ScanService(corpus, metric="levenshtein", bucket=32)
+    table = service.warmup(full=True)
+    for route in ("distances", "distances_cutoff", "distances_hint",
+                  "topk", "scan_many"):
+        assert route in table, table
+        assert isinstance(table[route], float), (route, table[route])
+    # warmed routes answer without error afterwards
+    assert service.distances("apple")["values"][0] == 0
+
+
 def test_scan_service_http():
     corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""]
     service = ScanService(corpus, metric="levenshtein", bucket=32)

@@ -347,6 +347,29 @@ def _c_damerau_band():
     return _verify("damerau_band", sc, corpus, oracle.damerau, cases)
 
 
+def _c_jaro_long16k():
+    """The 8192-16384-char Jaro stream region (JARO_STREAM_MAX_LB 16384:
+    ~8 MB text-flag scratch) through the scanner, full-corpus oracle
+    verify — previously these buckets fell to the XLA jaro path's
+    compaction cliff."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(39)
+    corpus = []
+    for _ in range(64):
+        L = int(rng.integers(8193, 16385))
+        corpus.append("".join(chr(97 + int(c))
+                              for c in rng.integers(0, 8, L)))
+    corpus[1] = corpus[0][:12000]          # high-similarity pair
+    sc = CorpusScanner(corpus, metric="jaro", bucket=16384)
+    qs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 8, L))
+          for L in (64, 300)] + [corpus[0][:9000]]
+    cases = [(None, None, q) for q in qs]
+    return _verify("jaro_long16k", sc, corpus,
+                   lambda a, b: 1.0 - oracle.jaro(a, b), cases, f64=True)
+
+
 def _c_jaro_scan_many():
     """Jaro-family grouped multi-query dispatches vs oracle."""
     from rapidfuzz_tpu import oracle
@@ -433,6 +456,7 @@ CHECKS = {
     "damerau_long4k": _c_damerau_long4k,
     "damerau_long8k": _c_damerau_long8k,
     "jaro_scan_many": _c_jaro_scan_many,
+    "jaro_long16k": _c_jaro_long16k,
 }
 
 
