@@ -1226,6 +1226,169 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
     out_ref[:, :] = acc
 
 
+def _kernel_long_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref,
+                        d2_ref, k_ref, fr_ref, cr_ref, acc_ref, *,
+                        sub: int, nb: int):
+    """:func:`_kernel_long` with the per-row block walk as a
+    ``fori_loop`` instead of a Python unroll.
+
+    Mosaic's stack temporaries scale with the unrolled block count: at
+    nb=64 the unrolled body wants 20.95M scoped VMEM against the 16M
+    core limit at sub=64, forcing half-height tiles past 48 blocks
+    (evidence/damerau_long_8k_oom_r4.log) — and sub=64 is 1.46x sub=32
+    (evidence/damerau_long_sub_probe_r4.log).  Here the block index is
+    a loop variable: the four row structures are indexed dynamically on
+    their leading axis, the candidate blocks arrive pre-transposed as
+    ``(nb, sub, LANE)`` for dynamic leading-axis loads, and the five
+    cross-block carries live in a small ``(5, sub, LANE)`` scratch
+    (fori vector carries hit Mosaic's "Invalid relayout" on constant
+    inits) — so compile-time temporaries no longer grow with nb and
+    full-height tiles fit at any block count.
+    """
+    la = la_ref[0]
+    local = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    col_bits, pbig, sent = _pack_params(nb)
+    PBIG = jnp.int32(pbig)
+    SENT = jnp.int32(sent)
+    CMASK = jnp.int32((1 << col_bits) - 1)
+    shifts = [1, 2, 4, 8, 16, 32, 64]
+    lb = lb_ref[:, :]
+    zeros0 = jnp.zeros((sub, LANE), jnp.int32)
+    bigs0 = jnp.full((sub, LANE), BIG, jnp.int32)
+
+    def init_b(b, carry):
+        d1_ref[pl.dslice(b, 1)] = (local + (b * LANE + 1))[None]
+        d2_ref[pl.dslice(b, 1)] = bigs0[None]
+        k_ref[pl.dslice(b, 1)] = zeros0[None]
+        fr_ref[pl.dslice(b, 1)] = bigs0[None]
+        return carry
+
+    jax.lax.fori_loop(0, nb, init_b, 0)
+
+    def row(i, carry):
+        ai = q_ref[i - 1]
+        d2fill = jnp.where(i >= 2, i - 2, BIG)
+        zeros = jnp.zeros((sub, LANE), jnp.int32)
+        bigs = jnp.full((sub, LANE), BIG, jnp.int32)
+        cr_ref[0] = zeros + d2fill               # v_d2 @ lane 0
+        cr_ref[1] = zeros + (i - 1)              # v_d1 @ lane 0
+        cr_ref[2] = jnp.where(local == 1, zeros + (i - 1), bigs)  # v_m2
+        cr_ref[3] = jnp.full((sub, LANE), SENT, jnp.int32)        # v_e
+        cr_ref[4] = bigs                                          # v_y
+
+        def block(b, c2):
+            jcol = local + (b * LANE + 1)
+            dim1 = d1_ref[pl.dslice(b, 1)][0]
+            dim2 = d2_ref[pl.dslice(b, 1)][0]
+            K = k_ref[pl.dslice(b, 1)][0]
+            FR = fr_ref[pl.dslice(b, 1)][0]
+            b_tile = b_ref[pl.dslice(b, 1)][0]
+            eq_i = b_tile == ai
+            v_d2 = cr_ref[0]
+            v_d1 = cr_ref[1]
+            v_m2 = cr_ref[2]
+            v_e = cr_ref[3]
+            v_y = cr_ref[4]
+
+            r1_d2 = pltpu.roll(dim2, 1, 1)
+            dim2_up = jnp.where(local >= 1, r1_d2, v_d2)
+            d2p = jnp.minimum(dim2_up, PBIG)
+            e = jnp.where(eq_i, (d2p << col_bits) | jcol, SENT)
+            e = jnp.where((local == 0) & ~eq_i, v_e, e)
+            for sh in shifts:
+                r = pltpu.roll(e, sh, 1)
+                r = jnp.where(local >= sh, r, SENT)
+                e = jnp.where((e & CMASK) > 0, e, r)
+            r1_e = pltpu.roll(e, 1, 1)
+            es = jnp.where(local >= 1, r1_e, v_e)
+            L = es & CMASK
+            t = jnp.where(L >= 1, es >> col_bits, BIG)
+
+            r1_d1 = pltpu.roll(dim1, 1, 1)
+            diag = jnp.where(local >= 1, r1_d1, v_d1)
+            cost = jnp.where(eq_i, 0, 1).astype(jnp.int32)
+            cand = jnp.minimum(diag + cost, dim1 + 1)
+            case1 = jnp.where(jcol - L == 1, FR + (i - K), BIG)
+            case2 = jnp.where((i - K == 1) & (jcol - L != 1),
+                              t + (jcol - L), BIG)
+            tr = jnp.minimum(case1, case2)
+            cand = jnp.where(eq_i, cand, jnp.minimum(cand, tr))
+            cand = jnp.minimum(cand, i + jcol)
+
+            y = cand - jcol
+            y = jnp.where(local == 0, jnp.minimum(y, v_y), y)
+            for sh in shifts:
+                r = pltpu.roll(y, sh, 1)
+                r = jnp.where(local >= sh, r, BIG)
+                y = jnp.minimum(y, r)
+            new = y + jcol
+
+            r2 = pltpu.roll(dim1, 2, 1)
+            dim1_m2 = jnp.where(local >= 2, r2, v_m2)
+
+            fr_ref[pl.dslice(b, 1)] = jnp.where(eq_i, dim1_m2, FR)[None]
+            k_ref[pl.dslice(b, 1)] = jnp.maximum(
+                K, jnp.where(eq_i, i, 0))[None]
+            d2_ref[pl.dslice(b, 1)] = dim1[None]
+            d1_ref[pl.dslice(b, 1)] = new[None]
+
+            cr_ref[0] = r1_d2
+            cr_ref[1] = r1_d1
+            cr_ref[2] = r2
+            cr_ref[3] = r1_e
+            cr_ref[4] = pltpu.roll(y, 1, 1)
+            return c2
+
+        jax.lax.fori_loop(0, nb, block, 0)
+        return carry
+
+    jax.lax.fori_loop(1, la + 1, row, 0)
+
+    acc_ref[:, :] = jnp.zeros((sub, LANE), jnp.int32)
+
+    def fin(b, carry):
+        jcol = local + (b * LANE + 1)
+        acc_ref[:, :] = acc_ref[:, :] + jnp.where(
+            jcol == lb, d1_ref[pl.dslice(b, 1)][0], 0)
+        return carry
+
+    jax.lax.fori_loop(0, nb, fin, 0)
+    out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "nb", "interpret"))
+def _run_long_stream(q, la, b_tiles, lb_tiles, *, sub, nb,
+                     interpret=False):
+    """Streamed-block long kernel: candidates pre-transposed to
+    ``(nb, rows, LANE)`` for dynamic leading-axis block loads (the
+    transpose fuses into this jitted program)."""
+    rows = b_tiles.shape[0]
+    nblocks = rows // sub
+    b3 = jnp.transpose(
+        jnp.reshape(b_tiles, (rows, nb, LANE)), (1, 0, 2))
+    kern = functools.partial(_kernel_long_stream, sub=sub, nb=nb)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb, sub, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nb, sub, LANE), jnp.int32)
+                        for _ in range(4)]
+        + [pltpu.VMEM((5, sub, LANE), jnp.int32),
+           pltpu.VMEM((sub, LANE), jnp.int32)],
+        interpret=interpret,
+    )(q, la, b3, lb_tiles)
+
+
 @functools.partial(jax.jit, static_argnames=("sub", "nb", "interpret"))
 def _run_long(q, la, b_tiles, lb_tiles, *, sub, nb, interpret=False):
     nblocks = b_tiles.shape[0] // sub
@@ -1315,18 +1478,27 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
         # query lengths take the XLA path instead
         raise ValueError("query too long for the packed-scan value range")
     ndev = len(mesh.devices.flat) if mesh is not None else 1
+    # past 48 blocks the unrolled kernel only fits half-height tiles
+    # (Mosaic stack temporaries scale with the block unroll) — the
+    # streamed-block form keeps full height at any nb
+    run, s_eff = _run_long, sub
+    if nb > 48:
+        run = _run_long_stream
+        s_eff = pick_sub(int(b_tiles.shape[0]) // ndev)
+        while s_eff * nb > 4096 and s_eff > 8:     # 4-structure 8 MB cap
+            s_eff //= 2
     if ndev > 1:
         rows = int(b_tiles.shape[0]) // ndev
-        s_loc = sub
+        s_loc = s_eff
         while s_loc > 8 and rows % s_loc:
             s_loc //= 2
-        f = _sharded(_run_long, mesh,
+        f = _sharded(run, mesh,
                      dict(sub=s_loc, nb=nb, interpret=interpret))
         out = f(jnp.asarray(qpad), jnp.array([la], jnp.int32), b_tiles,
                 lb_tiles)
     else:
-        out = _run_long(jnp.asarray(qpad), jnp.array([la], jnp.int32),
-                        jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
-                        sub=sub, nb=nb, interpret=interpret)
+        out = run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
+                  jnp.asarray(b_tiles), jnp.asarray(lb_tiles),
+                  sub=s_eff, nb=nb, interpret=interpret)
     summed = jnp.sum(out, axis=1)
     return jnp.where(lens == 0, la, summed)

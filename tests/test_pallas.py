@@ -474,6 +474,43 @@ def test_damerau_long_kernel_8192():
         assert out[i] == exp, (i, out[i], exp)
 
 
+def test_damerau_long_streamed_blocks():
+    """The streamed-block long kernel (fori over blocks, dynamic scratch
+    indexing, carries in scratch) is bit-identical to the unrolled form
+    and the oracle, including cross-block transpositions; the wrapper
+    routes nb > 48 to it at full-height tiles (Mosaic's unroll-scaled
+    stack temporaries forced sub*nb <= 2048 on the unrolled form,
+    evidence/damerau_long_8k_oom_r4.log)."""
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+
+    rng = np.random.default_rng(71)
+    Bs, LB, qlen = 8, 640, 40          # nb = 5
+    q = rng.integers(97, 105, qlen).astype(np.int32)
+    chars = np.full((Bs, LB), -1, np.int32)
+    lens = np.zeros(Bs, np.int32)
+    for i in range(Bs):
+        n = int(rng.integers(129, LB + 1)) if i else LB
+        arr = rng.integers(97, 105, n).astype(np.int32)
+        if i % 2 == 0:
+            arr[:qlen] = q
+        chars[i, :n] = arr
+        lens[i] = n
+    chars[1, 300], chars[1, 301] = chars[1, 301], chars[1, 300]
+    chars[2, 127], chars[2, 128] = chars[2, 128], chars[2, 127]  # seam
+    bt, lt, nb, sub = dk.prepare_corpus_long(chars, lens)
+    qpad = np.pad(q, (0, (-qlen) % 32), constant_values=-3)
+    la = np.array([qlen], np.int32)
+    a = np.asarray(dk._run_long(qpad, la, bt, lt, sub=sub, nb=nb,
+                                interpret=True)).sum(axis=1)
+    b = np.asarray(dk._run_long_stream(qpad, la, bt, lt, sub=sub, nb=nb,
+                                       interpret=True)).sum(axis=1)
+    assert (a == b).all(), np.nonzero(a != b)
+    for i in range(Bs):
+        exp = oracle.damerau(q.astype(np.int64),
+                             chars[i, :lens[i]].astype(np.int64))
+        assert b[i] == exp, (i, b[i], exp)
+
+
 def test_jaro_stream_multiword_query():
     """Jaro stream with a multi-word query (W > 1): cross-word window
     shifts and claim chains under the fori form."""
