@@ -804,9 +804,20 @@ def prepare_corpus_seq(chars: np.ndarray, lens: np.ndarray,
             lbmax)
 
 
+def stage_query_seq(query: np.ndarray):
+    """Pre-upload a query for the sequential-pair kernels: through the
+    axon tunnel each host->device transfer costs ~1-1.5 ms of latency,
+    so the two per-call uploads (padded query + length scalar) dominated
+    the banded scan's fixed dispatch cost (measured ~5 ms/call vs
+    ~2.3 ms with staging) — the BatchComparator pattern
+    (``levenshtein.rs:1625-1657``) applied to the query side."""
+    qpad, la = _encode_query_rows(query)
+    return jnp.asarray(qpad), jnp.array([la], jnp.int32), la
+
+
 def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
                         sub: int = SEQ_SUB, interpret: bool = False,
-                        mesh=None) -> jnp.ndarray:
+                        mesh=None, staged=None) -> jnp.ndarray:
     """One-vs-many Damerau on the sequential-pair kernel -> int32[B].
 
     ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`; any
@@ -818,6 +829,30 @@ def damerau_seq_1v_many(query: np.ndarray, b_cols, lb_t, *, lbmax: int,
     tiles are widened on device for the int32 body.  With a mesh, shards
     over the block axis via ``shard_map`` (``nb % ndev == 0``).
     """
+    if staged is not None:
+        # pre-uploaded int32 query (stage_query_seq): skip the per-call
+        # host encode + the two device transfers; i16 staging n/a
+        qj, laj, la = staged
+        if la == 0:
+            return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+        b_cols = jnp.asarray(b_cols)
+        lb_t = jnp.asarray(lb_t)
+        if b_cols.dtype == jnp.int16:
+            b_cols = b_cols.astype(jnp.int32)
+            lb_t = lb_t.astype(jnp.int32)
+        if mesh is None or len(mesh.devices.flat) <= 1:
+            return _run_sq_flat(qj, laj, b_cols, lb_t, sub=sub,
+                                lbmax=lbmax, interpret=interpret)
+        from jax.sharding import PartitionSpec as P
+        run = functools.partial(_run_sq, sub=sub, lbmax=lbmax,
+                                interpret=interpret)
+        out = jax.jit(jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P(), P("data", None, None),
+                      P("data", None, None)),
+            out_specs=P("data", None, None), check_vma=False))(
+                qj, laj, b_cols, lb_t)
+        return jnp.reshape(out, (-1,)).astype(jnp.int32)
     qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
@@ -1065,17 +1100,23 @@ def pick_dam_band(cutoff: int, lbmax: int):
 def damerau_seqband_1v_many(query: np.ndarray, b_cols, lb_t, *,
                             lbmax: int, kband: int, sub: int = SEQ_SUB,
                             interpret: bool = False,
-                            mesh=None) -> jnp.ndarray:
+                            mesh=None, staged=None) -> jnp.ndarray:
     """One-vs-many cutoff-banded Damerau -> int32[B].
 
     ``b_cols``/``lb_t``/``lbmax`` from :func:`prepare_corpus_seq`
     (int32 staging).  Results are exact wherever the true distance is
     <= ``kband`` and exceed ``kband`` otherwise — callers must mask on
-    a ``score_cutoff <= kband``.
+    a ``score_cutoff <= kband``.  ``staged`` (from
+    :func:`stage_query_seq`) skips the per-call query upload.
     """
-    qpad, la = _encode_query_rows(query)
+    if staged is not None:
+        qj, laj, la = staged
+    else:
+        qpad, la = _encode_query_rows(query)
     if la == 0:
         return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    if staged is None:
+        qj, laj = jnp.asarray(qpad), jnp.array([la], jnp.int32)
     b_cols = jnp.asarray(b_cols)
     lb_t = jnp.asarray(lb_t)
     if b_cols.dtype == jnp.int16:
@@ -1083,7 +1124,7 @@ def damerau_seqband_1v_many(query: np.ndarray, b_cols, lb_t, *,
         lb_t = lb_t.astype(jnp.int32)
     run = functools.partial(_run_sqband, sub=sub, lbmax=lbmax,
                             kband=kband, interpret=interpret)
-    args = (jnp.asarray(qpad), jnp.array([la], jnp.int32))
+    args = (qj, laj)
     if mesh is not None and len(mesh.devices.flat) > 1:
         from jax.sharding import PartitionSpec as P
 

@@ -718,10 +718,12 @@ def _jaro_run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB,
 
 
 #: flag-scratch budget: TW * sub * LANE * 4 bytes (~2 MB at LB=4096,
-#: ~4 MB at 8192, ~8 MB at 16384 — with the double-buffered 2 MB chunk
-#: blocks and the W-word query scratches that totals ~12.6 MB, inside
-#: the ~16 MB VMEM; 24576 would need ~16.6 MB and does not fit)
-JARO_STREAM_MAX_LB = 16384
+#: ~4 MB at 8192).  16384 (~8 MB flags, ~12.6 MB total with the
+#: double-buffered chunk blocks) pencils out under the 16 MB VMEM but
+#: the v5e remote compiler rejects it (tpu_compile_helper exit 1,
+#: evidence/hw_conformance_r5_jaro16k_stdout.log) — buckets past this
+#: cap take the scanner's documented host/XLA fallback instead
+JARO_STREAM_MAX_LB = 8192
 
 
 def jaro_stream_1v_many(query: np.ndarray, cand3, lb2, *,
