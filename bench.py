@@ -365,11 +365,13 @@ def _measure(phase: str):
         from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
-        # B = 2M: at 2^18 the per-call host floor (query upload through
+        # B = 4M: at 2^18 the per-call host floor (query upload through
         # the tunnel) hid ~40% of the kernel (30M recorded for a ~63M
-        # kernel; 50M at 2^20 — see r4 damerau B sweep); 2^21 puts the
-        # ~2.3 ms fixed dispatch cost under 10% of the ~40 ms kernel
-        Bd = 1 << 21 if not interpret else 1 << 10
+        # kernel; 50M at 2^20 — see r4 damerau B sweep); 2^22 puts the
+        # fixed dispatch cost (and its ms-scale tunnel jitter, which
+        # distorted the two-point fit at 2^21) under 10% of the ~63 ms
+        # kernel
+        Bd = 1 << 22 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
@@ -417,29 +419,45 @@ def _measure(phase: str):
         query = np.random.default_rng(42).integers(97, 123, LEN,
                                                    dtype=np.int32)
         KB = 7
-        Bd = 1 << 23 if not interpret else 1 << 10
+        # 16M candidates (4 GB tiles) so the ~2.3 ms fixed dispatch
+        # cost and its tunnel jitter stay under 5% of the ~60 ms
+        # kernel; built in 2M chunks into a donated buffer
+        Bd = 1 << 24 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
+        nbc = min(nbk, (1 << 21) // (sub * 128))
 
         @jax.jit
         def build(key):
             # ~4 expected edits per candidate so a real fraction of the
             # corpus lands under the cutoff (the dedup workload shape)
             k1, k2 = jax.random.split(key)
-            r = jax.random.randint(k1, (nbk, sub, 128, LEN), 97, 123,
+            r = jax.random.randint(k1, (nbc, sub, 128, LEN), 97, 123,
                                    jnp.int32)
-            m = jax.random.uniform(k2, (nbk, sub, 128, LEN)) \
+            m = jax.random.uniform(k2, (nbc, sub, 128, LEN)) \
                 < (4.0 / LEN)
             c = jnp.where(m, r, jnp.asarray(query)[None, None, None, :])
-            b = jnp.full((nbk, sub, 128, lbmax), -2, jnp.int32)
+            b = jnp.full((nbc, sub, 128, lbmax), -2, jnp.int32)
             b = b.at[..., :LEN].set(c)
-            b_cols = b.transpose(0, 3, 1, 2).reshape(nbk * lbmax, sub,
+            b_cols = b.transpose(0, 3, 1, 2).reshape(nbc * lbmax, sub,
                                                      128)
-            lb = jnp.full((nbk, sub, 128), LEN, jnp.int32)
+            lb = jnp.full((nbc, sub, 128), LEN, jnp.int32)
             return b_cols, lb
 
-        btd, ltd = build(jax.random.PRNGKey(17))
+        if nbc == nbk:
+            btd, ltd = build(jax.random.PRNGKey(17))
+        else:
+            place = jax.jit(
+                lambda buf, part, i: jax.lax.dynamic_update_slice(
+                    buf, part, (i * nbc * lbmax, 0, 0)),
+                donate_argnums=0)
+            btd = jnp.zeros((nbk * lbmax, sub, 128), jnp.int32)
+            ltd = jnp.full((nbk, sub, 128), LEN, jnp.int32)
+            for i in range(nbk // nbc):
+                part, _ = build(jax.random.PRNGKey(17 + i))
+                btd = place(btd, part, i)
+                del part
         btd = jax.block_until_ready(btd)
         row0 = np.asarray(btd[:LEN, 0, 0])
         from rapidfuzz_tpu import oracle as _orc
@@ -495,12 +513,20 @@ def _measure(phase: str):
         assert int(got) == exp0, (int(got), exp0)
         fn = lambda: dk.damerau_long_1v_many(query, btd, ltd, nb=nbk,
                                              sub=sub, interpret=interpret)
-        nq4 = max(Bd // 4, sub)
-        fnq = lambda: dk.damerau_long_1v_many(
-            query, btd[:nq4], ltd[:nq4], nb=nbk, sub=sub,
+        # half-batch reference (not quarter): at Bd/4 = 32 rows the
+        # wrapper must drop to a smaller tile height, which breaks the
+        # linear two-point fit — Bd/2 keeps the same kernel config
+        nh = max(Bd // 2, sub)
+        fnh = lambda: dk.damerau_long_1v_many(
+            query, btd[:nh], ltd[:nh], nb=nbk, sub=sub,
             interpret=interpret)
-        rate, ref, amort = _rate_with_ref(fn, fnq, Bd, interpret)
-        _emit_ref(rate, ref, amort)
+        rate, t_full = _rate(fn, Bd, interpret)
+        _, t_h = _rate(fnh, nh, interpret)
+        if t_full > t_h * 1.02:
+            kern_t = (t_full - t_h) * 2.0
+            _emit_ref(rate, Bd / kern_t, min(kern_t / t_full, 1.0))
+        else:
+            _emit_ref(rate, rate, 1.0)
         return
     # the nq phase emits an [NQ, B/128, 128] i32 result — cap its corpus
     # so output + corpus stay well inside HBM at NQ=16; partial does

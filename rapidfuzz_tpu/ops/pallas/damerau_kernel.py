@@ -1269,7 +1269,7 @@ def _kernel_long(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref, d2_ref,
 
 def _kernel_long_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref,
                         d2_ref, k_ref, fr_ref, cr_ref, acc_ref, *,
-                        sub: int, nb: int):
+                        sub: int, nb: int, unroll: int = 1):
     """:func:`_kernel_long` with the per-row block walk as a
     ``fori_loop`` instead of a Python unroll.
 
@@ -1317,7 +1317,12 @@ def _kernel_long_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref,
         cr_ref[3] = jnp.full((sub, LANE), SENT, jnp.int32)        # v_e
         cr_ref[4] = bigs                                          # v_y
 
-        def block(b, c2):
+        def block_u(it, c2):
+            for u in range(unroll):
+                block(it * unroll + u)
+            return c2
+
+        def block(b):
             jcol = local + (b * LANE + 1)
             dim1 = d1_ref[pl.dslice(b, 1)][0]
             dim2 = d2_ref[pl.dslice(b, 1)][0]
@@ -1378,9 +1383,12 @@ def _kernel_long_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref,
             cr_ref[2] = r2
             cr_ref[3] = r1_e
             cr_ref[4] = pltpu.roll(y, 1, 1)
-            return c2
 
-        jax.lax.fori_loop(0, nb, block, 0)
+        # hybrid unroll: `unroll` blocks statically inside each fori
+        # trip — compile-time temporaries scale with `unroll` (<= 16,
+        # well under the 47-block unroll that fits at sub=64) while the
+        # per-trip bookkeeping amortizes across blocks
+        jax.lax.fori_loop(0, nb // unroll, block_u, 0)
         return carry
 
     jax.lax.fori_loop(1, la + 1, row, 0)
@@ -1397,17 +1405,33 @@ def _kernel_long_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, d1_ref,
     out_ref[:, :] = acc_ref[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "nb", "interpret"))
-def _run_long_stream(q, la, b_tiles, lb_tiles, *, sub, nb,
+def _pick_stream_unroll(nb: int) -> int:
+    """Blocks statically unrolled per fori trip: measured at nb=64/
+    sub=64 on v5e, u=1 -> 1153 pairs/s, u=8 -> 1701, u=16 -> 1766,
+    u=32 -> 1819 (evidence/damerau_long_stream_r5{b,c}.log) — the
+    per-trip bookkeeping dominates the un-unrolled form; 32 blocks at
+    sub=64 still compiles (47 did in the fully-unrolled kernel)."""
+    for u in (32, 16, 8, 4, 2):
+        if nb % u == 0:
+            return u
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sub", "nb", "unroll", "interpret"))
+def _run_long_stream(q, la, b_tiles, lb_tiles, *, sub, nb, unroll=None,
                      interpret=False):
     """Streamed-block long kernel: candidates pre-transposed to
     ``(nb, rows, LANE)`` for dynamic leading-axis block loads (the
     transpose fuses into this jitted program)."""
     rows = b_tiles.shape[0]
     nblocks = rows // sub
+    if unroll is None:
+        unroll = _pick_stream_unroll(nb)
     b3 = jnp.transpose(
         jnp.reshape(b_tiles, (rows, nb, LANE)), (1, 0, 2))
-    kern = functools.partial(_kernel_long_stream, sub=sub, nb=nb)
+    kern = functools.partial(_kernel_long_stream, sub=sub, nb=nb,
+                             unroll=unroll)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
