@@ -27,7 +27,7 @@ from rapidfuzz_tpu import oracle
 from rapidfuzz_tpu.ops.pallas import lev_kernel as lk
 from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
 
-B = 512
+B = 4096
 QLEN = 128
 
 
