@@ -718,12 +718,28 @@ def _jaro_run(scal, tabs, cand3, lb2, *, LB, W, ntab, sub=SUB,
 
 
 #: flag-scratch budget: TW * sub * LANE * 4 bytes (~2 MB at LB=4096,
-#: ~4 MB at 8192).  16384 (~8 MB flags, ~12.6 MB total with the
-#: double-buffered chunk blocks) pencils out under the 16 MB VMEM but
-#: the v5e remote compiler rejects it (tpu_compile_helper exit 1,
-#: evidence/hw_conformance_r5_jaro16k_stdout.log) — buckets past this
-#: cap take the scanner's documented host/XLA fallback instead
-JARO_STREAM_MAX_LB = 8192
+#: ~4 MB at 8192, ~8 MB at 16384).  16384 compiles and is oracle-exact
+#: on v5e for moderate queries (evidence/jaro_stream_cap_probe_r5b.log:
+#: 10240/12288/16384 all ok at W=4); what does NOT fit is a LONG QUERY
+#: on a long bucket — the three W-word query scratches add
+#: 3*W*32*128*4 B, and a 9000-char query (W=282, ~13.8 MB) crashed the
+#: remote compiler (evidence/hw_conformance_r5_jaro16k_stdout.log).
+#: jaro_stream_query_fits gates that dimension; oversize queries take
+#: the scanner's XLA fallback with a RuntimeWarning.
+JARO_STREAM_MAX_LB = 16384
+
+
+def jaro_stream_query_fits(la: int, LB: int) -> bool:
+    """True when the (query W-word + text-flag + chunk) scratch set
+    fits the proven VMEM budget.  13 MB keeps us just above the
+    largest configuration proven good on hardware (~12.4 MB at
+    LB=16384/W=4) and far below the proven-bad ~25.8 MB."""
+    W = max(1, -(-la // 32))
+    TW = -(-LB // 32)
+    slice_b = SUB * LANE * 4
+    used = ((3 * W + TW) + 2 * W) * slice_b \
+        + 2 * (CHUNK // 4) * slice_b
+    return used <= 13 * 1024 * 1024
 
 
 def jaro_stream_1v_many(query: np.ndarray, cand3, lb2, *,

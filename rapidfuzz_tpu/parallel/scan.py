@@ -779,6 +779,10 @@ class CorpusScanner:
             if self.metric in _F64_METRICS:
                 if self._stream:
                     from ..ops.pallas import stream_kernel as _sk
+                    if not _sk.jaro_stream_query_fits(int(q.size),
+                                                     self._LB):
+                        self._warn_jaro_fallback()
+                        return self._wide_xla_fallback(q)
                     common, trans = _sk.jaro_stream_1v_many(
                         qk.astype(np.int32), cand3, self.lb2, mode=mode,
                         interpret=self._interpret)
@@ -951,6 +955,20 @@ class CorpusScanner:
                 return cut
         return None
 
+    def _warn_jaro_fallback(self):
+        """Long query x long jaro bucket exceeds the stream kernel's
+        VMEM scratch (the W-word query flags scale with the query) —
+        warn once per scanner that the scan leaves the Pallas path
+        (still exact, served by the XLA jaro kernel)."""
+        if not getattr(self, "_jaro_fb_warned", False):
+            self._jaro_fb_warned = True
+            import warnings
+            warnings.warn(
+                "jaro query too long for the streamed device kernel at "
+                f"this bucket length ({self._LB}); using the slower XLA "
+                "path (results are identical)", RuntimeWarning,
+                stacklevel=3)
+
     def _wide_xla_fallback(self, q):
         """XLA-kernel scan for wide-alphabet queries with > 127 distinct
         symbols (the query-local remap needs a 128-entry table); runs on
@@ -1074,6 +1092,9 @@ class CorpusScanner:
         if self.metric in _F64_METRICS:
             if self._stream:
                 from ..ops.pallas import stream_kernel as _sk
+                if not _sk.jaro_stream_query_fits(la, LB):
+                    self._warn_jaro_fallback()
+                    return self._wide_xla_fallback(q_finish)
                 scal_q = np.full(1 + W * 32, -3, np.int32)
                 scal_q[0] = la
                 scal_q[1:1 + la] = np.asarray(q32, np.int32)

@@ -511,6 +511,44 @@ def test_damerau_long_streamed_blocks():
         assert b[i] == exp, (i, b[i], exp)
 
 
+def test_jaro_stream_query_budget_fallback(monkeypatch):
+    """A query too long for the stream kernel's W-word VMEM scratches
+    (the on-chip crash dimension: a 9000-char query at LB=16384,
+    evidence/hw_conformance_r5_jaro16k_stdout.log) routes to the XLA
+    fallback with a RuntimeWarning, results identical; moderate
+    queries stay on the stream route."""
+    import warnings
+
+    from rapidfuzz_tpu.ops.pallas import stream_kernel as sk
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+    from rapidfuzz_tpu import oracle
+
+    assert sk.jaro_stream_query_fits(128, 16384)
+    assert not sk.jaro_stream_query_fits(9000, 16384)
+    assert sk.jaro_stream_query_fits(2000, 8192)
+    assert not sk.jaro_stream_query_fits(9000, 8192)
+
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    rng = np.random.default_rng(91)
+    corpus = ["".join(chr(97 + int(c))
+                      for c in rng.integers(0, 6, int(rng.integers(
+                          1200, 2048)))) for _ in range(6)]
+    sc = CorpusScanner(corpus, metric="jaro", bucket=2048)
+    assert sc._stream
+    big_q = "".join(chr(97 + int(c))
+                    for c in rng.integers(0, 6, 4000))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        d = np.asarray(sc.distances(big_q))
+        assert any(issubclass(x.category, RuntimeWarning) for x in w), \
+            [str(x.message) for x in w]
+    qe = np.array([ord(c) for c in big_q], np.int64)
+    for i, c in enumerate(corpus):
+        exp = 1.0 - oracle.jaro(qe, np.array([ord(x) for x in c],
+                                             np.int64))
+        assert abs(float(d[i]) - exp) < 1e-9, (i, d[i], exp)
+
+
 def test_jaro_stream_multiword_query():
     """Jaro stream with a multi-word query (W > 1): cross-word window
     shifts and claim chains under the fori form."""
