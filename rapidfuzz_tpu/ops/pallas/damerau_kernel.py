@@ -1139,6 +1139,209 @@ def damerau_seqband_1v_many(query: np.ndarray, b_cols, lb_t, *,
                             kband=kband, interpret=interpret)
 
 
+# ------------------------- cutoff-banded sequential pairs, streamed text
+
+DAM_BAND_CHUNK = 512      # text cols per grid step in the streamed form
+
+
+def _kernel_sqband_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref,
+                          fr_ref, kk_ref, ch_ref, *, sub: int, lbmax: int,
+                          kband: int, nchunks: int):
+    """:func:`_kernel_sqband` with the text streamed in CHUNK-col grid
+    steps — O(k*M) Damerau for candidates of ANY bucket length.
+
+    The |i-j| <= k band is length-independent: on an 8192-char
+    dedup pair at k=15 it touches ~254k cells of the 67M-cell full DP.
+    The band's char window advances one column per row, so chunking is
+    natural: grid step ``c`` runs exactly the rows whose entering
+    column ``i + k`` lies in chunk ``c`` (rows shift by -k relative to
+    columns; no overlap blocks needed — the window itself carries the
+    k columns of history).  Band state (dp/fr/kk/ch) persists in
+    scratch across the sequential chunk axis; results emit after the
+    last chunk.  Note under a cutoff k only candidates with
+    ``|la - lb| <= k`` can pass at all, so the row walk's length is
+    ~the candidate length — the long-dedup shape.
+    """
+    W = 2 * kband + 1
+    CH = DAM_BAND_CHUNK
+    la = la_ref[0]
+    lb = lb_ref[0]
+    c = pl.program_id(1)
+    base = c * CH
+    zeros = jnp.zeros((sub, LANE), jnp.int32)
+    bigs = jnp.full((sub, LANE), BIG, jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        for p in range(W + 1):
+            dp_ref[0, p] = (zeros + (p - kband)) if p >= kband and p < W \
+                else bigs
+            dp_ref[1, p] = bigs
+            fr_ref[p] = bigs
+            kk_ref[p] = zeros
+        # char window for row 1: position p holds col 1 - kband + p,
+        # all within chunk 0 (col <= kband + 1 << CH)
+        for p in range(W):
+            col = 1 - kband + p
+            ch_ref[p] = b_ref[col - 1] if col >= 1 \
+                else jnp.full((sub, LANE), -2, jnp.int32)
+
+    def make_row(masked: bool):
+        def row(i, carry):
+            par = i & 1
+            ai = q_ref[i - 1]
+            if masked:
+                d_left = jnp.where(i == kband + 1, zeros + i, bigs)
+            else:
+                d_left = bigs
+            d_diag_prev = bigs
+            reg_l = zeros
+            reg_t = bigs
+            for p in range(W):
+                jcol = i - kband + p
+                c2 = ch_ref[p]
+                if p >= 1:
+                    ch_ref[p - 1] = c2
+                eq = c2 == ai
+                d_diag = dp_ref[1 - par, p]
+                d_up = dp_ref[1 - par, p + 1]
+                d2_left = dp_ref[par, p + 1]
+                fr = fr_ref[p + 1]
+                k = kk_ref[p + 1]
+                cost = jnp.where(eq, 0, 1)
+                cand = jnp.minimum(d_diag + cost,
+                                   jnp.minimum(d_up, d_left) + 1)
+                djL = jcol - reg_l
+                iK = i - k
+                m1 = djL == 1
+                tr = jnp.where(m1, fr + iK, reg_t + djL)
+                tr = jnp.where(m1 | (iK == 1), tr, BIG)
+                new = jnp.minimum(cand, jnp.where(eq, BIG, tr))
+                if masked:
+                    new = jnp.where(jcol >= 1, new,
+                                    jnp.where(jcol == 0, zeros + i,
+                                              bigs))
+                fr_ref[p] = jnp.where(eq, d_diag_prev, fr)
+                kk_ref[p] = jnp.where(eq, zeros + i, k)
+                reg_t = jnp.where(eq, d2_left, reg_t)
+                reg_l = jnp.where(eq, zeros + jcol, reg_l)
+                dp_ref[par, p] = new
+                d_left = new
+                d_diag_prev = d_diag
+            # entering column for row i+1, from THIS chunk's block
+            idx = i + kband                  # 0-based global col index
+            loc = jnp.clip(idx - base, 0, CH - 1)
+            cw = b_ref[pl.dslice(loc, 1)][0]
+            ch_ref[W - 1] = jnp.where(idx < lbmax, cw,
+                                      jnp.full((sub, LANE), -2,
+                                               jnp.int32))
+            return carry
+
+        return row
+
+    # rows whose entering column i + kband lies in [base, base + CH)
+    # run in this chunk (i in [base - kband, base + CH - kband - 1]);
+    # the last chunk also runs any tail rows (their loads clamp/mask)
+    lo = jnp.maximum(base - kband, 1)
+    hi = jnp.minimum(base + CH - kband - 1, la)
+    hi = jnp.where(c == nchunks - 1, la, hi)
+    hi_masked = jnp.minimum(hi, kband + 1)
+    jax.lax.fori_loop(lo, hi_masked + 1, make_row(True), 0)
+    jax.lax.fori_loop(jnp.maximum(lo, kband + 2), hi + 1,
+                      make_row(False), 0)
+
+    @pl.when(c == nchunks - 1)
+    def _emit():
+        res = bigs
+        parf = la & 1
+        for p in range(W):
+            res = jnp.where(lb == la - kband + p, dp_ref[parf, p], res)
+        out_ref[0] = res
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sub", "lbmax", "kband", "interpret"))
+def _run_sqband_stream(q, la, b_cols, lb_t, *, sub=SEQ_SUB, lbmax=1024,
+                       kband=7, interpret=False):
+    """b_cols [nblocks * lbmax, sub, LANE] (seq layout, lbmax a
+    DAM_BAND_CHUNK multiple) -> int32 [nblocks, sub, LANE] flattened."""
+    W = 2 * kband + 1
+    CH = DAM_BAND_CHUNK
+    assert lbmax % CH == 0, (lbmax, CH)
+    nchunks = lbmax // CH
+    nblocks = b_cols.shape[0] // lbmax
+    kern = functools.partial(_kernel_sqband_stream, sub=sub, lbmax=lbmax,
+                             kband=kband, nchunks=nchunks)
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks, nchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((CH, sub, LANE),
+                         lambda i, j, nc=nchunks: (i * nc + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sub, LANE), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, sub, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W + 1, sub, LANE), jnp.int32),
+                        pltpu.VMEM((W, sub, LANE), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(q, la, b_cols, lb_t)
+    return jnp.reshape(out, (-1,)).astype(jnp.int32)
+
+
+def prepare_corpus_seq_long(chars: np.ndarray, lens: np.ndarray,
+                            sub: int = SEQ_SUB):
+    """[B, 128 < LB <= MAX_TEXT_LONG] corpus -> seq-layout tiles for the
+    streamed band kernel.  ``lbmax`` pads to a DAM_BAND_CHUNK multiple;
+    ``B`` pads to a ``sub * 128`` multiple (pad rows: length 0)."""
+    B, LB = chars.shape
+    lbmax = -(-max(LB, DAM_BAND_CHUNK) // DAM_BAND_CHUNK) \
+        * DAM_BAND_CHUNK
+    Bp = -(-max(B, 1) // (sub * LANE)) * (sub * LANE)
+    ch = np.full((Bp, lbmax), -2, np.int32)
+    ch[:B, :LB] = np.where(chars < 0, -2, chars)
+    ln = np.zeros(Bp, np.int32)
+    ln[:B] = lens
+    nb = Bp // (sub * LANE)
+    b = ch.reshape(nb, sub, LANE, lbmax)
+    b_cols = np.ascontiguousarray(
+        b.transpose(0, 3, 1, 2).reshape(nb * lbmax, sub, LANE))
+    lb_t = ln.reshape(nb, sub, LANE)
+    return b_cols, np.ascontiguousarray(lb_t), lbmax
+
+
+def damerau_seqband_long_1v_many(query, b_cols, lb_t, *, lbmax: int,
+                                 kband: int, sub: int = SEQ_SUB,
+                                 interpret: bool = False,
+                                 staged=None) -> jnp.ndarray:
+    """One-vs-many cutoff-banded Damerau for long buckets -> int32[B].
+
+    Same exactness contract as :func:`damerau_seqband_1v_many` (exact
+    wherever the true distance <= kband; > kband otherwise)."""
+    if staged is not None:
+        qj, laj, la = staged
+    else:
+        qpad, la = _encode_query_rows(query)
+    if la == 0:
+        return jnp.reshape(jnp.asarray(lb_t), (-1,)).astype(jnp.int32)
+    if staged is None:
+        qj, laj = jnp.asarray(qpad), jnp.array([la], jnp.int32)
+    b_cols = jnp.asarray(b_cols)
+    lb_t = jnp.asarray(lb_t)
+    return _run_sqband_stream(qj, laj, b_cols, lb_t, sub=sub,
+                              lbmax=lbmax, kband=kband,
+                              interpret=interpret)
+
+
 # ------------------------------------------------- long candidates (>128)
 
 def _pack_params(nb: int):

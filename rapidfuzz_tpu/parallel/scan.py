@@ -592,6 +592,24 @@ class CorpusScanner:
                             np.int64)
         if self._dam_pallas and self._dam_long:
             from ..ops.pallas import damerau_kernel as _dk
+            if (score_cutoff is not None and 0 <= score_cutoff <= 15
+                    and int(score_cutoff) == score_cutoff
+                    and self._ndev == 1):
+                # cutoff-banded long Damerau: the |i-j| <= k band is
+                # length-independent — at 8192 chars / k=15 it touches
+                # ~254k of the 67M full-DP cells.  Under a cutoff only
+                # |la-lb| <= k candidates can pass, so this is the
+                # long-dedup shape.  Seq-layout tiles staged lazily on
+                # the first banded scan (device-side transpose of the
+                # row tiles) and cached.
+                kb = _dk.pick_dam_band(int(score_cutoff), 1 << 30)
+                st = getattr(self, "_dam_band_staged", None)
+                if st is None:
+                    st = self._stage_dam_band()
+                bc, lt, lbmax = st
+                return _dk.damerau_seqband_long_1v_many(
+                    q, bc, lt, lbmax=lbmax, kband=kb,
+                    interpret=self._interpret)
             try:
                 return _dk.damerau_long_1v_many(
                     q, self._dam_b, self._dam_lb, nb=self._dam_nb,
@@ -954,6 +972,37 @@ class CorpusScanner:
             elif Wq >= 2 * bw + 1:
                 return cut
         return None
+
+    def _stage_dam_band(self):
+        """Seq-layout tiles for the banded long-Damerau route, built
+        once on device from the resident row tiles (adds one corpus-
+        sized buffer; only materialized when a banded scan happens)."""
+        from ..ops.pallas import damerau_kernel as _dk
+
+        sub, LANE = _dk.SEQ_SUB, 128
+        x = self._dam_b
+        lens = self.lens
+        B8, nbL = int(x.shape[0]), int(x.shape[1])
+        CH = _dk.DAM_BAND_CHUNK
+        lbmax = -(-nbL // CH) * CH
+        Bp = -(-B8 // (sub * LANE)) * (sub * LANE)
+
+        @jax.jit
+        def build(x, lens):
+            xp = jnp.full((Bp, lbmax), -2, jnp.int32)
+            xp = xp.at[:B8, :nbL].set(x)
+            ln = jnp.zeros((Bp,), jnp.int32).at[:B8].set(
+                lens.astype(jnp.int32))
+            ngr = Bp // (sub * LANE)
+            b = xp.reshape(ngr, sub, LANE, lbmax)
+            b_cols = jnp.transpose(b, (0, 3, 1, 2)).reshape(
+                ngr * lbmax, sub, LANE)
+            return b_cols, ln.reshape(ngr, sub, LANE)
+
+        bc, lt = build(x, lens)
+        st = (jax.block_until_ready(bc), lt, lbmax)
+        self._dam_band_staged = st
+        return st
 
     def _warn_jaro_fallback(self):
         """Long query x long jaro bucket exceeds the stream kernel's

@@ -830,6 +830,50 @@ def test_damerau_band_scanner_route(monkeypatch):
                 assert not res.valid[i], (cut, i, exp)
 
 
+def test_damerau_band_long_scanner_route(monkeypatch):
+    """Cutoff-banded LONG Damerau (streamed text chunks): >128-char
+    buckets under a small cutoff route the O(k*M) band kernel —
+    length-independent band, chunk-seam transpositions included.  The
+    full kernel still serves the no-cutoff scan."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(83)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 6, 700))
+    corpus = []
+    for _ in range(24):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 12))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(s) - 1)))
+            if op == 0:
+                s[p] = chr(97 + int(rng.integers(0, 6)))
+            elif op == 1 and p + 1 < len(s):
+                s[p], s[p + 1] = s[p + 1], s[p]
+            else:
+                del s[p]
+        corpus.append("".join(s))
+    # transposition exactly on the chunk seam (col 512)
+    s = list(base)
+    s[511], s[512] = s[512], s[511]
+    corpus += ["".join(s), "", "a", base]
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    assert sc._dam_long
+    qe = np.array([ord(c) for c in base], np.int64)
+    for cut in (1, 7, 15):
+        res = sc.distances(base, score_cutoff=cut)
+        for i, st in enumerate(corpus):
+            exp = oracle.damerau(
+                qe, np.array([ord(x) for x in st], np.int64))
+            if exp <= cut:
+                assert res.valid[i] and res.values[i] == exp, \
+                    (cut, i, exp, res.values[i])
+            else:
+                assert not res.valid[i], (cut, i, exp)
+    d = sc.distances(base)
+    assert int(d[len(corpus) - 1]) == 0
+
+
 def test_damerau_seq_int16_mask_body():
     """The compare-free mask-algebra int16 body (``_kernel_sq16m`` —
     add/sub/bitwise/arith-shift only, for Mosaic targets without packed

@@ -275,6 +275,41 @@ def _c_hamming():
     return n, time.perf_counter() - t0
 
 
+def _c_damerau_band_long():
+    """Cutoff-banded long Damerau through the scanner: chunk-streamed
+    |i-j| <= k band on a 2000-4096-char bucket, full-corpus verify of
+    the (values, valid) mask across all three band radii."""
+    from rapidfuzz_tpu import oracle
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+
+    rng = np.random.default_rng(44)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 10, 3000))
+    corpus = []
+    for _ in range(128):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 24))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(s) - 1)))
+            if op == 0:
+                s[p] = chr(97 + int(rng.integers(0, 26)))
+            elif op == 1 and p + 1 < len(s):
+                s[p], s[p + 1] = s[p + 1], s[p]
+            else:
+                del s[p]
+        corpus.append("".join(s))
+    s = list(base)
+    s[511], s[512] = s[512], s[511]        # chunk-seam transposition
+    s[2047], s[2048] = s[2048], s[2047]
+    corpus += ["".join(s), "", "a", base, base[:2900]]
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    cases = []
+    for cut in (0, 2, 3, 7, 12, 15):
+        cases.append((cut, None, base))
+    cases.append((7, None, base[:64]))     # short query, long bucket
+    return _verify("damerau_band_long", sc, corpus, oracle.damerau,
+                   cases)
+
+
 def _c_damerau_long4k():
     """The 4096-char long-kernel bucket through the scanner, full-corpus
     oracle verify (the probes sample; this checks every entry)."""
@@ -453,6 +488,7 @@ CHECKS = {
     "hamming": _c_hamming,
     "scan_many": _c_scan_many,
     "damerau_band": _c_damerau_band,
+    "damerau_band_long": _c_damerau_band_long,
     "damerau_long4k": _c_damerau_long4k,
     "damerau_long8k": _c_damerau_long8k,
     "jaro_scan_many": _c_jaro_scan_many,

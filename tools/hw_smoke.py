@@ -261,6 +261,28 @@ def _route_damerau_band():
                        score_cutoff=7)
 
 
+def _route_damerau_band_long():
+    """Cutoff-banded long Damerau (streamed text chunks, O(k*M))."""
+    from rapidfuzz_tpu import oracle
+    rng = np.random.default_rng(19)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 1400))
+    corpus = []
+    for i in range(96):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 16))):
+            op = int(rng.integers(0, 3))
+            p = int(rng.integers(0, max(1, len(s) - 1)))
+            if op == 0:
+                s[p] = chr(97 + int(rng.integers(0, 26)))
+            elif op == 1 and p + 1 < len(s):
+                s[p], s[p + 1] = s[p + 1], s[p]
+            else:
+                del s[p]
+        corpus.append("".join(s))
+    return _check_scan("damerau_levenshtein", corpus, base,
+                       oracle.damerau, score_cutoff=7, n_check=32)
+
+
 def _route_damerau_long():
     from rapidfuzz_tpu import oracle
     rng = np.random.default_rng(14)
@@ -332,6 +354,7 @@ ROUTES = {
     "wlev": _route_wlev,
     "damerau_seq": _route_damerau_seq,
     "damerau_band": _route_damerau_band,
+    "damerau_band_long": _route_damerau_band_long,
     "damerau_long": _route_damerau_long,
     "damerau_long8k": _route_damerau_long8k,
     "partial": _route_partial,
