@@ -1160,7 +1160,9 @@ def _kernel_sqband_stream(q_ref, la_ref, b_ref, lb_ref, out_ref, dp_ref,
     scratch across the sequential chunk axis; results emit after the
     last chunk.  Note under a cutoff k only candidates with
     ``|la - lb| <= k`` can pass at all, so the row walk's length is
-    ~the candidate length — the long-dedup shape.
+    ~the candidate length — the long-dedup shape.  Semantics:
+    ``damerau_levenshtein.rs:111-168`` under the cutoff contract of
+    ``common.rs:33-46``; band discipline per ``levenshtein.rs:509-617``.
     """
     W = 2 * kband + 1
     CH = DAM_BAND_CHUNK
