@@ -187,6 +187,9 @@ def main():
             try:
                 r = _run_phase(phase, min(max(240.0, need), remaining))
             except (subprocess.TimeoutExpired, RuntimeError) as e:
+                r = None     # a stalled attempt-0 result must not
+                             # outlive a failed retry (it was judged an
+                             # artifact, not a measurement)
                 extras[f"{phase}_error"] = str(e)[-200:]
                 print(f"[bench] {phase} failed in {time.time()-t0:.0f}s",
                       file=sys.stderr)
@@ -371,8 +374,9 @@ def _measure(phase: str):
         # fixed dispatch cost (and its ms-scale tunnel jitter, which
         # distorted the two-point fit at 2^21) under 10% of the ~63 ms
         # kernel
-        Bd = 1 << 22 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
+        # interpret floor: one full (sub, 128) block (nbk >= 1)
+        Bd = 1 << 22 if not interpret else sub * 128
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
 
@@ -422,8 +426,9 @@ def _measure(phase: str):
         # 16M candidates (4 GB tiles) so the ~2.3 ms fixed dispatch
         # cost and its tunnel jitter stay under 5% of the ~60 ms
         # kernel; built in 2M chunks into a donated buffer
-        Bd = 1 << 24 if not interpret else 1 << 10
         sub = dk.SEQ_SUB
+        # interpret floor: one full (sub, 128) block (nbk >= 1)
+        Bd = 1 << 24 if not interpret else sub * 128
         lbmax = -(-max(LEN, 16) // 16) * 16
         nbk = Bd // (sub * 128)
         nbc = min(nbk, (1 << 21) // (sub * 128))

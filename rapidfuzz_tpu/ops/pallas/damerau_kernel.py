@@ -1623,18 +1623,26 @@ def _pick_stream_unroll(nb: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sub", "nb", "unroll", "interpret"))
+                   static_argnames=("sub", "nb", "unroll",
+                                    "pre_transposed", "interpret"))
 def _run_long_stream(q, la, b_tiles, lb_tiles, *, sub, nb, unroll=None,
-                     interpret=False):
+                     pre_transposed=False, interpret=False):
     """Streamed-block long kernel: candidates pre-transposed to
-    ``(nb, rows, LANE)`` for dynamic leading-axis block loads (the
-    transpose fuses into this jitted program)."""
-    rows = b_tiles.shape[0]
+    ``(nb, rows, LANE)`` for dynamic leading-axis block loads.  With
+    ``pre_transposed`` the caller supplies the ``(nb, rows, LANE)``
+    layout directly (staged once per corpus) — otherwise the transpose
+    fuses into this jitted program and costs a corpus-sized HBM
+    read+write per scan."""
+    if pre_transposed:
+        rows = b_tiles.shape[1]
+        b3 = b_tiles
+    else:
+        rows = b_tiles.shape[0]
+        b3 = jnp.transpose(
+            jnp.reshape(b_tiles, (rows, nb, LANE)), (1, 0, 2))
     nblocks = rows // sub
     if unroll is None:
         unroll = _pick_stream_unroll(nb)
-    b3 = jnp.transpose(
-        jnp.reshape(b_tiles, (rows, nb, LANE)), (1, 0, 2))
     kern = functools.partial(_kernel_long_stream, sub=sub, nb=nb,
                              unroll=unroll)
     return pl.pallas_call(
@@ -1733,9 +1741,19 @@ def prepare_corpus_long(chars: np.ndarray, lens: np.ndarray,
     return b, lbt, nb, sub
 
 
+def transpose_corpus_long(b_tiles, nb: int):
+    """[rows, nb*LANE] row tiles -> (nb, rows, LANE) block-major layout
+    for the streamed-block kernel; stage once per corpus and pass as
+    ``b3`` to skip the per-scan transpose."""
+    b_tiles = jnp.asarray(b_tiles)
+    rows = b_tiles.shape[0]
+    return jnp.transpose(
+        jnp.reshape(b_tiles, (rows, nb, LANE)), (1, 0, 2))
+
+
 def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                          sub: int, interpret: bool = False,
-                         mesh=None) -> jnp.ndarray:
+                         mesh=None, b3=None) -> jnp.ndarray:
     """One-vs-many unrestricted Damerau for 128 < candidates <=
     ``MAX_TEXT_LONG`` (8192) chars -> int32[B].  With a multi-device ``mesh``, per-shard via
     ``shard_map`` (``sub`` must divide the per-shard row count)."""
@@ -1750,11 +1768,14 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
     ndev = len(mesh.devices.flat) if mesh is not None else 1
     # past 48 blocks the unrolled kernel only fits half-height tiles
     # (Mosaic stack temporaries scale with the block unroll) — the
-    # streamed-block form keeps full height at any nb
+    # streamed-block form keeps full height at any nb.  ``b3`` (from
+    # :func:`transpose_corpus_long`, cached by the scanner) skips the
+    # per-scan corpus transpose on the single-device path.
     run, s_eff = _run_long, sub
     if nb > 48:
         run = _run_long_stream
-        s_eff = pick_sub(int(b_tiles.shape[0]) // ndev)
+        s_eff = pick_sub(int(b_tiles.shape[0] if b3 is None
+                             else b3.shape[1]) // ndev)
         while s_eff * nb > 4096 and s_eff > 8:     # 4-structure 8 MB cap
             s_eff //= 2
     if ndev > 1:
@@ -1766,6 +1787,11 @@ def damerau_long_1v_many(query: np.ndarray, b_tiles, lb_tiles, *, nb: int,
                      dict(sub=s_loc, nb=nb, interpret=interpret))
         out = f(jnp.asarray(qpad), jnp.array([la], jnp.int32), b_tiles,
                 lb_tiles)
+    elif nb > 48 and b3 is not None:
+        out = _run_long_stream(jnp.asarray(qpad),
+                               jnp.array([la], jnp.int32), b3,
+                               jnp.asarray(lb_tiles), sub=s_eff, nb=nb,
+                               pre_transposed=True, interpret=interpret)
     else:
         out = run(jnp.asarray(qpad), jnp.array([la], jnp.int32),
                   jnp.asarray(b_tiles), jnp.asarray(lb_tiles),

@@ -610,11 +610,23 @@ class CorpusScanner:
                 return _dk.damerau_seqband_long_1v_many(
                     q, bc, lt, lbmax=lbmax, kband=kb,
                     interpret=self._interpret)
+            b3 = None
+            if self._dam_nb > 48 and self._ndev == 1:
+                # streamed-block route: stage the (nb, rows, LANE)
+                # layout once instead of paying a corpus-sized
+                # transpose per scan
+                b3 = getattr(self, "_dam_b3", None)
+                if b3 is None:
+                    b3 = jax.block_until_ready(
+                        jax.jit(_dk.transpose_corpus_long,
+                                static_argnums=1)(
+                            self._dam_b, self._dam_nb))
+                    self._dam_b3 = b3
             try:
                 return _dk.damerau_long_1v_many(
                     q, self._dam_b, self._dam_lb, nb=self._dam_nb,
                     sub=self._dam_sub, interpret=self._interpret,
-                    mesh=self.mesh if self._ndev > 1 else None)
+                    mesh=self.mesh if self._ndev > 1 else None, b3=b3)
             except ValueError:         # query beyond the packed-value range
                 return self._wide_xla_fallback(q)
         if self._dam_pallas and self._dam_seq:
@@ -987,19 +999,36 @@ class CorpusScanner:
         lbmax = -(-nbL // CH) * CH
         Bp = -(-B8 // (sub * LANE)) * (sub * LANE)
 
-        @jax.jit
-        def build(x, lens):
-            xp = jnp.full((Bp, lbmax), -2, jnp.int32)
-            xp = xp.at[:B8, :nbL].set(x)
-            ln = jnp.zeros((Bp,), jnp.int32).at[:B8].set(
-                lens.astype(jnp.int32))
-            ngr = Bp // (sub * LANE)
-            b = xp.reshape(ngr, sub, LANE, lbmax)
-            b_cols = jnp.transpose(b, (0, 3, 1, 2)).reshape(
-                ngr * lbmax, sub, LANE)
-            return b_cols, ln.reshape(ngr, sub, LANE)
+        gr_rows = sub * LANE
+        ngr = Bp // gr_rows
 
-        bc, lt = build(x, lens)
+        # group-at-a-time build into a donated buffer: a single jitted
+        # transpose would materialize ~3 corpus-sized buffers at once
+        # next to the resident row tiles (the indelband bench OOM'd the
+        # same way, evidence/bench_r5_indelband2.log) — here the
+        # transient is one 2048-row group (~64 MB at 8192 chars)
+        @jax.jit
+        def build_group(xg):
+            xp = jnp.full((gr_rows, lbmax), -2, jnp.int32)
+            xp = xp.at[:, :nbL].set(xg)
+            return jnp.transpose(xp.reshape(sub, LANE, lbmax),
+                                 (2, 0, 1))
+
+        place = jax.jit(
+            lambda buf, part, g: jax.lax.dynamic_update_slice(
+                buf, part, (g * lbmax, 0, 0)), donate_argnums=0)
+        bc = jnp.full((ngr * lbmax, sub, LANE), -2, jnp.int32)
+        for g in range(ngr):
+            lo = g * gr_rows
+            rows = x[lo: lo + gr_rows]
+            if int(rows.shape[0]) < gr_rows:
+                rows = jnp.concatenate(
+                    [rows, jnp.full((gr_rows - int(rows.shape[0]), nbL),
+                                    -2, jnp.int32)])
+            bc = place(bc, build_group(rows), g)
+        ln = jnp.zeros((Bp,), jnp.int32).at[:B8].set(
+            lens.astype(jnp.int32))
+        lt = ln.reshape(ngr, sub, LANE)
         st = (jax.block_until_ready(bc), lt, lbmax)
         self._dam_band_staged = st
         return st

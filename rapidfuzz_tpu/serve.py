@@ -112,7 +112,13 @@ class ScanService:
         """
         if not self.corpus:
             return {}
-        q = max(self.corpus, key=len)[:256] or "a"
+        # FULL-length warm query: the query length is a compile key
+        # (32-char buckets for the kernels' padded query shapes), so a
+        # truncated warm-up would leave the real corpus-scale query
+        # shape cold and the first production request would absorb the
+        # compile the warmup exists to prevent
+        q = max(self.corpus, key=len) or "a"
+        q_short = q[:64] or "a"
         times = {}
 
         def step(name, fn):
@@ -125,9 +131,16 @@ class ScanService:
             times[name] = round(time.perf_counter() - t0, 3)
 
         step("distances", lambda: self.scanner.distances(q))
+        if q_short != q:
+            step("distances_short",
+                 lambda: self.scanner.distances(q_short))
         if full:
-            step("distances_cutoff",
-                 lambda: self.scanner.distances(q, score_cutoff=7))
+            # every cutoff band bucket is its own compile key
+            # (DAM_BAND_BUCKETS / the lev band widths) — warm each
+            for cut in (2, 7, 15):
+                step(f"distances_cutoff{cut}",
+                     lambda c=cut: self.scanner.distances(
+                         q, score_cutoff=c))
             if self.metric == "levenshtein":
                 step("distances_hint",
                      lambda: self.scanner.distances(q, score_hint=8))

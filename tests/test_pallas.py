@@ -874,6 +874,36 @@ def test_damerau_band_long_scanner_route(monkeypatch):
     assert int(d[len(corpus) - 1]) == 0
 
 
+def test_dam_band_stagings_agree(monkeypatch):
+    """The host staging (prepare_corpus_seq_long) and the scanner's
+    lazy device staging (_stage_dam_band) realize the same layout
+    contract — twin implementations must stay in lockstep (r5 review
+    finding)."""
+    monkeypatch.setenv("RAPIDFUZZ_TPU_FORCE_PALLAS", "interpret")
+    from rapidfuzz_tpu.ops.pallas import damerau_kernel as dk
+    from rapidfuzz_tpu.parallel.scan import CorpusScanner
+    from rapidfuzz_tpu.utils import codec
+
+    rng = np.random.default_rng(101)
+    corpus = ["".join(chr(97 + int(c))
+                      for c in rng.integers(0, 8, int(rng.integers(
+                          130, 700)))) for _ in range(20)]
+    sc = CorpusScanner(corpus, metric="damerau_levenshtein")
+    assert sc._dam_long
+    bc_dev, lt_dev, lbmax_dev = sc._stage_dam_band()
+    chars, lens = codec.encode_batch(corpus, None)
+    # host staging over the SAME padded row set the scanner holds
+    B8 = int(sc._dam_b.shape[0])
+    ch = np.full((B8, chars.shape[1]), -1, np.int32)
+    ch[: chars.shape[0]] = chars
+    ln = np.zeros(B8, np.int32)
+    ln[: lens.shape[0]] = lens
+    bc_host, lt_host, lbmax_host = dk.prepare_corpus_seq_long(ch, ln)
+    assert lbmax_dev == lbmax_host
+    assert np.array_equal(np.asarray(lt_dev), lt_host)
+    assert np.array_equal(np.asarray(bc_dev), bc_host)
+
+
 def test_damerau_seq_int16_mask_body():
     """The compare-free mask-algebra int16 body (``_kernel_sq16m`` —
     add/sub/bitwise/arith-shift only, for Mosaic targets without packed

@@ -31,8 +31,9 @@ def test_warmup_route_table():
     corpus = ["apple", "apply", "ape", "maple", "orange", "grape", ""]
     service = ScanService(corpus, metric="levenshtein", bucket=32)
     table = service.warmup(full=True)
-    for route in ("distances", "distances_cutoff", "distances_hint",
-                  "topk", "scan_many"):
+    for route in ("distances", "distances_cutoff2", "distances_cutoff7",
+                  "distances_cutoff15", "distances_hint", "topk",
+                  "scan_many"):
         assert route in table, table
         assert isinstance(table[route], float), (route, table[route])
     # warmed routes answer without error afterwards
