@@ -1712,10 +1712,15 @@ def pick_sub_long(rows: int, nb: int) -> int:
     sub=64 fits (evidence/damerau_long_8k_oom_r4.log), so from 48
     blocks on the tile height halves again (nb=48 at sub=64 is within
     ~0.3M of the 16M limit and was never hardware-verified — treated
-    as over, per ADVICE r4).
+    as over, per ADVICE r4).  MULTI-grid-block runs (rows > sub) cap at
+    sub * nb <= 2048 regardless: with >1 grid step the double-buffered
+    candidate tiles join the scoped-vmem accounting and a sub=128/nb=32
+    run that fit single-block OOMs by 2.07M
+    (evidence/damerau_band_long_rate_r5.log tail, r5).
     """
     sub = pick_sub(rows)
-    while (sub * nb > 4096 or (nb >= 48 and sub * nb > 2048)) and sub > 8:
+    while (sub * nb > 4096 or (nb >= 48 and sub * nb > 2048)
+           or (rows > sub and sub * nb > 2048)) and sub > 8:
         sub //= 2
     return sub
 

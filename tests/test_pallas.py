@@ -466,6 +466,13 @@ def test_damerau_long_kernel_8192():
     assert dk.pick_sub_long(128, 64) * 64 <= 2048
     assert dk.pick_sub_long(128, 48) * 48 <= 2048
     assert dk.pick_sub_long(128, 47) * 47 <= 4096
+    # multi-grid-block runs cap at sub*nb <= 2048: a sub=128/nb=32
+    # corpus scan OOM'd the scoped vmem by 2.07M on chip (r5) — the
+    # 4096 full-height budget was only ever proven single-block
+    assert dk.pick_sub_long(4096, 32) * 32 <= 2048
+    assert dk.pick_sub_long(4096, 16) * 16 <= 2048
+    assert dk.pick_sub_long(128, 4) in (128, 64)   # single-block keeps
+                                                   # full height
     out = np.asarray(dk.damerau_long_1v_many(q, bt, lt, nb=nb, sub=sub,
                                              interpret=True))
     for i in range(Bs):
